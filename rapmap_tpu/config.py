@@ -1,0 +1,25 @@
+"""Run configuration mirroring the reference's quasimap/pseudomap flags
+(SURVEY.md §3.2, §5.6) so the CLI is drop-in comparable."""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+
+@dataclass(frozen=True)
+class MapConfig:
+    """Static mapping parameters. Frozen/hashable: used as a jit static arg."""
+
+    k: int = 31
+    max_num_hits: int = 200        # -m: reads with more mappings are discarded
+    max_interval: int = 1000       # SA intervals wider than this are skipped
+    consistent_hits: bool = False  # -c: consensus intersection across MMPs
+    fuzzy: bool = False            # -f: tolerate one missing hit in consensus
+    strict_check: bool = False     # -s: accepted; currently a documented no-op
+    quasi_coverage: float = 0.0    # -z: min fraction of read covered by MMPs
+    no_orphans: bool = False       # suppress orphan output for pairs
+    # device-engine static shape knobs (no effect on semantics when not exceeded;
+    # exceeding them sets the over_budget counter)
+    max_hits_per_strand: int = 16  # MMP hits recorded per read-strand
+    expand_budget: int = 512       # SA-slot expansion slots per read
+    max_out: int = 64              # mapping records retained per read on device

@@ -1,0 +1,156 @@
+"""Index construction drivers: quasiindex and pseudoindex (offline, host-side).
+
+Covers the reference's RapMapSAIndexer / RapMapIndexer (SURVEY.md §2.1 #2, #9):
+FASTA -> $-concatenated coded text -> suffix array (native SA-IS when built,
+numpy fallback) -> k-mer interval table / CSR occurrence lists -> flat arrays.
+"""
+
+from __future__ import annotations
+
+import logging
+import time
+
+import numpy as np
+
+from rapmap_tpu.index import encode
+from rapmap_tpu.index.format import PseudoIndex, QuasiIndex, save_index
+from rapmap_tpu.index.kmer_table import (
+    build_kmer_table,
+    build_prefix_lut,
+    pack_text_2bit,
+)
+from rapmap_tpu.index.suffix_array import suffix_array_numpy
+from rapmap_tpu.io.fastx import read_fasta
+
+log = logging.getLogger("tqm.index")
+
+PAD_TAIL = 1024  # trailing zero pad on text so device gathers never go OOB
+
+
+def concat_transcriptome(fasta_path: str, seed: int = 0, dedup: bool = True):
+    """Read FASTA, encode, dedup identical sequences (logged, as the reference
+    does [MED]), concatenate with '$' after every transcript.
+
+    Returns (text int8 codes incl. PAD_TAIL zeros, n_text, names, offsets int64,
+    lens int32).
+    """
+    names: list[str] = []
+    lens: list[int] = []
+    offsets: list[int] = []
+    chunks: list[np.ndarray] = []
+    seen: dict[bytes, str] = {}
+    pos = 0
+    n_dup = 0
+    for name, seq in read_fasta(fasta_path):
+        if dedup:
+            h = seq.upper()
+            if h in seen:
+                n_dup += 1
+                log.info("duplicate transcript %s == %s; dropped", name, seen[h])
+                continue
+            seen[h] = name
+        codes = encode.encode_transcript(np.frombuffer(seq, dtype=np.uint8), pos, seed)
+        names.append(name)
+        lens.append(len(codes))
+        offsets.append(pos)
+        chunks.append(codes)
+        chunks.append(np.zeros(1, dtype=np.int8))  # '$'
+        pos += len(codes) + 1
+    if not names:
+        raise ValueError(f"no transcripts in {fasta_path}")
+    if n_dup:
+        log.info("dropped %d duplicate transcripts", n_dup)
+    chunks.append(np.zeros(PAD_TAIL, dtype=np.int8))
+    text = np.concatenate(chunks)
+    return (
+        text,
+        pos,
+        names,
+        np.array(offsets, dtype=np.int64),
+        np.array(lens, dtype=np.int32),
+    )
+
+
+def _build_sa(text: np.ndarray, n_text: int) -> np.ndarray:
+    try:
+        from rapmap_tpu.native import bindings as nat
+
+        if nat.available():
+            return nat.suffix_array(text[:n_text])
+    except Exception as exc:  # pragma: no cover - native build issues
+        log.warning("native SA builder unavailable (%s); numpy fallback", exc)
+    return suffix_array_numpy(text[:n_text])
+
+
+def _sa_txp_of(sa: np.ndarray, txp_offsets: np.ndarray, txp_lens: np.ndarray) -> np.ndarray:
+    # transcript t owns global positions [off_t, off_t + len_t]  (incl. its '$')
+    bounds = txp_offsets + txp_lens.astype(np.int64) + 1  # exclusive end incl. '$'
+    return np.searchsorted(bounds, np.asarray(sa, dtype=np.int64), side="right").astype(np.int32)
+
+
+def build_quasi_index(
+    fasta_path: str,
+    outdir: str | None = None,
+    k: int = 31,
+    prefix_bases: int | None = None,
+    seed: int = 0,
+    dedup: bool = True,
+) -> QuasiIndex:
+    if not (1 <= k <= 32):
+        raise ValueError("k must be in [1, 32]")
+    t0 = time.time()
+    text, n_text, names, offsets, lens = concat_transcriptome(fasta_path, seed, dedup)
+    log.info("concat %d transcripts, %d bases (%.1fs)", len(names), n_text, time.time() - t0)
+    t0 = time.time()
+    sa = _build_sa(text, n_text)
+    log.info("suffix array built (%.1fs)", time.time() - t0)
+    t0 = time.time()
+    khi, klo, kb, ke = build_kmer_table(text[:n_text], sa, k)
+    if prefix_bases is None:
+        prefix_bases = min(k, 10)
+    lut = build_prefix_lut(khi, klo, k, prefix_bases)
+    text2b, sentbits = pack_text_2bit(text)
+    sa_txp = _sa_txp_of(sa, offsets, lens)
+    log.info("k-mer table: %d distinct %d-mers (%.1fs)", len(kb), k, time.time() - t0)
+    idx = QuasiIndex(
+        k=k, text=text, text2b=text2b, sentbits=sentbits, sa=sa, sa_txp=sa_txp,
+        kmer_hi=khi, kmer_lo=klo, kmer_b=kb, kmer_e=ke, prefix_lut=lut,
+        txp_offsets=offsets, txp_lens=lens, txp_names=names,
+        n_text=n_text, prefix_bases=prefix_bases, seed=seed,
+    )
+    if outdir:
+        save_index(idx, outdir)
+        log.info("index written to %s", outdir)
+    return idx
+
+
+def build_pseudo_index(
+    fasta_path: str, outdir: str | None = None, k: int = 31, seed: int = 0, dedup: bool = True
+) -> PseudoIndex:
+    """k-mer -> (txp, pos) occurrence CSR (reference RapMapIndexer role), built
+    via the suffix array for simplicity: occurrences of k-mer i = SA[b_i:e_i]."""
+    q = build_quasi_index(fasta_path, None, k=k, seed=seed, dedup=dedup)
+    n_k = len(q.kmer_b)
+    counts = (q.kmer_e - q.kmer_b).astype(np.int64)
+    off = np.zeros(n_k + 1, dtype=np.int64)
+    np.cumsum(counts, out=off[1:])
+    total = int(off[-1])
+    sa = np.asarray(q.sa, dtype=np.int64)
+    # flatten all (kmer, SA-slot) occurrences, then one lexsort by (kmer, t, p)
+    kmer_of = np.repeat(np.arange(n_k, dtype=np.int64), counts)
+    slot = np.concatenate(
+        [np.arange(total, dtype=np.int64) - np.repeat(off[:-1], counts) + np.repeat(q.kmer_b.astype(np.int64), counts)]
+    ) if total else np.zeros(0, dtype=np.int64)
+    t_all = q.sa_txp[slot]
+    p_all = (sa[slot] - q.txp_offsets[t_all]).astype(np.int32)
+    order = np.lexsort((p_all, t_all, kmer_of))
+    occ_txp = t_all[order].astype(np.int32)
+    occ_pos = p_all[order]
+    idx = PseudoIndex(
+        k=k, kmer_hi=q.kmer_hi, kmer_lo=q.kmer_lo, kmer_off=off,
+        occ_txp=occ_txp, occ_pos=occ_pos,
+        txp_offsets=q.txp_offsets, txp_lens=q.txp_lens, txp_names=q.txp_names, seed=seed,
+    )
+    if outdir:
+        save_index(idx, outdir)
+    return idx

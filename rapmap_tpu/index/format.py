@@ -1,0 +1,142 @@
+"""On-disk index format: flat .npy arrays + header.json (cereal replacement).
+
+Memory-mappable per host (SURVEY.md §5.4); content-hashed for load validation
+(SURVEY.md §5.3). The same directory layout serves quasi and pseudo indexes,
+distinguished by header["index_type"].
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+from dataclasses import dataclass, field
+
+import numpy as np
+
+from rapmap_tpu.version import INDEX_FORMAT_VERSION, __version__
+
+_QUASI_ARRAYS = [
+    "text", "text2b", "sentbits", "sa", "sa_txp",
+    "kmer_hi", "kmer_lo", "kmer_b", "kmer_e", "prefix_lut",
+    "txp_offsets", "txp_lens",
+]
+_PSEUDO_ARRAYS = [
+    "kmer_hi", "kmer_lo", "kmer_off", "occ_txp", "occ_pos",
+    "txp_offsets", "txp_lens",
+]
+
+
+@dataclass
+class QuasiIndex:
+    """Host-side view of a quasi index (all numpy; device upload in models/)."""
+
+    k: int
+    text: np.ndarray          # int8 codes, padded with >= pad_tail zeros
+    text2b: np.ndarray        # uint32 2-bit packed words
+    sentbits: np.ndarray      # uint32, 2-bit-per-base sentinel mask
+    sa: np.ndarray            # int32 (or int64 for big_sa), len n
+    sa_txp: np.ndarray        # int32 per SA slot
+    kmer_hi: np.ndarray
+    kmer_lo: np.ndarray
+    kmer_b: np.ndarray
+    kmer_e: np.ndarray
+    prefix_lut: np.ndarray
+    txp_offsets: np.ndarray   # int64
+    txp_lens: np.ndarray      # int32
+    txp_names: list[str]
+    n_text: int = 0           # unpadded text length
+    prefix_bases: int = 10
+    seed: int = 0
+    meta: dict = field(default_factory=dict)
+
+    @property
+    def n_txps(self) -> int:
+        return len(self.txp_lens)
+
+
+@dataclass
+class PseudoIndex:
+    k: int
+    kmer_hi: np.ndarray
+    kmer_lo: np.ndarray
+    kmer_off: np.ndarray      # int64 CSR offsets, len = n_kmers + 1
+    occ_txp: np.ndarray       # int32
+    occ_pos: np.ndarray       # int32 (txp-local position of k-mer start)
+    txp_offsets: np.ndarray
+    txp_lens: np.ndarray
+    txp_names: list[str]
+    seed: int = 0
+    meta: dict = field(default_factory=dict)
+
+    @property
+    def n_txps(self) -> int:
+        return len(self.txp_lens)
+
+
+def _sha(arr: np.ndarray) -> str:
+    return hashlib.sha256(np.ascontiguousarray(arr).tobytes()).hexdigest()[:16]
+
+
+def save_index(idx, outdir: str) -> None:
+    os.makedirs(outdir, exist_ok=True)
+    is_quasi = isinstance(idx, QuasiIndex)
+    names = _QUASI_ARRAYS if is_quasi else _PSEUDO_ARRAYS
+    hashes = {}
+    for name in names:
+        arr = getattr(idx, name)
+        np.save(os.path.join(outdir, f"{name}.npy"), arr)
+        hashes[name] = _sha(arr)
+    with open(os.path.join(outdir, "txp_names.txt"), "w") as f:
+        f.write("\n".join(idx.txp_names) + ("\n" if idx.txp_names else ""))
+    header = {
+        "format_version": INDEX_FORMAT_VERSION,
+        "tool_version": __version__,
+        "index_type": "quasi" if is_quasi else "pseudo",
+        "k": int(idx.k),
+        "n_txps": int(idx.n_txps),
+        "seed": int(idx.seed),
+        "hashes": hashes,
+        "meta": idx.meta,
+    }
+    if is_quasi:
+        header.update(
+            n_text=int(idx.n_text),
+            big_sa=bool(idx.sa.dtype == np.int64),
+            prefix_bases=int(idx.prefix_bases),
+        )
+    with open(os.path.join(outdir, "header.json"), "w") as f:
+        json.dump(header, f, indent=1)
+
+
+def load_header(indir: str) -> dict:
+    with open(os.path.join(indir, "header.json")) as f:
+        header = json.load(f)
+    if header["format_version"] != INDEX_FORMAT_VERSION:
+        raise ValueError(
+            f"index format v{header['format_version']} != supported v{INDEX_FORMAT_VERSION}"
+        )
+    return header
+
+
+def load_index(indir: str, mmap: bool = True, verify: bool = False):
+    """Load a quasi or pseudo index; the mapper dispatches on header index_type
+    (the reference's IndexHeader load-time check, SURVEY.md §2.1 #12)."""
+    header = load_header(indir)
+    is_quasi = header["index_type"] == "quasi"
+    names = _QUASI_ARRAYS if is_quasi else _PSEUDO_ARRAYS
+    arrays = {}
+    mode = "r" if mmap else None
+    for name in names:
+        arr = np.load(os.path.join(indir, f"{name}.npy"), mmap_mode=mode)
+        if verify and _sha(np.asarray(arr)) != header["hashes"][name]:
+            raise ValueError(f"index array {name} failed content-hash validation")
+        arrays[name] = arr
+    with open(os.path.join(indir, "txp_names.txt")) as f:
+        txp_names = [ln for ln in f.read().splitlines() if ln]
+    common = dict(k=header["k"], txp_names=txp_names, seed=header["seed"], meta=header.get("meta", {}))
+    if is_quasi:
+        return QuasiIndex(
+            n_text=header["n_text"], prefix_bases=header["prefix_bases"], **arrays, **common
+        )
+    return PseudoIndex(**arrays, **common)

@@ -1,0 +1,178 @@
+"""Numpy brute-force quasi-mapping oracle — the executable spec (SEMANTICS.md).
+
+Every device path must agree with this module exactly. Deliberately simple and
+slow; used by tests and by the parity harness. Mirrors the reference call stack
+SACollector -> HitManager -> mergeLeftRightHits (SURVEY.md §3.2-3.4).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+
+from rapmap_tpu.config import MapConfig
+from rapmap_tpu.index.encode import revcomp_codes
+from rapmap_tpu.index.format import QuasiIndex
+
+
+@dataclass
+class SAHit:
+    q: int       # query pos (in the scanned strand's coordinates)
+    length: int  # MMP length
+    b: int
+    e: int
+
+
+@dataclass
+class Mapping:
+    txp: int
+    pos: int       # transcript-local leftmost position (may be <0 / overhang)
+    fwd: bool
+    score: int     # support = agreeing MMP count
+
+
+def _lookup(idx: QuasiIndex, key: int) -> tuple[int, int] | None:
+    hi, lo = np.uint32(key >> 32), np.uint32(key & 0xFFFFFFFF)
+    keys = (idx.kmer_hi.astype(np.uint64) << np.uint64(32)) | idx.kmer_lo.astype(np.uint64)
+    i = int(np.searchsorted(keys, np.uint64(key)))
+    if i < len(keys) and keys[i] == np.uint64(key):
+        return int(idx.kmer_b[i]), int(idx.kmer_e[i])
+    return None
+
+
+def _extend(idx: QuasiIndex, b: int, e: int, read: np.ndarray, pos: int, k: int) -> tuple[int, int, int]:
+    """Per-depth narrowing (SEMANTICS.md §3 extend). Returns (b', e', mmp_len)."""
+    text = np.asarray(idx.text, dtype=np.int8)
+    sa = np.asarray(idx.sa, dtype=np.int64)
+    L = len(read)
+    d = k
+    while pos + d < L:
+        c = int(read[pos + d])
+        if c < 1 or c > 4:
+            break
+        col = text[sa[b:e] + d]  # non-decreasing within the current group
+        lo = b + int(np.searchsorted(col, c, side="left"))
+        hi = b + int(np.searchsorted(col, c, side="right"))
+        if lo == hi:
+            break
+        b, e, d = lo, hi, d + 1
+    return b, e, d
+
+
+def scan_strand(idx: QuasiIndex, read: np.ndarray, cfg: MapConfig) -> list[SAHit]:
+    """The SACollector loop: MMP search with NIP skipping (SEMANTICS.md §3)."""
+    k = idx.k
+    L = len(read)
+    hits: list[SAHit] = []
+    pos = 0
+    while pos + k <= L:
+        window = read[pos : pos + k]
+        bad = np.nonzero((window < 1) | (window > 4))[0]
+        if len(bad):
+            pos = pos + int(bad[0]) + 1
+            continue
+        key = 0
+        for c in window:
+            key = (key << 2) | (int(c) - 1)
+        iv = _lookup(idx, key)
+        if iv is None:
+            pos += 1
+            continue
+        b, e = iv
+        if e - b > cfg.max_interval:
+            pos += 1
+            continue
+        b2, e2, mlen = _extend(idx, b, e, read, pos, k)
+        hits.append(SAHit(q=pos, length=mlen, b=b2, e=e2))
+        pos += max(1, mlen - k + 1)
+    return hits
+
+
+def collate(idx: QuasiIndex, hits_fwd: list[SAHit], hits_rc: list[SAHit], L: int, cfg: MapConfig) -> list[Mapping]:
+    """HitManager role: SA intervals -> per-transcript mappings (SEMANTICS.md §4)."""
+    sa = np.asarray(idx.sa, dtype=np.int64)
+    results: list[Mapping] = []
+    if cfg.quasi_coverage > 0.0:
+        if sum(h.length for h in hits_fwd) < cfg.quasi_coverage * L:
+            hits_fwd = []
+        if sum(h.length for h in hits_rc) < cfg.quasi_coverage * L:
+            hits_rc = []
+    for fwd, hits in ((True, hits_fwd), (False, hits_rc)):
+        if not hits:
+            continue
+        support: dict[tuple[int, int], int] = {}
+        for h in hits:
+            for p in range(h.b, h.e):
+                g = int(sa[p])
+                t = int(idx.sa_txp[p])
+                tpos = g - int(idx.txp_offsets[t]) - h.q
+                support[(t, tpos)] = support.get((t, tpos), 0) + 1
+        # per transcript: best position = max support, ties -> smallest tpos
+        best: dict[int, tuple[int, int]] = {}  # t -> (score, tpos)
+        for (t, tpos), s in support.items():
+            cur = best.get(t)
+            if cur is None or (s, -tpos) > (cur[0], -cur[1]):
+                best[t] = (s, tpos)
+        need = len(hits) - (1 if cfg.fuzzy else 0)
+        for t, (s, tpos) in best.items():
+            if cfg.consistent_hits and s < need:
+                continue
+            results.append(Mapping(txp=t, pos=tpos, fwd=fwd, score=s))
+    results.sort(key=lambda m: (m.txp, not m.fwd))
+    return results
+
+
+def map_read(idx: QuasiIndex, read: np.ndarray, cfg: MapConfig | None = None) -> list[Mapping]:
+    """Map a single-end read (int8 codes). Returns [] if unmapped or too ambiguous."""
+    cfg = cfg or MapConfig(k=idx.k)
+    read = np.asarray(read, dtype=np.int8)
+    hits_fwd = scan_strand(idx, read, cfg)
+    hits_rc = scan_strand(idx, revcomp_codes(read), cfg)
+    mappings = collate(idx, hits_fwd, hits_rc, len(read), cfg)
+    if len(mappings) > cfg.max_num_hits:
+        return []  # too ambiguous (counted by callers)
+    return mappings
+
+
+@dataclass
+class PairMapping:
+    txp: int
+    pos1: int | None  # None => this mate unmapped (orphan record on other side)
+    fwd1: bool
+    pos2: int | None
+    fwd2: bool
+
+
+def merge_pairs(
+    left: list[Mapping], right: list[Mapping], cfg: MapConfig
+) -> tuple[list[PairMapping], bool]:
+    """mergeLeftRightHits role (SEMANTICS.md §5). Returns (records, concordant)."""
+    pairs: list[PairMapping] = []
+    by_t_right: dict[int, list[Mapping]] = {}
+    for m in right:
+        by_t_right.setdefault(m.txp, []).append(m)
+    for ml in left:
+        for mr in by_t_right.get(ml.txp, []):
+            if ml.fwd != mr.fwd:
+                pairs.append(PairMapping(ml.txp, ml.pos, ml.fwd, mr.pos, mr.fwd))
+    if pairs:
+        pairs.sort(key=lambda p: (p.txp, not p.fwd1))
+        return pairs, True
+    if cfg.no_orphans:
+        return [], False
+    orphans = [PairMapping(m.txp, m.pos, m.fwd, None, True) for m in left]
+    orphans += [PairMapping(m.txp, None, True, m.pos, m.fwd) for m in right]
+    return orphans, False
+
+
+def map_pair(
+    idx: QuasiIndex, read1: np.ndarray, read2: np.ndarray, cfg: MapConfig | None = None
+) -> tuple[list[PairMapping], bool]:
+    cfg = cfg or MapConfig(k=idx.k)
+    left = map_read(idx, read1, cfg)
+    right = map_read(idx, read2, cfg)
+    recs, conc = merge_pairs(left, right, cfg)
+    if len(recs) > cfg.max_num_hits:
+        return [], False
+    return recs, conc
