@@ -1,0 +1,105 @@
+"""ctypes bindings for the native library (SA-IS, FASTQ parser).
+
+Auto-builds libtqm_native.so with make on first use when a toolchain exists;
+all callers fall back to numpy paths when unavailable.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import logging
+import os
+import subprocess
+import threading
+
+import numpy as np
+
+log = logging.getLogger("tqm.native")
+
+_DIR = os.path.dirname(os.path.abspath(__file__))
+_LIB_PATH = os.path.join(_DIR, "libtqm_native.so")
+_lock = threading.Lock()
+_lib: ctypes.CDLL | None = None
+_tried = False
+
+
+def _load() -> ctypes.CDLL | None:
+    global _lib, _tried
+    with _lock:
+        if _tried:
+            return _lib
+        _tried = True
+        if not os.path.exists(_LIB_PATH):
+            try:
+                subprocess.run(
+                    ["make", "-C", _DIR, "-s"], check=True, capture_output=True, timeout=120
+                )
+            except Exception as exc:
+                log.warning("native build failed: %s", exc)
+                return None
+        try:
+            lib = ctypes.CDLL(_LIB_PATH)
+        except OSError as exc:
+            log.warning("native load failed: %s", exc)
+            return None
+        lib.tqm_sais_u8_i32.restype = ctypes.c_int
+        lib.tqm_sais_u8_i32.argtypes = [
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64,
+        ]
+        lib.tqm_sais_u8_i64.restype = ctypes.c_int
+        lib.tqm_sais_u8_i64.argtypes = [
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64,
+        ]
+        lib.tqm_fastq_parse.restype = ctypes.c_int64
+        lib.tqm_fastq_parse.argtypes = [
+            ctypes.c_char_p, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+        ]
+        _lib = lib
+        return _lib
+
+
+def available() -> bool:
+    return _load() is not None
+
+
+def suffix_array(text_codes: np.ndarray) -> np.ndarray:
+    """SA-IS over int8/uint8 codes; int32 SA below 2^31, else int64 (bigSA)."""
+    lib = _load()
+    if lib is None:
+        raise RuntimeError("native library unavailable")
+    t = np.ascontiguousarray(text_codes, dtype=np.uint8)
+    n = len(t)
+    big = n >= 2**31 - 2
+    sa = np.empty(n, dtype=np.int64 if big else np.int32)
+    fn = lib.tqm_sais_u8_i64 if big else lib.tqm_sais_u8_i32
+    rc = fn(t.ctypes.data, sa.ctypes.data, n)
+    if rc != 0:
+        raise RuntimeError(f"tqm_sais failed with code {rc}")
+    return sa
+
+
+def fastq_parse(buf: bytes, max_reads: int, pad_len: int):
+    """Parse FASTQ bytes -> (codes (R,pad_len) int8, lens, name_off, name_len,
+    seq_off, seq_len, qual_off, consumed_bytes). Incomplete tail not consumed."""
+    lib = _load()
+    if lib is None:
+        raise RuntimeError("native library unavailable")
+    codes = np.empty((max_reads, pad_len), dtype=np.int8)
+    lens = np.empty(max_reads, dtype=np.int32)
+    name_off = np.empty(max_reads, dtype=np.int64)
+    name_len = np.empty(max_reads, dtype=np.int32)
+    seq_off = np.empty(max_reads, dtype=np.int64)
+    seq_len = np.empty(max_reads, dtype=np.int32)
+    qual_off = np.empty(max_reads, dtype=np.int64)
+    consumed = ctypes.c_int64(0)
+    n = lib.tqm_fastq_parse(
+        buf, len(buf), max_reads, pad_len,
+        codes.ctypes.data, lens.ctypes.data, name_off.ctypes.data,
+        name_len.ctypes.data, seq_off.ctypes.data, seq_len.ctypes.data,
+        qual_off.ctypes.data, ctypes.byref(consumed),
+    )
+    if n < 0:
+        raise ValueError(f"malformed FASTQ at byte {consumed.value}")
+    return codes, lens, name_off, name_len, seq_off, seq_len, qual_off, int(consumed.value), int(n)
