@@ -1,0 +1,124 @@
+"""Benchmark: quasi-mapping reads/s on one chip.
+
+Prints ONE JSON line {"metric", "value", "unit", "vs_baseline"}.
+
+Baseline note (BASELINE.md): the reference binary could not be built this round
+(/root/reference has been an empty mount), so vs_baseline is computed against a
+provisional single-core C++ figure of 150k reads/s — the RapMap-paper order of
+magnitude for one thread — to be replaced by an empirical measurement the
+moment the mount carries source. The north-star target is 10x that.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import numpy as np
+
+from rapmap_tpu.utils.jaxenv import setup as _jax_setup
+
+_jax_setup()
+
+PROVISIONAL_BASELINE_READS_PER_S = 150_000.0
+
+CACHE = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".bench_cache")
+
+# bench scale: ~20 Mbase synthetic transcriptome (human txome is ~200-350 Mbase;
+# this keeps index build under a minute while exercising real HBM working sets)
+N_TXPS = 10_000
+TXP_LEN = (500, 3500)
+READ_LEN = 76
+N_READS = 200_000
+BATCH = 8192
+
+
+def build_world():
+    from rapmap_tpu.index.builder import build_quasi_index
+    from rapmap_tpu.index.format import load_index
+
+    os.makedirs(CACHE, exist_ok=True)
+    idx_dir = os.path.join(CACHE, "idx_v1")
+    if not os.path.exists(os.path.join(idx_dir, "header.json")):
+        rng = np.random.default_rng(0)
+        bases = np.frombuffer(b"ACGT", dtype=np.uint8)
+        fa = os.path.join(CACHE, "txome.fa")
+        with open(fa, "w") as f:
+            for i in range(N_TXPS):
+                L = int(rng.integers(*TXP_LEN))
+                f.write(f">t{i}\n{bases[rng.integers(0, 4, L)].tobytes().decode()}\n")
+        build_quasi_index(fa, outdir=idx_dir, k=31)
+    idx = load_index(idx_dir)
+
+    reads_npz = os.path.join(CACHE, "reads_v1.npz")
+    if not os.path.exists(reads_npz):
+        rng = np.random.default_rng(1)
+        text = np.asarray(idx.text[: idx.n_text])
+        codes = np.empty((N_READS, READ_LEN), dtype=np.int8)
+        starts = rng.integers(0, idx.n_text - READ_LEN, size=N_READS)
+        for i, p in enumerate(starts):
+            w = text[p : p + READ_LEN].copy()
+            bad = w < 1
+            if bad.any():
+                w[bad] = rng.integers(1, 5, int(bad.sum()))
+            # 1% error rate
+            nerr = rng.binomial(READ_LEN, 0.01)
+            if nerr:
+                pos = rng.integers(0, READ_LEN, nerr)
+                w[pos] = rng.integers(1, 5, nerr)
+            codes[i] = w
+        # half reverse-complemented
+        half = N_READS // 2
+        rc = codes[:half]
+        rc = np.where((rc >= 1) & (rc <= 4), 5 - rc, 5)[:, ::-1].astype(np.int8)
+        codes[:half] = rc
+        np.savez(reads_npz, codes=codes)
+    codes = np.load(reads_npz)["codes"]
+    return idx, codes
+
+
+def main() -> None:
+    t_setup = time.time()
+    idx, codes = build_world()
+    from rapmap_tpu.config import MapConfig
+    from rapmap_tpu.models.quasi import QuasiMapper
+
+    cfg = MapConfig(k=idx.k)
+    mapper = QuasiMapper(idx, cfg)
+    lens = np.full(BATCH, READ_LEN, dtype=np.int32)
+    print(f"# setup {time.time()-t_setup:.1f}s", file=sys.stderr)
+
+    # warmup / compile
+    t0 = time.time()
+    out, ctr = mapper.map_se(codes[:BATCH], lens)
+    print(f"# compile+first batch {time.time()-t0:.1f}s; "
+          f"mapped {int(ctr.reads_mapped)}/{BATCH}", file=sys.stderr)
+
+    n_batches = max(1, N_READS // BATCH)
+    t0 = time.time()
+    total = 0
+    mapped = 0
+    for i in range(n_batches):
+        batch = codes[i * BATCH : (i + 1) * BATCH]
+        if len(batch) < BATCH:
+            break
+        out, ctr = mapper.map_se(batch, lens)
+        total += BATCH
+        mapped += int(ctr.reads_mapped)
+    dt = time.time() - t0
+    rps = total / dt
+    print(f"# {total} reads in {dt:.2f}s, map rate {100.0*mapped/total:.1f}%", file=sys.stderr)
+    print(json.dumps({
+        "metric": "quasimap_reads_per_s_per_chip",
+        "value": round(rps, 1),
+        "unit": "reads/s",
+        "vs_baseline": round(rps / PROVISIONAL_BASELINE_READS_PER_S, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

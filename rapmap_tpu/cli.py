@@ -1,0 +1,187 @@
+"""tqm command-line interface: quasiindex | quasimap | pseudoindex | pseudomap.
+
+Mirrors the reference's subcommand surface and flag names (SURVEY.md §1 L6,
+§5.6) so parity harnesses can drive either tool with the same argv.
+"""
+
+from __future__ import annotations
+
+import argparse
+import logging
+import sys
+import time
+
+import numpy as np
+
+from rapmap_tpu.config import MapConfig
+from rapmap_tpu.version import __version__
+
+log = logging.getLogger("tqm")
+
+
+def _add_map_flags(p: argparse.ArgumentParser) -> None:
+    p.add_argument("-i", "--index", required=True, help="index directory")
+    p.add_argument("-r", "--reads", help="single-end reads (FASTA/FASTQ, may be .gz)")
+    p.add_argument("-1", "--mates1", dest="mates1", help="left mates")
+    p.add_argument("-2", "--mates2", dest="mates2", help="right mates")
+    p.add_argument("-o", "--output", default="-", help="output SAM path ('-' = stdout)")
+    p.add_argument("-t", "--numThreads", type=int, default=1, help="host worker threads")
+    p.add_argument("-m", "--maxNumHits", type=int, default=200)
+    p.add_argument("-s", "--strictCheck", action="store_true")
+    p.add_argument("-f", "--fuzzy", action="store_true")
+    p.add_argument("-c", "--consistentHits", action="store_true")
+    p.add_argument("-z", "--quasiCoverage", type=float, default=0.0)
+    p.add_argument("--noOrphans", action="store_true")
+    p.add_argument("-n", "--noOutput", action="store_true", help="map but emit no SAM")
+    p.add_argument("--maxInterval", type=int, default=1000)
+    p.add_argument("--batchSize", type=int, default=4096)
+    p.add_argument("--maxReadLen", type=int, default=512)
+    p.add_argument("--noUnmapped", action="store_true", help="suppress unmapped records")
+    p.add_argument("--statsJson", help="write run counters to this JSON file")
+
+
+def build_parser() -> argparse.ArgumentParser:
+    ap = argparse.ArgumentParser(
+        prog="tqm", description="TPU-native quasi-mapping (RapMap capability rebuild)"
+    )
+    ap.add_argument("--version", action="version", version=f"tqm {__version__}")
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    qi = sub.add_parser("quasiindex", help="build suffix-array quasi-mapping index")
+    qi.add_argument("-t", "--transcripts", required=True)
+    qi.add_argument("-i", "--index", required=True)
+    qi.add_argument("-k", "--kmerLen", type=int, default=31)
+    qi.add_argument("--seed", type=int, default=0)
+    qi.add_argument("--keepDuplicates", action="store_true")
+
+    pi = sub.add_parser("pseudoindex", help="build k-mer-only pseudo-mapping index")
+    pi.add_argument("-t", "--transcripts", required=True)
+    pi.add_argument("-i", "--index", required=True)
+    pi.add_argument("-k", "--kmerLen", type=int, default=31)
+    pi.add_argument("--seed", type=int, default=0)
+    pi.add_argument("--keepDuplicates", action="store_true")
+
+    qm = sub.add_parser("quasimap", help="map reads with the quasi index")
+    _add_map_flags(qm)
+    pm = sub.add_parser("pseudomap", help="map reads with the pseudo index")
+    _add_map_flags(pm)
+    return ap
+
+
+def _cfg_from_args(args, k: int) -> MapConfig:
+    return MapConfig(
+        k=k,
+        max_num_hits=args.maxNumHits,
+        max_interval=args.maxInterval,
+        consistent_hits=args.consistentHits,
+        fuzzy=args.fuzzy,
+        strict_check=args.strictCheck,
+        quasi_coverage=args.quasiCoverage,
+        no_orphans=args.noOrphans,
+    )
+
+
+def run_map(args, pseudo: bool) -> int:
+    import contextlib
+    import json
+
+    from rapmap_tpu.index.format import load_header, load_index
+    from rapmap_tpu.io import fastx, sam
+
+    header = load_header(args.index)
+    want = "pseudo" if pseudo else "quasi"
+    if header["index_type"] != want:
+        log.error("index at %s is type %s, expected %s", args.index, header["index_type"], want)
+        return 1
+    idx = load_index(args.index)
+    cfg = _cfg_from_args(args, idx.k)
+    if pseudo:
+        from rapmap_tpu.models.pseudo import PseudoMapper as Mapper
+    else:
+        from rapmap_tpu.models.quasi import QuasiMapper as Mapper
+    mapper = Mapper(idx, cfg)
+
+    cl = " ".join(sys.argv)
+    t0 = time.time()
+    totals: dict[str, int] = {}
+
+    def acc(ctr):
+        for key, v in ctr._asdict().items():
+            totals[key] = totals.get(key, 0) + int(v)
+
+    with contextlib.ExitStack() as stack:
+        if args.noOutput:
+            out = None
+        elif args.output == "-":
+            out = sys.stdout
+        else:
+            out = stack.enter_context(open(args.output, "w"))
+        if out is not None:
+            out.write(sam.sam_header(idx.txp_names, np.asarray(idx.txp_lens), __version__, cl))
+        write_unmapped = not args.noUnmapped
+        if args.reads:
+            for batch in fastx.batched_reads(args.reads, args.batchSize, args.maxReadLen):
+                mo, ctr = mapper.map_se(batch.codes, batch.lens, n_valid=batch.n)
+                acc(ctr)
+                if out is not None:
+                    sam.write_se_records(
+                        out, batch.names, batch.seqs, batch.quals, mo,
+                        idx.txp_names, write_unmapped,
+                    )
+        elif args.mates1 and args.mates2:
+            for b1, b2 in fastx.batched_read_pairs(
+                args.mates1, args.mates2, args.batchSize, args.maxReadLen
+            ):
+                o1, o2, po, ctr = mapper.map_pe(b1.codes, b1.lens, b2.codes, b2.lens, n_valid=b1.n)
+                acc(ctr)
+                if out is not None:
+                    sam.write_pe_records(
+                        out, b1.names, b1.seqs, b1.quals, b2.seqs, b2.quals, po,
+                        idx.txp_names, write_unmapped,
+                    )
+        else:
+            log.error("provide -r for single-end or -1/-2 for paired-end reads")
+            return 1
+
+    dt = time.time() - t0
+    totals["wall_s"] = round(dt, 3)
+    if totals.get("reads_total"):
+        rate = 100.0 * totals.get("reads_mapped", 0) / totals["reads_total"]
+        log.info(
+            "Mapped %d of %d reads (%.2f%%) in %.1fs (%.0f reads/s)",
+            totals.get("reads_mapped", 0), totals["reads_total"], rate, dt,
+            totals["reads_total"] / max(dt, 1e-9),
+        )
+    if args.statsJson:
+        with open(args.statsJson, "w") as f:
+            json.dump(totals, f, indent=1)
+    return 0
+
+
+def main(argv: list[str] | None = None) -> int:
+    logging.basicConfig(level=logging.INFO, format="[tqm] %(message)s", stream=sys.stderr)
+    from rapmap_tpu.utils.jaxenv import setup as jax_setup
+
+    jax_setup()
+    args = build_parser().parse_args(argv)
+    if args.cmd == "quasiindex":
+        from rapmap_tpu.index.builder import build_quasi_index
+
+        build_quasi_index(
+            args.transcripts, args.index, k=args.kmerLen, seed=args.seed,
+            dedup=not args.keepDuplicates,
+        )
+        return 0
+    if args.cmd == "pseudoindex":
+        from rapmap_tpu.index.builder import build_pseudo_index
+
+        build_pseudo_index(
+            args.transcripts, args.index, k=args.kmerLen, seed=args.seed,
+            dedup=not args.keepDuplicates,
+        )
+        return 0
+    return run_map(args, pseudo=args.cmd == "pseudomap")
+
+
+if __name__ == "__main__":
+    sys.exit(main())

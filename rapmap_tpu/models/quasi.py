@@ -1,0 +1,115 @@
+"""QuasiMapper — the flagship end-to-end device mapping engine.
+
+Assembles the jitted pipeline (RapMapSAMapper rebuild, SURVEY.md §3.2):
+  reads -> rc lanes -> MMP scan (ops.mmp) -> collation (ops.collate)
+and exposes single-end and paired-end batch mapping plus psum-able counters.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from rapmap_tpu.config import MapConfig
+from rapmap_tpu.index.format import QuasiIndex
+from rapmap_tpu.ops import encode as denc
+from rapmap_tpu.ops.collate import MapOut, collate_batch
+from rapmap_tpu.ops.device_index import DeviceQuasiIndex, EngineStatic, upload_index
+from rapmap_tpu.ops.mmp import scan_batch
+from rapmap_tpu.ops.pairs import PairOut, merge_pairs_batch
+
+
+class Counters(NamedTuple):
+    """HitCounters equivalent (SURVEY.md §5.5); int32 scalars, psum-able."""
+
+    reads_total: jnp.ndarray
+    reads_mapped: jnp.ndarray
+    too_ambiguous: jnp.ndarray
+    over_budget: jnp.ndarray
+    records: jnp.ndarray
+
+
+@partial(jax.jit, static_argnames=("st", "cfg"))
+def map_batch_se(
+    didx: DeviceQuasiIndex,
+    st: EngineStatic,
+    reads: jnp.ndarray,   # (B, L) int8
+    lens: jnp.ndarray,    # (B,) int32
+    n_valid: jnp.ndarray,  # scalar int32: non-pad rows
+    cfg: MapConfig,
+) -> tuple[MapOut, Counters]:
+    lanes = jnp.concatenate([reads, denc.revcomp_batch(reads, lens)], axis=0)
+    lens2 = jnp.concatenate([lens, lens])
+    hits = scan_batch(didx, st, lanes, lens2, cfg)
+    out = collate_batch(didx, st, hits, lens, cfg)
+    B = reads.shape[0]
+    real = jnp.arange(B, dtype=jnp.int32) < n_valid
+    ctr = Counters(
+        reads_total=n_valid.astype(jnp.int32),
+        reads_mapped=jnp.sum(out.mapped & real, dtype=jnp.int32),
+        too_ambiguous=jnp.sum(out.too_ambiguous & real, dtype=jnp.int32),
+        over_budget=jnp.sum(out.over_budget & real, dtype=jnp.int32),
+        records=jnp.sum(jnp.where(real[:, None], out.t != -1, False), dtype=jnp.int32),
+    )
+    return out, ctr
+
+
+@partial(jax.jit, static_argnames=("st", "cfg"))
+def map_batch_pe(
+    didx: DeviceQuasiIndex,
+    st: EngineStatic,
+    reads1: jnp.ndarray,
+    lens1: jnp.ndarray,
+    reads2: jnp.ndarray,
+    lens2: jnp.ndarray,
+    n_valid: jnp.ndarray,
+    cfg: MapConfig,
+) -> tuple[MapOut, MapOut, PairOut, Counters]:
+    out1, _ = map_batch_se(didx, st, reads1, lens1, n_valid, cfg)
+    out2, _ = map_batch_se(didx, st, reads2, lens2, n_valid, cfg)
+    pairs = merge_pairs_batch(out1, out2, cfg)
+    B = reads1.shape[0]
+    real = jnp.arange(B, dtype=jnp.int32) < n_valid
+    ctr = Counters(
+        reads_total=n_valid.astype(jnp.int32),
+        reads_mapped=jnp.sum(pairs.any_record & real, dtype=jnp.int32),
+        too_ambiguous=jnp.sum(pairs.too_ambiguous & real, dtype=jnp.int32),
+        over_budget=jnp.sum((out1.over_budget | out2.over_budget) & real, dtype=jnp.int32),
+        records=jnp.sum(jnp.where(real[:, None], pairs.t != -1, False), dtype=jnp.int32),
+    )
+    return out1, out2, pairs, ctr
+
+
+class QuasiMapper:
+    """Host-side driver owning the device index and jit caches."""
+
+    def __init__(self, idx: QuasiIndex, cfg: MapConfig | None = None):
+        if cfg is None:
+            cfg = MapConfig(k=idx.k)
+        if cfg.k != idx.k:
+            raise ValueError(f"config k={cfg.k} != index k={idx.k}")
+        self.cfg = cfg
+        self.didx, self.st = upload_index(idx)
+        self.txp_names = idx.txp_names
+        self.txp_lens = np.asarray(idx.txp_lens)
+
+    def map_se(self, codes: np.ndarray, lens: np.ndarray, n_valid: int | None = None):
+        out, ctr = map_batch_se(
+            self.didx, self.st,
+            jnp.asarray(codes, jnp.int8), jnp.asarray(lens, jnp.int32),
+            jnp.int32(n_valid if n_valid is not None else len(lens)), self.cfg,
+        )
+        return jax.tree.map(np.asarray, out), jax.tree.map(np.asarray, ctr)
+
+    def map_pe(self, codes1, lens1, codes2, lens2, n_valid: int | None = None):
+        o1, o2, pairs, ctr = map_batch_pe(
+            self.didx, self.st,
+            jnp.asarray(codes1, jnp.int8), jnp.asarray(lens1, jnp.int32),
+            jnp.asarray(codes2, jnp.int8), jnp.asarray(lens2, jnp.int32),
+            jnp.int32(n_valid if n_valid is not None else len(lens1)), self.cfg,
+        )
+        return tuple(jax.tree.map(np.asarray, x) for x in (o1, o2, pairs, ctr))

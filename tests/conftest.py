@@ -6,10 +6,25 @@ import os
 os.environ.setdefault("JAX_PLATFORMS", "cpu")
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = flags + " --xla_force_host_platform_device_count=8"
+    flags += " --xla_force_host_platform_device_count=8"
+# XLA:CPU's parallel codegen dead/livelocks on this engine's HLO (observed:
+# futex-blocked "compiles" of 100-430s with 0% CPU); serial codegen is fast
+if "xla_cpu_parallel_codegen_split_count" not in flags:
+    flags += " --xla_cpu_parallel_codegen_split_count=1"
+os.environ["XLA_FLAGS"] = flags
 
+import jax  # noqa: E402
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
+
+# the axon sitecustomize force-registers the TPU and overrides JAX_PLATFORMS;
+# config.update after import (before backend init) reliably selects CPU
+jax.config.update("jax_platforms", "cpu")
+
+# persistent compile cache: XLA CPU compiles of the engine take ~30-60s each;
+# cache them across test runs/sessions
+jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 
 @pytest.fixture(scope="session")

@@ -1,0 +1,151 @@
+"""CLI surface + SAM output: the reference's command surface end-to-end."""
+
+import json
+import os
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+from tests.util import random_transcriptome, sample_reads, write_fasta, write_fastq
+
+ENV = dict(
+    os.environ,
+    TQM_FORCE_CPU="1",
+    XLA_FLAGS=os.environ.get("XLA_FLAGS", "")
+    + " --xla_force_host_platform_device_count=8 --xla_cpu_parallel_codegen_split_count=1",
+)
+
+
+def tqm(*args, cwd=None):
+    return subprocess.run(
+        [sys.executable, "-m", "rapmap_tpu.cli", *args],
+        capture_output=True, text=True, env=ENV, cwd="/root/repo", timeout=560,
+    )
+
+
+@pytest.fixture(scope="module")
+def world(tmp_path_factory):
+    rng = np.random.default_rng(31)
+    tmp = tmp_path_factory.mktemp("cli")
+    txps = random_transcriptome(rng, n_txps=4, min_len=150, max_len=250)
+    fa = write_fasta(str(tmp / "txome.fa"), txps)
+    reads = sample_reads(rng, txps, 12, read_len=36)
+    fq = write_fastq(str(tmp / "reads.fq"), reads)
+    r = tqm("quasiindex", "-t", fa, "-i", str(tmp / "idx"), "-k", "11")
+    assert r.returncode == 0, r.stderr
+    return tmp, txps, reads, fq
+
+
+def parse_sam(text: str):
+    headers, records = [], []
+    for line in text.splitlines():
+        (headers if line.startswith("@") else records).append(line)
+    return headers, [r.split("\t") for r in records]
+
+
+def test_version():
+    r = tqm("--version")
+    assert r.returncode == 0 and "tqm" in r.stdout
+
+
+def test_quasiindex_then_quasimap_se(world):
+    tmp, txps, reads, fq = world
+    out = str(tmp / "out.sam")
+    stats = str(tmp / "stats.json")
+    r = tqm("quasimap", "-i", str(tmp / "idx"), "-r", fq, "-o", out, "--statsJson", stats)
+    assert r.returncode == 0, r.stderr
+    headers, records = parse_sam(open(out).read())
+    assert headers[0].startswith("@HD")
+    sq = [h for h in headers if h.startswith("@SQ")]
+    assert len(sq) == len(txps)
+    assert any(h.startswith("@PG") for h in headers)
+    by_name = {}
+    for rec in records:
+        by_name.setdefault(rec[0], []).append(rec)
+    for name, seq, t, p, was_rc in reads:
+        recs = by_name[name]
+        primary = [r for r in recs if int(r[1]) & 0x100 == 0]
+        assert len(primary) == 1
+        flags = int(primary[0][1])
+        assert flags & 0x4 == 0, f"{name} unmapped"
+        found = [(r[2], int(r[3]) - 1, bool(int(r[1]) & 0x10)) for r in recs]
+        assert (txps[t][0], p, was_rc) in found, (name, found)
+        # SEQ on reverse strand must be rc'd back to the reference strand
+        for r in recs:
+            if int(r[1]) & 0x10:
+                comp = bytes.maketrans(b"ACGT", b"TGCA")
+                assert r[9].encode() == seq.translate(comp)[::-1]
+            else:
+                assert r[9].encode() == seq
+        assert all(r[5] == f"{len(seq)}M" for r in recs)
+    st = json.load(open(stats))
+    assert st["reads_total"] == len(reads) and st["reads_mapped"] == len(reads)
+
+
+def test_quasimap_pe_sam(world):
+    tmp, txps, reads, fq = world
+    rng = np.random.default_rng(41)
+    comp = bytes.maketrans(b"ACGT", b"TGCA")
+    L = 36
+    p1s, p2s, truth = [], [], []
+    for i in range(8):
+        t = int(rng.integers(0, len(txps)))
+        seq = txps[t][1]
+        a = int(rng.integers(0, len(seq) - 120))
+        left = seq[a : a + L]
+        right = seq[a + 100 - L : a + 100].translate(comp)[::-1]
+        p1s.append((f"p{i}", left))
+        p2s.append((f"p{i}", right))
+        truth.append((t, a, a + 100 - L))
+    f1 = write_fastq(str(tmp / "r1.fq"), p1s)
+    f2 = write_fastq(str(tmp / "r2.fq"), p2s)
+    out = str(tmp / "pe.sam")
+    r = tqm("quasimap", "-i", str(tmp / "idx"), "-1", f1, "-2", f2, "-o", out)
+    assert r.returncode == 0, r.stderr
+    _, records = parse_sam(open(out).read())
+    by_name = {}
+    for rec in records:
+        by_name.setdefault(rec[0], []).append(rec)
+    for i, (t, pl, pr) in enumerate(truth):
+        recs = by_name[f"p{i}"]
+        firsts = [r for r in recs if int(r[1]) & 0x40 and not int(r[1]) & 0x100]
+        seconds = [r for r in recs if int(r[1]) & 0x80 and not int(r[1]) & 0x100]
+        assert len(firsts) == 1 and len(seconds) == 1
+        f, s = firsts[0], seconds[0]
+        assert int(f[1]) & 0x2 and int(s[1]) & 0x2  # proper pair
+        assert f[2] == s[2] == txps[t][0]
+        assert int(f[3]) - 1 == pl and int(s[3]) - 1 == pr
+        assert f[6] == "=" and int(f[7]) - 1 == pr
+        tlen_f, tlen_s = int(f[8]), int(s[8])
+        assert tlen_f == 100 and tlen_s == -100
+
+
+def test_pseudoindex_pseudomap(world):
+    tmp, txps, reads, fq = world
+    r = tqm("pseudoindex", "-t", str(tmp / "txome.fa"), "-i", str(tmp / "pidx"), "-k", "11")
+    assert r.returncode == 0, r.stderr
+    out = str(tmp / "pm.sam")
+    r = tqm("pseudomap", "-i", str(tmp / "pidx"), "-r", fq, "-o", out)
+    assert r.returncode == 0, r.stderr
+    _, records = parse_sam(open(out).read())
+    names = {rec[0] for rec in records if not int(rec[1]) & 0x4}
+    assert len(names) == len(reads)
+
+
+def test_index_type_mismatch(world):
+    tmp, *_ = world
+    r = tqm("quasimap", "-i", str(tmp / "pidx"), "-r", str(tmp / "reads.fq"))
+    assert r.returncode == 1
+    r2 = tqm("pseudomap", "-i", str(tmp / "idx"), "-r", str(tmp / "reads.fq"))
+    assert r2.returncode == 1
+
+
+def test_no_output_flag(world):
+    tmp, txps, reads, fq = world
+    stats = str(tmp / "n.json")
+    r = tqm("quasimap", "-i", str(tmp / "idx"), "-r", fq, "-n", "--statsJson", stats)
+    assert r.returncode == 0, r.stderr
+    assert r.stdout == ""
+    assert json.load(open(stats))["reads_mapped"] == len(reads)
