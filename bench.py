@@ -94,21 +94,31 @@ def main() -> None:
 
     # warmup / compile
     t0 = time.time()
-    out, ctr = mapper.map_se(codes[:BATCH], lens)
+    wr = mapper.fetch(mapper.map_se_async(codes[:BATCH], lens))
     print(f"# compile+first batch {time.time()-t0:.1f}s; "
-          f"mapped {int(ctr.reads_mapped)}/{BATCH}", file=sys.stderr)
+          f"mapped {wr.counters['reads_mapped']}/{BATCH}", file=sys.stderr)
 
+    # production pipeline: one-deep async so device compute overlaps the
+    # device->host record pull (mirrors the CLI loop)
     n_batches = max(1, N_READS // BATCH)
     t0 = time.time()
     total = 0
     mapped = 0
+    pending = None
     for i in range(n_batches):
         batch = codes[i * BATCH : (i + 1) * BATCH]
         if len(batch) < BATCH:
             break
-        out, ctr = mapper.map_se(batch, lens)
+        fut = mapper.map_se_async(batch, lens)
+        if pending is not None:
+            wr = mapper.fetch(pending)
+            mapped += wr.counters["reads_mapped"]
+            total += BATCH
+        pending = fut
+    if pending is not None:
+        wr = mapper.fetch(pending)
+        mapped += wr.counters["reads_mapped"]
         total += BATCH
-        mapped += int(ctr.reads_mapped)
     dt = time.time() - t0
     rps = total / dt
     print(f"# {total} reads in {dt:.2f}s, map rate {100.0*mapped/total:.1f}%", file=sys.stderr)

@@ -105,8 +105,8 @@ def run_map(args, pseudo: bool) -> int:
     t0 = time.time()
     totals: dict[str, int] = {}
 
-    def acc(ctr):
-        for key, v in ctr._asdict().items():
+    def acc(ctr: dict):
+        for key, v in ctr.items():
             totals[key] = totals.get(key, 0) + int(v)
 
     with contextlib.ExitStack() as stack:
@@ -119,26 +119,52 @@ def run_map(args, pseudo: bool) -> int:
         if out is not None:
             out.write(sam.sam_header(idx.txp_names, np.asarray(idx.txp_lens), __version__, cl))
         write_unmapped = not args.noUnmapped
+
+        # one-deep pipeline: dispatch batch i+1 before fetching batch i's
+        # results so the device computes while the host renders SAM
+        def drain_se(pending):
+            batch, fut = pending
+            recsd = mapper.fetch(fut)
+            acc(recsd.counters)
+            if recsd.overflowed:
+                log.warning("record buffer overflow in a batch; tail records dropped")
+            if out is not None:
+                sam.write_se_records_dense(
+                    out, batch.names[: batch.n], batch.seqs, batch.quals,
+                    recsd.recs, recsd.counts, idx.txp_names, write_unmapped,
+                )
+
+        def drain_pe(pending):
+            (b1, b2), fut = pending
+            recsd = mapper.fetch(fut)
+            acc(recsd.counters)
+            if recsd.overflowed:
+                log.warning("record buffer overflow in a batch; tail records dropped")
+            if out is not None:
+                sam.write_pe_records_dense(
+                    out, b1.names[: b1.n], b1.seqs, b1.quals, b2.seqs, b2.quals,
+                    recsd.recs, recsd.counts, idx.txp_names, write_unmapped,
+                )
+
+        pending = None
         if args.reads:
             for batch in fastx.batched_reads(args.reads, args.batchSize, args.maxReadLen):
-                mo, ctr = mapper.map_se(batch.codes, batch.lens, n_valid=batch.n)
-                acc(ctr)
-                if out is not None:
-                    sam.write_se_records(
-                        out, batch.names, batch.seqs, batch.quals, mo,
-                        idx.txp_names, write_unmapped,
-                    )
+                fut = mapper.map_se_async(batch.codes, batch.lens, n_valid=batch.n)
+                if pending is not None:
+                    drain_se(pending)
+                pending = (batch, fut)
+            if pending is not None:
+                drain_se(pending)
         elif args.mates1 and args.mates2:
             for b1, b2 in fastx.batched_read_pairs(
                 args.mates1, args.mates2, args.batchSize, args.maxReadLen
             ):
-                o1, o2, po, ctr = mapper.map_pe(b1.codes, b1.lens, b2.codes, b2.lens, n_valid=b1.n)
-                acc(ctr)
-                if out is not None:
-                    sam.write_pe_records(
-                        out, b1.names, b1.seqs, b1.quals, b2.seqs, b2.quals, po,
-                        idx.txp_names, write_unmapped,
-                    )
+                fut = mapper.map_pe_async(b1.codes, b1.lens, b2.codes, b2.lens, n_valid=b1.n)
+                if pending is not None:
+                    drain_pe(pending)
+                pending = ((b1, b2), fut)
+            if pending is not None:
+                drain_pe(pending)
         else:
             log.error("provide -r for single-end or -1/-2 for paired-end reads")
             return 1

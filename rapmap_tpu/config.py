@@ -23,3 +23,4 @@ class MapConfig:
     max_hits_per_strand: int = 16  # MMP hits recorded per read-strand
     expand_budget: int = 512       # SA-slot expansion slots per read
     max_out: int = 64              # mapping records retained per read on device
+    packed_extension: bool = True  # word-compare extension (ops.extend_packed)

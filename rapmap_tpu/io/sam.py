@@ -83,6 +83,126 @@ def write_se_records(
     return n
 
 
+def write_se_records_dense(
+    out: IO[str],
+    names: list[str],
+    seqs: list[bytes],
+    quals: list[bytes],
+    recs: np.ndarray,    # (cap, 4) int32 t,pos,strand,score (row-major by read)
+    counts: np.ndarray,  # (B,)
+    txp_names: list[str],
+    write_unmapped: bool = True,
+) -> int:
+    """SAM from device-compacted SERecords (production path)."""
+    n = 0
+    off = 0
+    for i, name in enumerate(names):
+        c = int(counts[i])
+        seq = seqs[i]
+        qual = quals[i].decode()
+        if c == 0:
+            if write_unmapped:
+                out.write(f"{name}\t{FLAG_UNMAPPED}\t*\t0\t0\t*\t*\t0\t0\t{seq.decode()}\t{qual}\n")
+            continue
+        rc_seq = None
+        for j in range(c):
+            t, pos, strand, _score = recs[off + j]
+            flags = 0 if j == 0 else FLAG_SECONDARY
+            if strand == 1:
+                flags |= FLAG_REVERSE
+                if rc_seq is None:
+                    rc_seq = revcomp_seq(seq).decode()
+                s, q = rc_seq, qual[::-1]
+            else:
+                s, q = seq.decode(), qual
+            mapq = 1 if j == 0 else 0
+            out.write(
+                f"{name}\t{flags}\t{txp_names[t]}\t{_pos1(pos)}\t{mapq}\t"
+                f"{len(seq)}M\t*\t0\t0\t{s}\t{q}\n"
+            )
+            n += 1
+        off += c
+    return n
+
+
+def write_pe_records_dense(
+    out: IO[str],
+    names: list[str],
+    seqs1: list[bytes], quals1: list[bytes],
+    seqs2: list[bytes], quals2: list[bytes],
+    recs: np.ndarray,    # (cap, 7) int32 t,p1,s1,has1,p2,s2,has2
+    counts: np.ndarray,
+    txp_names: list[str],
+    write_unmapped: bool = True,
+) -> int:
+    """SAM from device-compacted PERecords (production path)."""
+    n = 0
+    off = 0
+    for i, name in enumerate(names):
+        c = int(counts[i])
+        s1b, q1 = seqs1[i], quals1[i].decode()
+        s2b, q2 = seqs2[i], quals2[i].decode()
+        L1, L2 = len(s1b), len(s2b)
+        if c == 0:
+            if write_unmapped:
+                f1 = FLAG_PAIRED | FLAG_UNMAPPED | FLAG_MATE_UNMAPPED | FLAG_FIRST
+                f2 = FLAG_PAIRED | FLAG_UNMAPPED | FLAG_MATE_UNMAPPED | FLAG_SECOND
+                out.write(f"{name}\t{f1}\t*\t0\t0\t*\t*\t0\t0\t{s1b.decode()}\t{q1}\n")
+                out.write(f"{name}\t{f2}\t*\t0\t0\t*\t*\t0\t0\t{s2b.decode()}\t{q2}\n")
+            continue
+        for j in range(c):
+            t, p1, st1, h1, p2, st2, h2 = (int(x) for x in recs[off + j])
+            tname = txp_names[t]
+            sec = 0 if j == 0 else FLAG_SECONDARY
+            mapq = 1 if j == 0 else 0
+            if h1 and h2:
+                r1, r2 = st1 == 1, st2 == 1
+                t1, t2 = _tlen(p1, L1, p2, L2)
+                f1 = FLAG_PAIRED | FLAG_PROPER | FLAG_FIRST | sec
+                f2 = FLAG_PAIRED | FLAG_PROPER | FLAG_SECOND | sec
+                if r1:
+                    f1 |= FLAG_REVERSE
+                    f2 |= FLAG_MATE_REVERSE
+                if r2:
+                    f2 |= FLAG_REVERSE
+                    f1 |= FLAG_MATE_REVERSE
+                seq1 = revcomp_seq(s1b).decode() if r1 else s1b.decode()
+                qq1 = q1[::-1] if r1 else q1
+                seq2 = revcomp_seq(s2b).decode() if r2 else s2b.decode()
+                qq2 = q2[::-1] if r2 else q2
+                out.write(
+                    f"{name}\t{f1}\t{tname}\t{_pos1(p1)}\t{mapq}\t{L1}M\t=\t{_pos1(p2)}\t{t1}\t{seq1}\t{qq1}\n"
+                )
+                out.write(
+                    f"{name}\t{f2}\t{tname}\t{_pos1(p2)}\t{mapq}\t{L2}M\t=\t{_pos1(p1)}\t{t2}\t{seq2}\t{qq2}\n"
+                )
+                n += 2
+            else:
+                if h1:
+                    p, rev, Lm, sb, qb, fl_this, fl_other = p1, st1 == 1, L1, s1b, q1, FLAG_FIRST, FLAG_SECOND
+                    so, qo = s2b, q2
+                else:
+                    p, rev, Lm, sb, qb, fl_this, fl_other = p2, st2 == 1, L2, s2b, q2, FLAG_SECOND, FLAG_FIRST
+                    so, qo = s1b, q1
+                f_m = FLAG_PAIRED | FLAG_MATE_UNMAPPED | fl_this | sec
+                if rev:
+                    f_m |= FLAG_REVERSE
+                seqm = revcomp_seq(sb).decode() if rev else sb.decode()
+                qqm = qb[::-1] if rev else qb
+                out.write(
+                    f"{name}\t{f_m}\t{tname}\t{_pos1(p)}\t{mapq}\t{Lm}M\t=\t{_pos1(p)}\t0\t{seqm}\t{qqm}\n"
+                )
+                n += 1
+                if j == 0:
+                    f_u = FLAG_PAIRED | FLAG_UNMAPPED | fl_other | (FLAG_MATE_REVERSE if rev else 0)
+                    out.write(
+                        f"{name}\t{f_u}\t{tname}\t{_pos1(p)}\t0\t*\t=\t{_pos1(p)}\t0\t{so.decode()}\t{qo}\n"
+                    )
+                    n += 1
+        off += c
+    return n
+
+
 def _tlen(p1: int, l1: int, p2: int, l2: int) -> tuple[int, int]:
     """Signed TLEN for (left record, right record) per SEMANTICS.md §5."""
     span = max(p1 + l1, p2 + l2) - min(p1, p2)

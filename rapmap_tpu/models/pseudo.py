@@ -60,7 +60,7 @@ def _pseudo_lookup(didx: DevicePseudoIndex, st: PseudoStatic, key_hi, key_lo):
 
     K = didx.kmer_hi.shape[0]
     lo0 = jnp.zeros_like(key_hi, dtype=jnp.int32)
-    hi0 = jnp.full_like(lo0, K)
+    hi0 = lo0 + K
 
     def step(_, iv):
         lo, hi = iv
@@ -96,10 +96,10 @@ def pseudo_scan_batch(
         v = jnp.take_along_axis(arr2d, jnp.clip(pos, 0, arr2d.shape[1] - 1)[:, None], axis=1)[:, 0]
         return jnp.where(pos < arr2d.shape[1], v, fill)
 
+    zRH = np.zeros((R, H), np.int32)
     hits0 = ScanHits(
-        q=jnp.zeros((R, H), jnp.int32), l=jnp.zeros((R, H), jnp.int32),
-        b=jnp.zeros((R, H), jnp.int32), e=jnp.zeros((R, H), jnp.int32),
-        n=jnp.zeros((R,), jnp.int32), truncated=jnp.zeros((R,), bool),
+        q=zRH, l=zRH, b=zRH, e=zRH,
+        n=lens * 0, truncated=lens < 0,
     )
 
     def running(pos, hits):
@@ -112,10 +112,10 @@ def pseudo_scan_batch(
     def body(state):
         pos, hits = state
         act = running(pos, hits)
-        nb = at_pos(next_bad, pos, jnp.int32(L))
+        nb = at_pos(next_bad, pos, np.int32(L))
         window_ok = nb >= pos + k
-        khi = at_pos(key_hi, pos, jnp.uint32(0))
-        klo = at_pos(key_lo, pos, jnp.uint32(0))
+        khi = at_pos(key_hi, pos, np.uint32(0))
+        klo = at_pos(key_lo, pos, np.uint32(0))
         found, b, e = _pseudo_lookup(didx, st, khi, klo)
         found = found & window_ok & act
         wide = found & ((e - b) > cfg.max_interval)
@@ -123,14 +123,14 @@ def pseudo_scan_batch(
         slot = jnp.clip(hits.n, 0, H - 1)
         overflow = do_hit & (hits.n >= H)
         write = do_hit & ~overflow
-        rows = jnp.arange(R, dtype=jnp.int32)
+        rows = np.arange(R, dtype=np.int32)
 
         def put(buf, val):
             old = buf[rows, slot]
             return buf.at[rows, slot].set(jnp.where(write, val, old))
 
         hits = ScanHits(
-            q=put(hits.q, pos), l=put(hits.l, jnp.full((R,), k, jnp.int32)),
+            q=put(hits.q, pos), l=put(hits.l, pos * 0 + k),
             b=put(hits.b, b), e=put(hits.e, e),
             n=hits.n + write.astype(jnp.int32),
             truncated=hits.truncated | overflow,
@@ -140,7 +140,7 @@ def pseudo_scan_batch(
         )
         return jnp.where(act, pos_next, pos), hits
 
-    _, hits = lax.while_loop(cond, body, (jnp.zeros((R,), jnp.int32), hits0))
+    _, hits = lax.while_loop(cond, body, (lens * 0, hits0))
     return hits
 
 
@@ -160,7 +160,7 @@ def pseudo_map_batch_se(
 
     out = collate_batch(None, None, hits, lens, cfg, expand_fn=expand_fn)
     B = reads.shape[0]
-    real = jnp.arange(B, dtype=jnp.int32) < n_valid
+    real = np.arange(B, dtype=np.int32) < n_valid
     ctr = Counters(
         reads_total=n_valid.astype(jnp.int32),
         reads_mapped=jnp.sum(out.mapped & real, dtype=jnp.int32),
@@ -179,7 +179,7 @@ def pseudo_map_batch_pe(
     o2, _ = pseudo_map_batch_se(didx, st, r2, l2, n_valid, cfg)
     pairs = merge_pairs_batch(o1, o2, cfg)
     B = r1.shape[0]
-    real = jnp.arange(B, dtype=jnp.int32) < n_valid
+    real = np.arange(B, dtype=np.int32) < n_valid
     ctr = Counters(
         reads_total=n_valid.astype(jnp.int32),
         reads_mapped=jnp.sum(pairs.any_record & real, dtype=jnp.int32),
@@ -188,6 +188,26 @@ def pseudo_map_batch_pe(
         records=jnp.sum(jnp.where(real[:, None], pairs.t != -1, False), dtype=jnp.int32),
     )
     return o1, o2, pairs, ctr
+
+
+@partial(jax.jit, static_argnames=("st", "cfg", "cap", "B", "L"))
+def pseudo_map_batch_se_wire(didx, st, wire_in, cfg: MapConfig, cap: int, B: int, L: int):
+    from rapmap_tpu.ops.compact import compact_se
+    from rapmap_tpu.ops.wire import pack_out, unpack_in_se
+
+    reads, lens, n_valid = unpack_in_se(wire_in, B, L)
+    out, ctr = pseudo_map_batch_se(didx, st, reads, lens, n_valid, cfg)
+    return pack_out(compact_se(out, cap), ctr)
+
+
+@partial(jax.jit, static_argnames=("st", "cfg", "cap", "B", "L"))
+def pseudo_map_batch_pe_wire(didx, st, wire_in, cfg: MapConfig, cap: int, B: int, L: int):
+    from rapmap_tpu.ops.compact import compact_pe
+    from rapmap_tpu.ops.wire import pack_out, unpack_in_pe
+
+    r1, l1, r2, l2, n_valid = unpack_in_pe(wire_in, B, L)
+    _, _, pairs, ctr = pseudo_map_batch_pe(didx, st, r1, l1, r2, l2, n_valid, cfg)
+    return pack_out(compact_pe(pairs, cap), ctr)
 
 
 class PseudoMapper:
@@ -218,3 +238,35 @@ class PseudoMapper:
             jnp.int32(n_valid if n_valid is not None else len(l1)), self.cfg,
         )
         return tuple(jax.tree.map(np.asarray, x) for x in res)
+
+    def _cap(self, B: int) -> int:
+        return 4 * B
+
+    def map_se_async(self, codes, lens, n_valid: int | None = None):
+        from rapmap_tpu.ops.wire import pack_in_se
+
+        B, L = codes.shape
+        nv = n_valid if n_valid is not None else B
+        win = pack_in_se(np.asarray(codes), np.asarray(lens), nv)
+        fut = pseudo_map_batch_se_wire(
+            self.didx, self.st, jnp.asarray(win), self.cfg, self._cap(B), B, L
+        )
+        return ("se", B, fut)
+
+    def map_pe_async(self, c1, l1, c2, l2, n_valid: int | None = None):
+        from rapmap_tpu.ops.wire import pack_in_pe
+
+        B, L = c1.shape
+        nv = n_valid if n_valid is not None else B
+        win = pack_in_pe(np.asarray(c1), np.asarray(l1), np.asarray(c2), np.asarray(l2), nv)
+        fut = pseudo_map_batch_pe_wire(
+            self.didx, self.st, jnp.asarray(win), self.cfg, self._cap(B), B, L
+        )
+        return ("pe", B, fut)
+
+    @staticmethod
+    def fetch(result):
+        from rapmap_tpu.ops.wire import unpack_out
+
+        kind, B, fut = result
+        return unpack_out(np.asarray(fut), B, 4 if kind == "se" else 7)

@@ -47,7 +47,7 @@ def map_batch_se(
     hits = scan_batch(didx, st, lanes, lens2, cfg)
     out = collate_batch(didx, st, hits, lens, cfg)
     B = reads.shape[0]
-    real = jnp.arange(B, dtype=jnp.int32) < n_valid
+    real = np.arange(B, dtype=np.int32) < n_valid
     ctr = Counters(
         reads_total=n_valid.astype(jnp.int32),
         reads_mapped=jnp.sum(out.mapped & real, dtype=jnp.int32),
@@ -73,7 +73,7 @@ def map_batch_pe(
     out2, _ = map_batch_se(didx, st, reads2, lens2, n_valid, cfg)
     pairs = merge_pairs_batch(out1, out2, cfg)
     B = reads1.shape[0]
-    real = jnp.arange(B, dtype=jnp.int32) < n_valid
+    real = np.arange(B, dtype=np.int32) < n_valid
     ctr = Counters(
         reads_total=n_valid.astype(jnp.int32),
         reads_mapped=jnp.sum(pairs.any_record & real, dtype=jnp.int32),
@@ -82,6 +82,27 @@ def map_batch_pe(
         records=jnp.sum(jnp.where(real[:, None], pairs.t != -1, False), dtype=jnp.int32),
     )
     return out1, out2, pairs, ctr
+
+
+@partial(jax.jit, static_argnames=("st", "cfg", "cap", "B", "L"))
+def map_batch_se_wire(didx, st, wire_in, cfg: MapConfig, cap: int, B: int, L: int):
+    """Single-buffer in/out SE mapping step (ops.wire format)."""
+    from rapmap_tpu.ops.compact import compact_se
+    from rapmap_tpu.ops.wire import pack_out, unpack_in_se
+
+    reads, lens, n_valid = unpack_in_se(wire_in, B, L)
+    out, ctr = map_batch_se(didx, st, reads, lens, n_valid, cfg)
+    return pack_out(compact_se(out, cap), ctr)
+
+
+@partial(jax.jit, static_argnames=("st", "cfg", "cap", "B", "L"))
+def map_batch_pe_wire(didx, st, wire_in, cfg: MapConfig, cap: int, B: int, L: int):
+    from rapmap_tpu.ops.compact import compact_pe
+    from rapmap_tpu.ops.wire import pack_out, unpack_in_pe
+
+    r1, l1, r2, l2, n_valid = unpack_in_pe(wire_in, B, L)
+    _, _, pairs, ctr = map_batch_pe(didx, st, r1, l1, r2, l2, n_valid, cfg)
+    return pack_out(compact_pe(pairs, cap), ctr)
 
 
 class QuasiMapper:
@@ -113,3 +134,42 @@ class QuasiMapper:
             jnp.int32(n_valid if n_valid is not None else len(lens1)), self.cfg,
         )
         return tuple(jax.tree.map(np.asarray, x) for x in (o1, o2, pairs, ctr))
+
+    # ---- async record-compacted paths (production pipeline) -----------------
+    # map_*_async returns device futures; pair with fetch() one batch later to
+    # overlap the next batch's compute with this batch's device->host pull.
+
+    def _cap(self, B: int) -> int:
+        return 4 * B
+
+    def map_se_async(self, codes, lens, n_valid: int | None = None):
+        from rapmap_tpu.ops.wire import pack_in_se
+
+        B, L = codes.shape
+        nv = n_valid if n_valid is not None else B
+        win = pack_in_se(np.asarray(codes), np.asarray(lens), nv)
+        fut = map_batch_se_wire(
+            self.didx, self.st, jnp.asarray(win), self.cfg, self._cap(B), B, L
+        )
+        return ("se", B, fut)
+
+    def map_pe_async(self, c1, l1, c2, l2, n_valid: int | None = None):
+        from rapmap_tpu.ops.wire import pack_in_pe
+
+        B, L = c1.shape
+        nv = n_valid if n_valid is not None else B
+        win = pack_in_pe(np.asarray(c1), np.asarray(l1), np.asarray(c2), np.asarray(l2), nv)
+        fut = map_batch_pe_wire(
+            self.didx, self.st, jnp.asarray(win), self.cfg, self._cap(B), B, L
+        )
+        return ("pe", B, fut)
+
+    @staticmethod
+    def fetch(result):
+        """-> (WireResult, counters dict). recs fields: SE (t,pos,strand,score);
+        PE (t,p1,s1,has1,p2,s2,has2)."""
+        from rapmap_tpu.ops.wire import unpack_out
+
+        kind, B, fut = result
+        wire = np.asarray(fut)
+        return unpack_out(wire, B, 4 if kind == "se" else 7)

@@ -16,6 +16,7 @@ from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax import lax
 
 from rapmap_tpu.config import MapConfig
@@ -23,7 +24,7 @@ from rapmap_tpu.ops.device_index import DeviceQuasiIndex, EngineStatic
 from rapmap_tpu.ops.gather import flat_gather, row_gather
 from rapmap_tpu.ops.mmp import ScanHits
 
-BIG = jnp.int32(2**31 - 1)
+BIG = np.int32(2**31 - 1)
 
 
 class MapOut(NamedTuple):
@@ -56,13 +57,13 @@ def collate_batch(
     H2 = 2 * H
 
     # ---- per-strand coverage gate (quasi_coverage) --------------------------
-    hvalid_rows = jnp.arange(H, dtype=jnp.int32)[None, :] < hits.n[:, None]  # (R, H)
+    hvalid_rows = np.arange(H, dtype=np.int32)[None, :] < hits.n[:, None]  # (R, H)
     cov = jnp.sum(jnp.where(hvalid_rows, hits.l, 0), axis=1)  # (R,)
     lens2 = jnp.concatenate([lens, lens])
     if cfg.quasi_coverage > 0.0:
         strand_ok = cov.astype(jnp.float32) >= cfg.quasi_coverage * lens2.astype(jnp.float32)
     else:
-        strand_ok = jnp.ones((R,), bool)
+        strand_ok = hits.n >= 0
     hvalid_rows = hvalid_rows & strand_ok[:, None]
 
     # ---- fold (fwd, rc) rows into (B, 2H) hit tables ------------------------
@@ -71,8 +72,8 @@ def collate_batch(
 
     hq, hl, hb, he = fold(hits.q), fold(hits.l), fold(hits.b), fold(hits.e)
     hv = fold(hvalid_rows)
-    hstrand = jnp.concatenate(
-        [jnp.zeros((B, H), jnp.int32), jnp.ones((B, H), jnp.int32)], axis=1
+    hstrand = np.concatenate(
+        [np.zeros((B, H), np.int32), np.ones((B, H), np.int32)], axis=1
     )
     n_fwd = jnp.where(strand_ok[:B], hits.n[:B], 0)
     n_rc = jnp.where(strand_ok[B:], hits.n[B:], 0)
@@ -83,7 +84,7 @@ def collate_batch(
     total = jnp.sum(w, axis=1)  # (B,)
     over_budget = (total > EXP) | hits.truncated[:B] | hits.truncated[B:]
 
-    j = jnp.arange(EXP, dtype=jnp.int32)  # slots
+    j = np.arange(EXP, dtype=np.int32)  # slots
     # h(j) = last hit whose exclusive-prefix start <= j (zero-width hits skipped)
     cmp = s_h[:, None, :] <= j[None, :, None]  # (B, EXP, 2H)
     hidx = jnp.sum(cmp, axis=2, dtype=jnp.int32) - 1  # (B, EXP)
@@ -111,10 +112,10 @@ def collate_batch(
     )
     valid1 = t1 != BIG
     run_start = valid1 & jnp.concatenate(
-        [jnp.ones((B, 1), bool), ~prev_same], axis=1
+        [np.ones((B, 1), bool), ~prev_same], axis=1
     )
     run_id = jnp.cumsum(run_start.astype(jnp.int32), axis=1) - 1  # (B, EXP)
-    gid = (jnp.arange(B, dtype=jnp.int32)[:, None] * EXP + jnp.clip(run_id, 0, EXP - 1)).reshape(-1)
+    gid = (np.arange(B, dtype=np.int32)[:, None] * EXP + jnp.clip(run_id, 0, EXP - 1)).reshape(-1)
     seg = jax.ops.segment_sum(
         valid1.astype(jnp.int32).reshape(-1), gid, num_segments=B * EXP
     ).reshape(B, EXP)
@@ -129,7 +130,7 @@ def collate_batch(
     )
     grp_start = (t2 != BIG) & jnp.concatenate(
         [
-            jnp.ones((B, 1), bool),
+            np.ones((B, 1), bool),
             (t2[:, 1:] != t2[:, :-1]) | (s2[:, 1:] != s2[:, :-1]),
         ],
         axis=1,

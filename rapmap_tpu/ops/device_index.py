@@ -20,6 +20,8 @@ class DeviceQuasiIndex(NamedTuple):
     """Pytree of HBM arrays (everything the mapping kernels touch)."""
 
     text: jnp.ndarray       # int8 codes, padded tail of zeros
+    text2b: jnp.ndarray     # uint32, 16 bases/word (packed-word extension)
+    sentbits: jnp.ndarray   # uint32, 2 bits/base sentinel mask
     sa: jnp.ndarray         # int32
     sa_txp: jnp.ndarray     # int32
     kmer_hi: jnp.ndarray    # uint32
@@ -56,6 +58,8 @@ def upload_index(idx: QuasiIndex) -> tuple[DeviceQuasiIndex, EngineStatic]:
         raise NotImplementedError("bigSA (int64) device path not yet supported")
     dev = DeviceQuasiIndex(
         text=jnp.asarray(np.asarray(idx.text), dtype=jnp.int8),
+        text2b=jnp.asarray(np.asarray(idx.text2b), dtype=jnp.uint32),
+        sentbits=jnp.asarray(np.asarray(idx.sentbits), dtype=jnp.uint32),
         sa=jnp.asarray(np.asarray(idx.sa), dtype=jnp.int32),
         sa_txp=jnp.asarray(np.asarray(idx.sa_txp), dtype=jnp.int32),
         kmer_hi=jnp.asarray(np.asarray(idx.kmer_hi), dtype=jnp.uint32),

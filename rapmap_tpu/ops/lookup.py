@@ -8,6 +8,7 @@ lanes probe in lockstep (SURVEY.md §7.1 kernel 1).
 from __future__ import annotations
 
 import jax.numpy as jnp
+import numpy as np
 from jax import lax
 
 from rapmap_tpu.ops.device_index import DeviceQuasiIndex, EngineStatic
@@ -19,9 +20,9 @@ def _prefix_of(hi: jnp.ndarray, lo: jnp.ndarray, k: int, p: int) -> jnp.ndarray:
     if shift == 0:
         pref = lo
     elif shift >= 32:
-        pref = hi >> jnp.uint32(shift - 32)
+        pref = hi >> np.uint32(shift - 32)
     else:
-        pref = (hi << jnp.uint32(32 - shift)) | (lo >> jnp.uint32(shift))
+        pref = (hi << np.uint32(32 - shift)) | (lo >> np.uint32(shift))
     return pref.astype(jnp.int32)
 
 

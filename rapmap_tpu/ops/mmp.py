@@ -1,12 +1,24 @@
 """MMP search with NIP skipping — the compute core (SACollector rebuild).
 
-Design (SURVEY.md §7.1 kernel 2-3): the serial per-read scan is kept (it is
-work-optimal) but run in lockstep across all lanes of the batch as one batched
-`lax.while_loop`; every binary-search step becomes a batched HBM gather, which
-is the TPU-friendly shape of this pointer-chasing workload. All shapes static.
+Design (SURVEY.md §7.1 kernels 2-3), two phases:
 
-A lane is one (read, strand) row. State per lane: scan position, hit count,
-and a fixed-capacity hit buffer (q, len, b, e).
+  1. *Dense lookup*: k-mer table probes for EVERY window position of every
+     (read, strand) lane at once — a handful of fully-vectorized (R, S)
+     gather steps, no loop. Misses, N-windows, and over-abundant k-mers are
+     resolved here, for free.
+  2. *Anchor walk*: the serial NIP-skipping scan, in lockstep across lanes as
+     one batched while_loop — but each iteration lands directly on the next
+     anchor (precomputed next-anchor table), so misses cost zero iterations;
+     the trip count is max MMPs-per-lane (~2-6), not read length.
+
+Equivalent to the reference's sequential loop (SEMANTICS.md §3): positions
+it would visit without recording a hit advance deterministically by +1 (miss,
+wide) or to just past the N (invalid window), so the set and order of
+*recorded* anchors is identical.
+
+All constants are numpy (host) — eager jnp constants become device residents
+that lowering must fetch back, which is pathologically slow through the axon
+TPU tunnel.
 """
 
 from __future__ import annotations
@@ -15,12 +27,14 @@ import math
 from typing import NamedTuple
 
 import jax.numpy as jnp
+import numpy as np
 from jax import lax
 
 from rapmap_tpu.config import MapConfig
-from rapmap_tpu.ops.device_index import DeviceQuasiIndex, EngineStatic
-from rapmap_tpu.ops.lookup import kmer_lookup
 from rapmap_tpu.ops import encode as denc
+from rapmap_tpu.ops.device_index import DeviceQuasiIndex, EngineStatic
+from rapmap_tpu.ops.gather import row_gather
+from rapmap_tpu.ops.lookup import kmer_lookup
 
 
 class ScanHits(NamedTuple):
@@ -32,14 +46,9 @@ class ScanHits(NamedTuple):
     truncated: jnp.ndarray  # (R,) bool — hit buffer overflowed (over_budget)
 
 
-def _col_lower_bound(
-    didx: DeviceQuasiIndex, b, e, d, c, steps: int
-):
+def _col_lower_bound(didx: DeviceQuasiIndex, b, e, d, c, steps: int):
     """Per-lane lower bound of char c in the depth-d text column over SA[b:e).
-
-    Within [b,e) all suffixes share their first d chars, so text[SA[p]+d] is
-    non-decreasing over p; `steps` must cover log2(max interval width).
-    """
+    (Reference per-depth extension; kept as the packed path's cross-check.)"""
     n_sa = didx.sa.shape[0]
 
     def step(_, iv):
@@ -57,16 +66,8 @@ def _col_lower_bound(
     return lo_f
 
 
-def _extend(
-    didx: DeviceQuasiIndex,
-    reads: jnp.ndarray,   # (R, L)
-    lens: jnp.ndarray,    # (R,)
-    b0, e0, pos, active, k: int, ext_steps: int,
-):
-    """extendSearchNaive rebuild: per-depth interval narrowing until mismatch.
-
-    Returns (b, e, mlen) per lane; inactive lanes pass through (b0, e0, k).
-    """
+def _extend(didx, reads, lens, b0, e0, pos, active, k: int, ext_steps: int):
+    """extendSearchNaive rebuild: per-depth interval narrowing until mismatch."""
     R, L = reads.shape
 
     def cond(s):
@@ -75,8 +76,7 @@ def _extend(
     def body(s):
         b, e, d, alive = s
         ic = pos + d
-        c = jnp.take_along_axis(reads, jnp.clip(ic, 0, L - 1)[:, None], axis=1)[:, 0]
-        c = c.astype(jnp.int32)
+        c = row_gather(reads, jnp.clip(ic, 0, L - 1)[:, None])[:, 0].astype(jnp.int32)
         ok = alive & (ic < lens) & (c >= 1) & (c <= 4)
         lb = _col_lower_bound(didx, b, e, d, c, ext_steps)
         ub = _col_lower_bound(didx, b, e, d, c + 1, ext_steps)
@@ -88,7 +88,7 @@ def _extend(
             adv,
         )
 
-    d0 = jnp.full_like(b0, k)
+    d0 = b0 * 0 + k
     b, e, d, _ = lax.while_loop(cond, body, (b0, e0, d0, active))
     return b, e, d
 
@@ -108,70 +108,73 @@ def scan_batch(
     assert L < st.pad_tail, "read length must stay below the text tail pad"
     ext_steps = max(1, math.ceil(math.log2(cfg.max_interval + 1)) + 1)
 
-    key_hi, key_lo, _ = denc.kmer_keys_batch(reads, k)
-    next_bad = denc.next_bad_batch(reads, L)
+    # ---- phase 1: dense lookup over all window positions --------------------
+    key_hi, key_lo, kvalid = denc.kmer_keys_batch(reads, k)  # (R, S)
+    found, db, de = kmer_lookup(didx, st, key_hi, key_lo)
+    in_len = (np.arange(S, dtype=np.int32)[None, :] + k) <= lens[:, None]
+    found = found & kvalid & in_len
+    anchor = found & ((de - db) <= cfg.max_interval)
+    # next_anchor[s] = smallest s' >= s with anchor[s'], else S
+    s_or_big = jnp.where(anchor, np.arange(S, dtype=np.int32)[None, :], np.int32(S))
+    next_anchor = jnp.flip(
+        lax.associative_scan(jnp.minimum, jnp.flip(s_or_big, axis=1), axis=1), axis=1
+    )
 
-    def at_pos(arr2d, pos, fill):
-        v = jnp.take_along_axis(arr2d, jnp.clip(pos, 0, arr2d.shape[1] - 1)[:, None], axis=1)[:, 0]
+    if cfg.packed_extension:
+        from rapmap_tpu.ops.extend_packed import extend_packed, pack_reads
+
+        next_bad = denc.next_bad_batch(reads, L)
+        preads = pack_reads(reads)
+
+    def at(arr2d, pos, fill):
+        v = row_gather(arr2d, jnp.clip(pos, 0, arr2d.shape[1] - 1)[:, None])[:, 0]
         return jnp.where(pos < arr2d.shape[1], v, fill)
 
+    zR_H = np.zeros((R, H), np.int32)
     hits0 = ScanHits(
-        q=jnp.zeros((R, H), jnp.int32),
-        l=jnp.zeros((R, H), jnp.int32),
-        b=jnp.zeros((R, H), jnp.int32),
-        e=jnp.zeros((R, H), jnp.int32),
-        n=jnp.zeros((R,), jnp.int32),
-        truncated=jnp.zeros((R,), bool),
+        q=zR_H, l=zR_H, b=zR_H, e=zR_H,
+        n=lens * 0, truncated=lens < 0,
     )
-    pos0 = jnp.zeros((R,), jnp.int32)
+    pos0 = at(next_anchor, lens * 0, np.int32(S))
+    rows = np.arange(R, dtype=np.int32)
 
-    def running(pos, hits):
-        return (pos + k <= lens) & ~hits.truncated
-
+    # ---- phase 2: anchor walk ----------------------------------------------
     def cond(state):
         pos, hits = state
-        return jnp.any(running(pos, hits))
+        return jnp.any((pos < S) & ~hits.truncated)
 
     def body(state):
         pos, hits = state
-        act = running(pos, hits)
-        nb = at_pos(next_bad, pos, jnp.int32(L))
-        window_ok = nb >= pos + k
-        khi = at_pos(key_hi, pos, jnp.uint32(0))
-        klo = at_pos(key_lo, pos, jnp.uint32(0))
-        found, b0, e0 = kmer_lookup(didx, st, khi, klo)
-        found = found & window_ok & act
-        wide = found & ((e0 - b0) > cfg.max_interval)
-        do_ext = found & ~wide
-        b1, e1, mlen = _extend(didx, reads, lens, b0, e0, pos, do_ext, k, ext_steps)
+        act = (pos < S) & ~hits.truncated
+        posc = jnp.clip(pos, 0, S - 1)
+        b0 = at(db, posc, np.int32(0))
+        e0 = at(de, posc, np.int32(0))
+        if cfg.packed_extension:
+            b1, e1, mlen = extend_packed(
+                didx, preads, next_bad, lens, b0, e0, posc, act, k, ext_steps, L
+            )
+        else:
+            b1, e1, mlen = _extend(didx, reads, lens, b0, e0, posc, act, k, ext_steps)
 
-        # record hit
         slot = jnp.clip(hits.n, 0, H - 1)
-        overflow = do_ext & (hits.n >= H)
-        write = do_ext & ~overflow
-        rows = jnp.arange(R, dtype=jnp.int32)
+        overflow = act & (hits.n >= H)
+        write = act & ~overflow
 
         def put(buf, val):
             old = buf[rows, slot]
             return buf.at[rows, slot].set(jnp.where(write, val, old))
 
         hits = ScanHits(
-            q=put(hits.q, pos),
+            q=put(hits.q, posc),
             l=put(hits.l, mlen),
             b=put(hits.b, b1),
             e=put(hits.e, e1),
             n=hits.n + write.astype(jnp.int32),
             truncated=hits.truncated | overflow,
         )
-        # NIP skip / advance (SEMANTICS.md §3)
-        skip = jnp.maximum(1, mlen - k + 1)
-        pos_next = jnp.where(
-            ~window_ok,
-            nb + 1,
-            jnp.where(do_ext, pos + skip, pos + 1),
-        )
-        pos = jnp.where(act, pos_next, pos)
-        return pos, hits
+        nxt = posc + jnp.maximum(1, mlen - k + 1)
+        pos_next = jnp.where(nxt >= S, np.int32(S), at(next_anchor, nxt, np.int32(S)))
+        return jnp.where(act, pos_next, pos), hits
 
     _, hits = lax.while_loop(cond, body, (pos0, hits0))
     return hits

@@ -10,6 +10,7 @@ from __future__ import annotations
 from typing import NamedTuple
 
 import jax.numpy as jnp
+import numpy as np
 from jax import lax
 
 from rapmap_tpu.config import MapConfig
@@ -51,8 +52,8 @@ def _searchsorted_rows(keys: jnp.ndarray, query: jnp.ndarray, steps: int) -> jnp
         hi2 = jnp.where(less, hi, mid)
         return jnp.where(cont, lo2, lo), jnp.where(cont, hi2, hi)
 
-    lo0 = jnp.zeros_like(query)
-    hi0 = jnp.full_like(query, N)
+    lo0 = query * 0
+    hi0 = query * 0 + N
     lo_f, _ = lax.fori_loop(0, steps, step, (lo0, hi0))
     return lo_f
 
@@ -81,7 +82,7 @@ def merge_pairs_batch(out1: MapOut, out2: MapOut, cfg: MapConfig) -> PairOut:
     concordant = n_pairs >= 1
 
     # compact pairs to slot front (stable sort by hit order)
-    order = jnp.where(hit, jnp.arange(MO, dtype=jnp.int32)[None, :], BIG)
+    order = jnp.where(hit, np.arange(MO, dtype=np.int32)[None, :], BIG)
     _, ct, cp1, cs1, cp2, cs2 = lax.sort(
         [order, pair_t, out1.pos, out1.strand, pair_p2, pair_s2], dimension=1, num_keys=1
     )
@@ -89,21 +90,21 @@ def merge_pairs_batch(out1: MapOut, out2: MapOut, cfg: MapConfig) -> PairOut:
 
     # ---- orphan fallback ----------------------------------------------------
     if cfg.no_orphans:
-        o_t = jnp.full((B, MO), -1, jnp.int32)
-        o_p = jnp.zeros((B, MO), jnp.int32)
-        o_s = jnp.zeros((B, MO), jnp.int32)
-        o_is1 = jnp.zeros((B, MO), bool)
-        n_orph = jnp.zeros((B,), jnp.int32)
+        o_t = np.full((B, MO), -1, np.int32)
+        o_p = np.zeros((B, MO), np.int32)
+        o_s = np.zeros((B, MO), np.int32)
+        o_is1 = np.zeros((B, MO), bool)
+        n_orph = out1.n_mappings * 0
     else:
-        seq = jnp.arange(MO, dtype=jnp.int32)[None, :]
+        seq = np.arange(MO, dtype=np.int32)[None, :]
         ordL = jnp.where(out1.t != -1, seq, BIG)
         ordR = jnp.where(out2.t != -1, seq + MO, BIG)
         cat_ord = jnp.concatenate([ordL, ordR], axis=1)
         cat_t = jnp.concatenate([out1.t, out2.t], axis=1)
         cat_p = jnp.concatenate([out1.pos, out2.pos], axis=1)
         cat_s = jnp.concatenate([out1.strand, out2.strand], axis=1)
-        cat_is1 = jnp.concatenate(
-            [jnp.ones((B, MO), jnp.int32), jnp.zeros((B, MO), jnp.int32)], axis=1
+        cat_is1 = np.concatenate(
+            [np.ones((B, MO), np.int32), np.zeros((B, MO), np.int32)], axis=1
         )
         _, o_t2, o_p2, o_s2, o_is12 = lax.sort(
             [cat_ord, cat_t, cat_p, cat_s, cat_is1], dimension=1, num_keys=1

@@ -36,7 +36,7 @@ def _se_shard(didx, st, reads, lens, n_valid_local, cfg):
     hits = scan_batch(didx, st, lanes, lens2, cfg)
     out = collate_batch(didx, st, hits, lens, cfg)
     B = reads.shape[0]
-    real = jnp.arange(B, dtype=jnp.int32) < n_valid_local
+    real = np.arange(B, dtype=np.int32) < n_valid_local
     ctr = Counters(
         reads_total=jax.lax.psum(n_valid_local.astype(jnp.int32), "data"),
         reads_mapped=jax.lax.psum(jnp.sum(out.mapped & real, dtype=jnp.int32), "data"),
@@ -74,7 +74,7 @@ def _pe_shard(didx, st, r1, l1, r2, l2, nv, cfg):
     o2, _ = _se_shard(didx, st, r2, l2, nv, cfg)
     pairs = merge_pairs_batch(o1, o2, cfg)
     B = r1.shape[0]
-    real = jnp.arange(B, dtype=jnp.int32) < nv
+    real = np.arange(B, dtype=np.int32) < nv
     ctr = Counters(
         reads_total=jax.lax.psum(nv.astype(jnp.int32), "data"),
         reads_mapped=jax.lax.psum(jnp.sum(pairs.any_record & real, dtype=jnp.int32), "data"),

@@ -1,0 +1,65 @@
+"""Wire-format single-buffer paths == plain MapOut paths."""
+
+import numpy as np
+
+from rapmap_tpu.config import MapConfig
+from rapmap_tpu.models.quasi import QuasiMapper
+from tests.util import sample_reads, toy_index
+from tests.test_device_parity import batch_of
+
+
+def test_wire_se_matches_mapout(tmp_path):
+    rng = np.random.default_rng(55)
+    idx, txps = toy_index(tmp_path, rng, n_txps=5, min_len=150, max_len=300, k=11)
+    reads = sample_reads(rng, txps, 20, read_len=40, error_rate=0.02)
+    L = 40
+    codes, lens = batch_of([r[1] for r in reads], L)
+    cfg = MapConfig(k=idx.k, max_hits_per_strand=30, expand_budget=512, max_out=32)
+    mapper = QuasiMapper(idx, cfg)
+    out, ctr = mapper.map_se(codes, lens)
+    wr = mapper.fetch(mapper.map_se_async(codes, lens))
+    assert wr.counters["reads_mapped"] == int(ctr.reads_mapped)
+    assert not wr.overflowed
+    off = 0
+    for i in range(len(reads)):
+        exp = [
+            (int(out.t[i, j]), int(out.pos[i, j]), int(out.strand[i, j]), int(out.score[i, j]))
+            for j in range(out.t.shape[1]) if out.t[i, j] != -1
+        ]
+        c = int(wr.counts[i])
+        got = [tuple(int(x) for x in wr.recs[off + j]) for j in range(c)]
+        assert got == exp, i
+        off += c
+    assert off == wr.total
+
+
+def test_wire_pe_matches_pairout(tmp_path):
+    rng = np.random.default_rng(56)
+    idx, txps = toy_index(tmp_path, rng, n_txps=5, min_len=250, max_len=400, k=11)
+    comp = bytes.maketrans(b"ACGT", b"TGCA")
+    L = 36
+    lefts, rights = [], []
+    for _ in range(12):
+        t = int(rng.integers(0, len(txps)))
+        seq = txps[t][1]
+        a = int(rng.integers(0, len(seq) - 130))
+        lefts.append(seq[a : a + L])
+        rights.append(seq[a + 100 - L : a + 100].translate(comp)[::-1])
+    c1, l1 = batch_of(lefts, L)
+    c2, l2 = batch_of(rights, L)
+    cfg = MapConfig(k=idx.k, max_hits_per_strand=26, expand_budget=512, max_out=32)
+    mapper = QuasiMapper(idx, cfg)
+    _, _, po, ctr = mapper.map_pe(c1, l1, c2, l2)
+    wr = mapper.fetch(mapper.map_pe_async(c1, l1, c2, l2))
+    assert wr.counters["reads_mapped"] == int(ctr.reads_mapped)
+    off = 0
+    for i in range(len(lefts)):
+        exp = [
+            (int(po.t[i, j]), int(po.p1[i, j]), int(po.s1[i, j]), int(po.has1[i, j]),
+             int(po.p2[i, j]), int(po.s2[i, j]), int(po.has2[i, j]))
+            for j in range(po.t.shape[1]) if po.t[i, j] != -1
+        ]
+        c = int(wr.counts[i])
+        got = [tuple(int(x) for x in wr.recs[off + j]) for j in range(c)]
+        assert got == exp, i
+        off += c
