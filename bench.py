@@ -33,8 +33,8 @@ CACHE = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".bench_cache")
 N_TXPS = 10_000
 TXP_LEN = (500, 3500)
 READ_LEN = 76
-N_READS = 200_000
-BATCH = 8192
+N_READS = 400_000
+BATCH = 32768
 
 
 def build_world():
@@ -54,7 +54,7 @@ def build_world():
         build_quasi_index(fa, outdir=idx_dir, k=31)
     idx = load_index(idx_dir)
 
-    reads_npz = os.path.join(CACHE, "reads_v1.npz")
+    reads_npz = os.path.join(CACHE, "reads_v2.npz")
     if not os.path.exists(reads_npz):
         rng = np.random.default_rng(1)
         text = np.asarray(idx.text[: idx.n_text])
@@ -87,7 +87,7 @@ def main() -> None:
     from rapmap_tpu.config import MapConfig
     from rapmap_tpu.models.quasi import QuasiMapper
 
-    cfg = MapConfig(k=idx.k)
+    cfg = MapConfig(k=idx.k, expand_budget=256)
     mapper = QuasiMapper(idx, cfg)
     lens = np.full(BATCH, READ_LEN, dtype=np.int32)
     print(f"# setup {time.time()-t_setup:.1f}s", file=sys.stderr)
@@ -98,25 +98,27 @@ def main() -> None:
     print(f"# compile+first batch {time.time()-t0:.1f}s; "
           f"mapped {wr.counters['reads_mapped']}/{BATCH}", file=sys.stderr)
 
-    # production pipeline: one-deep async so device compute overlaps the
-    # device->host record pull (mirrors the CLI loop)
+    # production pipeline: DEPTH batches in flight so device compute and both
+    # transfer directions overlap (mirrors the CLI loop)
+    from collections import deque
+
+    DEPTH = 6
     n_batches = max(1, N_READS // BATCH)
     t0 = time.time()
     total = 0
     mapped = 0
-    pending = None
+    q: deque = deque()
     for i in range(n_batches):
         batch = codes[i * BATCH : (i + 1) * BATCH]
         if len(batch) < BATCH:
             break
-        fut = mapper.map_se_async(batch, lens)
-        if pending is not None:
-            wr = mapper.fetch(pending)
+        q.append(mapper.map_se_async(batch, lens))
+        if len(q) >= DEPTH:
+            wr = mapper.fetch(q.popleft())
             mapped += wr.counters["reads_mapped"]
             total += BATCH
-        pending = fut
-    if pending is not None:
-        wr = mapper.fetch(pending)
+    while q:
+        wr = mapper.fetch(q.popleft())
         mapped += wr.counters["reads_mapped"]
         total += BATCH
     dt = time.time() - t0

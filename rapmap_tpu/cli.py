@@ -8,6 +8,7 @@ from __future__ import annotations
 
 import argparse
 import logging
+import os
 import sys
 import time
 
@@ -35,9 +36,17 @@ def _add_map_flags(p: argparse.ArgumentParser) -> None:
     p.add_argument("-n", "--noOutput", action="store_true", help="map but emit no SAM")
     p.add_argument("--maxInterval", type=int, default=1000)
     p.add_argument("--batchSize", type=int, default=4096)
+    p.add_argument("--pipelineDepth", type=int, default=4, help="async batches in flight")
     p.add_argument("--maxReadLen", type=int, default=512)
     p.add_argument("--noUnmapped", action="store_true", help="suppress unmapped records")
     p.add_argument("--statsJson", help="write run counters to this JSON file")
+    p.add_argument(
+        "--resume", action="store_true",
+        help="resume an interrupted run from <output>.tqm_progress.json "
+        "(batch-granular; no duplicate SAM records)",
+    )
+    p.add_argument("--profile", action="store_true", help="log per-stage wall times")
+    p.add_argument("--traceDir", help="write a jax.profiler trace to this directory")
 
 
 def build_parser() -> argparse.ArgumentParser:
@@ -109,65 +118,135 @@ def run_map(args, pseudo: bool) -> int:
         for key, v in ctr.items():
             totals[key] = totals.get(key, 0) + int(v)
 
+    # ---- chunk-granular checkpoint/resume (SURVEY.md §5.3-5.4) -------------
+    import json as _json
+
+    prog_path = f"{args.output}.tqm_progress.json" if args.output not in ("-",) else None
+    skip_batches = 0
+    resume_bytes = 0
+    if args.resume and prog_path and os.path.exists(prog_path):
+        with open(prog_path) as f:
+            prog = _json.load(f)
+        skip_batches = prog["batches_done"]
+        resume_bytes = prog["bytes_written"]
+        totals.update(prog["counters"])
+        log.info("resuming after %d completed batches", skip_batches)
+
+    def save_progress(batches_done: int, out_file) -> None:
+        if prog_path is None or args.noOutput:
+            return
+        out_file.flush()
+        tmp = prog_path + ".tmp"
+        with open(tmp, "w") as f:
+            _json.dump(
+                {"batches_done": batches_done, "bytes_written": out_file.tell(),
+                 "counters": totals}, f,
+            )
+        os.replace(tmp, prog_path)
+
     with contextlib.ExitStack() as stack:
         if args.noOutput:
             out = None
         elif args.output == "-":
             out = sys.stdout
+        elif skip_batches:
+            out = stack.enter_context(open(args.output, "r+"))
+            out.truncate(resume_bytes)
+            out.seek(resume_bytes)
         else:
             out = stack.enter_context(open(args.output, "w"))
-        if out is not None:
+        if out is not None and not skip_batches:
             out.write(sam.sam_header(idx.txp_names, np.asarray(idx.txp_lens), __version__, cl))
         write_unmapped = not args.noUnmapped
 
         # one-deep pipeline: dispatch batch i+1 before fetching batch i's
         # results so the device computes while the host renders SAM
+        from rapmap_tpu.utils.timers import StageTimers, device_trace
+
+        timers = StageTimers()
+
         def drain_se(pending):
             batch, fut = pending
-            recsd = mapper.fetch(fut)
+            with timers.stage("fetch"):
+                recsd = mapper.fetch(fut)
             acc(recsd.counters)
             if recsd.overflowed:
                 log.warning("record buffer overflow in a batch; tail records dropped")
             if out is not None:
-                sam.write_se_records_dense(
-                    out, batch.names[: batch.n], batch.seqs, batch.quals,
-                    recsd.recs, recsd.counts, idx.txp_names, write_unmapped,
-                )
+                with timers.stage("sam"):
+                    sam.write_se_records_dense(
+                        out, batch.names[: batch.n], batch.seqs, batch.quals,
+                        recsd.recs, recsd.counts, idx.txp_names, write_unmapped,
+                    )
 
         def drain_pe(pending):
             (b1, b2), fut = pending
-            recsd = mapper.fetch(fut)
+            with timers.stage("fetch"):
+                recsd = mapper.fetch(fut)
             acc(recsd.counters)
             if recsd.overflowed:
                 log.warning("record buffer overflow in a batch; tail records dropped")
             if out is not None:
-                sam.write_pe_records_dense(
-                    out, b1.names[: b1.n], b1.seqs, b1.quals, b2.seqs, b2.quals,
-                    recsd.recs, recsd.counts, idx.txp_names, write_unmapped,
-                )
+                with timers.stage("sam"):
+                    sam.write_pe_records_dense(
+                        out, b1.names[: b1.n], b1.seqs, b1.quals, b2.seqs, b2.quals,
+                        recsd.recs, recsd.counts, idx.txp_names, write_unmapped,
+                    )
 
-        pending = None
-        if args.reads:
-            for batch in fastx.batched_reads(args.reads, args.batchSize, args.maxReadLen):
-                fut = mapper.map_se_async(batch.codes, batch.lens, n_valid=batch.n)
-                if pending is not None:
-                    drain_se(pending)
-                pending = (batch, fut)
-            if pending is not None:
-                drain_se(pending)
-        elif args.mates1 and args.mates2:
-            for b1, b2 in fastx.batched_read_pairs(
-                args.mates1, args.mates2, args.batchSize, args.maxReadLen
-            ):
-                fut = mapper.map_pe_async(b1.codes, b1.lens, b2.codes, b2.lens, n_valid=b1.n)
-                if pending is not None:
-                    drain_pe(pending)
-                pending = ((b1, b2), fut)
-            if pending is not None:
-                drain_pe(pending)
-        else:
-            log.error("provide -r for single-end or -1/-2 for paired-end reads")
-            return 1
+        from collections import deque
+
+        q: deque = deque()
+        depth = max(1, args.pipelineDepth)
+        done = [skip_batches]
+
+        def step(drain, item):
+            q.append(item)
+            if len(q) >= depth:
+                drain(q.popleft())
+                done[0] += 1
+                save_progress(done[0], out) if out is not None and out is not sys.stdout else None
+
+        def flush_all(drain):
+            while q:
+                drain(q.popleft())
+                done[0] += 1
+                save_progress(done[0], out) if out is not None and out is not sys.stdout else None
+
+        with device_trace(args.traceDir):
+            if args.reads:
+                it = fastx.batched_reads(args.reads, args.batchSize, args.maxReadLen)
+                bi = 0
+                while True:
+                    with timers.stage("parse"):
+                        batch = next(it, None)
+                    if batch is None:
+                        break
+                    if bi >= skip_batches:
+                        with timers.stage("dispatch"):
+                            fut = mapper.map_se_async(batch.codes, batch.lens, n_valid=batch.n)
+                        step(drain_se, (batch, fut))
+                    bi += 1
+                flush_all(drain_se)
+            elif args.mates1 and args.mates2:
+                it = fastx.batched_read_pairs(args.mates1, args.mates2, args.batchSize, args.maxReadLen)
+                bi = 0
+                while True:
+                    with timers.stage("parse"):
+                        pair = next(it, None)
+                    if pair is None:
+                        break
+                    if bi >= skip_batches:
+                        b1, b2 = pair
+                        with timers.stage("dispatch"):
+                            fut = mapper.map_pe_async(b1.codes, b1.lens, b2.codes, b2.lens, n_valid=b1.n)
+                        step(drain_pe, ((b1, b2), fut))
+                    bi += 1
+                flush_all(drain_pe)
+            else:
+                log.error("provide -r for single-end or -1/-2 for paired-end reads")
+                return 1
+        if args.profile:
+            timers.log(log)
 
     dt = time.time() - t0
     totals["wall_s"] = round(dt, 3)

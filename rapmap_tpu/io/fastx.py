@@ -119,15 +119,29 @@ def pack_batch(records: Sequence[tuple[str, bytes, bytes]], pad_len: int, pad_n:
     return ReadBatch(codes, lens, names, seqs, quals)
 
 
+_LEN_BUCKETS = (32, 48, 64, 96, 128, 160, 192, 256, 320, 384, 448, 512, 768, 1023)
+
+
+def bucket_len(n: int, max_len: int) -> int:
+    """Round a batch's max read length up to a small set of pad buckets so the
+    engine compiles one program per bucket instead of per exact length."""
+    for b in _LEN_BUCKETS:
+        if n <= b <= max_len:
+            return b
+    return min(max_len, _LEN_BUCKETS[-1])
+
+
 def batched_reads(path: str, batch_size: int, max_len: int) -> Iterator[ReadBatch]:
     buf: list[tuple[str, bytes, bytes]] = []
     for rec in read_fastq(path):
         buf.append(rec)
         if len(buf) == batch_size:
-            yield pack_batch(buf, max_len, batch_size)
+            L = bucket_len(max(len(r[1]) for r in buf), max_len)
+            yield pack_batch(buf, L, batch_size)
             buf = []
     if buf:
-        yield pack_batch(buf, max_len, batch_size)
+        L = bucket_len(max(len(r[1]) for r in buf), max_len)
+        yield pack_batch(buf, L, batch_size)
 
 
 def batched_read_pairs(
@@ -136,6 +150,13 @@ def batched_read_pairs(
     buf1: list[tuple[str, bytes, bytes]] = []
     buf2: list[tuple[str, bytes, bytes]] = []
     it2 = read_fastq(path2)
+
+    def emit():
+        L = bucket_len(
+            max(max(len(r[1]) for r in buf1), max(len(r[1]) for r in buf2)), max_len
+        )
+        return pack_batch(buf1, L, batch_size), pack_batch(buf2, L, batch_size)
+
     for rec1 in read_fastq(path1):
         try:
             rec2 = next(it2)
@@ -144,7 +165,7 @@ def batched_read_pairs(
         buf1.append(rec1)
         buf2.append(rec2)
         if len(buf1) == batch_size:
-            yield pack_batch(buf1, max_len, batch_size), pack_batch(buf2, max_len, batch_size)
+            yield emit()
             buf1, buf2 = [], []
     if buf1:
-        yield pack_batch(buf1, max_len, batch_size), pack_batch(buf2, max_len, batch_size)
+        yield emit()

@@ -143,6 +143,13 @@ def collate_batch(
         keep = grp_start & (sup2 >= need)
     else:
         keep = grp_start
+    if cfg.strict_check:
+        # orientation-bias curb (SEMANTICS.md §3): keep only the strand(s)
+        # whose best kept score equals the read's overall best
+        m_fwd = jnp.max(jnp.where(keep & (s2 == 0), sup2, 0), axis=1, keepdims=True)
+        m_rc = jnp.max(jnp.where(keep & (s2 == 1), sup2, 0), axis=1, keepdims=True)
+        best_s = jnp.maximum(m_fwd, m_rc)
+        keep = keep & (jnp.where(s2 == 0, m_fwd, m_rc) == best_s)
 
     # ---- compact winners: sort by (t, strand), take first MAX_OUT -----------
     t3, s3, p3, sup3 = lax.sort(

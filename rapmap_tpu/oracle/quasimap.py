@@ -119,6 +119,12 @@ def collate(idx: QuasiIndex, hits_fwd: list[SAHit], hits_rc: list[SAHit], L: int
             if cfg.consistent_hits and s < need:
                 continue
             results.append(Mapping(txp=t, pos=tpos, fwd=fwd, score=s))
+    if cfg.strict_check and results:
+        # orientation-bias curb (SEMANTICS.md §3): drop the weaker strand
+        m_fwd = max((m.score for m in results if m.fwd), default=0)
+        m_rc = max((m.score for m in results if not m.fwd), default=0)
+        best_s = max(m_fwd, m_rc)
+        results = [m for m in results if (m_fwd if m.fwd else m_rc) == best_s]
     results.sort(key=lambda m: (m.txp, not m.fwd))
     return results
 

@@ -101,6 +101,8 @@ def test_se_parity_multimapping(tmp_path):
         dict(quasi_coverage=0.5),
         dict(max_num_hits=2),
         dict(max_interval=4),
+        dict(strict_check=True),
+        dict(strict_check=True, consistent_hits=True),
     ],
 )
 def test_se_parity_config_sweep(tmp_path, kw):
