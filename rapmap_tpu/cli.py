@@ -62,6 +62,11 @@ def build_parser() -> argparse.ArgumentParser:
     qi.add_argument("-k", "--kmerLen", type=int, default=31)
     qi.add_argument("--seed", type=int, default=0)
     qi.add_argument("--keepDuplicates", action="store_true")
+    qi.add_argument(
+        "-x", "--perfectHash", action="store_true",
+        help="accepted for reference CLI parity; the sorted k-mer table already "
+        "has the MPHF's memory profile, so this is a no-op",
+    )
 
     pi = sub.add_parser("pseudoindex", help="build k-mer-only pseudo-mapping index")
     pi.add_argument("-t", "--transcripts", required=True)

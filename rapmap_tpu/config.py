@@ -21,6 +21,6 @@ class MapConfig:
     # device-engine static shape knobs (no effect on semantics when not exceeded;
     # exceeding them sets the over_budget counter)
     max_hits_per_strand: int = 16  # MMP hits recorded per read-strand
-    expand_budget: int = 512       # SA-slot expansion slots per read
+    expand_budget: int = 256       # SA-slot expansion slots per read
     max_out: int = 64              # mapping records retained per read on device
     packed_extension: bool = True  # word-compare extension (ops.extend_packed)

@@ -107,13 +107,20 @@ def build_quasi_index(
     t0 = time.time()
     khi, klo, kb, ke = build_kmer_table(text[:n_text], sa, k)
     if prefix_bases is None:
-        prefix_bases = min(k, 10)
+        # aim for ~1 entry/bucket: p ~ log4(#kmers)+1, capped to keep the LUT
+        # small relative to the table (4^p ints <= ~2x entries), and <= 12
+        import math as _math
+
+        nk = max(1, len(kb))
+        prefix_bases = max(4, min(k, 12, _math.ceil(_math.log(nk, 4)) + 1))
     lut = build_prefix_lut(khi, klo, k, prefix_bases)
     text2b, sentbits = pack_text_2bit(text)
     sa_txp = _sa_txp_of(sa, offsets, lens)
+    sa_tpos = (np.asarray(sa, dtype=np.int64) - offsets[sa_txp]).astype(np.int32)
     log.info("k-mer table: %d distinct %d-mers (%.1fs)", len(kb), k, time.time() - t0)
     idx = QuasiIndex(
         k=k, text=text, text2b=text2b, sentbits=sentbits, sa=sa, sa_txp=sa_txp,
+        sa_tpos=sa_tpos,
         kmer_hi=khi, kmer_lo=klo, kmer_b=kb, kmer_e=ke, prefix_lut=lut,
         txp_offsets=offsets, txp_lens=lens, txp_names=names,
         n_text=n_text, prefix_bases=prefix_bases, seed=seed,

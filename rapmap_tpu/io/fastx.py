@@ -131,9 +131,15 @@ def bucket_len(n: int, max_len: int) -> int:
     return min(max_len, _LEN_BUCKETS[-1])
 
 
+def _read_fastq_multi(paths: str) -> Iterator[tuple[str, bytes, bytes]]:
+    """Chain comma-separated FASTQ/FASTA files (reference multi-file surface)."""
+    for path in paths.split(","):
+        yield from read_fastq(path)
+
+
 def batched_reads(path: str, batch_size: int, max_len: int) -> Iterator[ReadBatch]:
     buf: list[tuple[str, bytes, bytes]] = []
-    for rec in read_fastq(path):
+    for rec in _read_fastq_multi(path):
         buf.append(rec)
         if len(buf) == batch_size:
             L = bucket_len(max(len(r[1]) for r in buf), max_len)
@@ -149,7 +155,7 @@ def batched_read_pairs(
 ) -> Iterator[tuple[ReadBatch, ReadBatch]]:
     buf1: list[tuple[str, bytes, bytes]] = []
     buf2: list[tuple[str, bytes, bytes]] = []
-    it2 = read_fastq(path2)
+    it2 = _read_fastq_multi(path2)
 
     def emit():
         L = bucket_len(
@@ -157,7 +163,7 @@ def batched_read_pairs(
         )
         return pack_batch(buf1, L, batch_size), pack_batch(buf2, L, batch_size)
 
-    for rec1 in read_fastq(path1):
+    for rec1 in _read_fastq_multi(path1):
         try:
             rec2 = next(it2)
         except StopIteration:

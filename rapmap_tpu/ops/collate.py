@@ -96,21 +96,22 @@ def collate_batch(
 
     p = gat(hb) + (j[None, :] - gat(s_h))
     if expand_fn is None:
-        p = jnp.clip(p, 0, didx.sa.shape[0] - 1)
-        g = flat_gather(didx.sa, p)
-        t = flat_gather(didx.sa_txp, p)
-        tpos = g - flat_gather(didx.txp_off, t) - gat(hq)
+        # one row-gather: [transcript id, precomputed transcript-local pos]
+        from rapmap_tpu.ops.gather import row_gather_nd
+
+        meta = row_gather_nd(didx.sa_meta, jnp.clip(p, 0, didx.sa_meta.shape[0] - 1))
+        t = meta[..., 0]
+        tpos = meta[..., 1] - gat(hq)
     else:
         t, tpos = expand_fn(p, gat(hq))
     strand = gat(hstrand)
-    t = jnp.where(slot_valid, t, BIG)
+    # packed sort key: t*2 + strand (requires n_txps < 2^30), BIG = invalid
+    key = jnp.where(slot_valid, t * 2 + strand, BIG)
 
-    # ---- vote: sort by (t, strand, tpos), count equal runs ------------------
-    t1, s1, p1 = lax.sort([t, strand, tpos], dimension=1, num_keys=3)
-    prev_same = (
-        (t1[:, 1:] == t1[:, :-1]) & (s1[:, 1:] == s1[:, :-1]) & (p1[:, 1:] == p1[:, :-1])
-    )
-    valid1 = t1 != BIG
+    # ---- vote: sort by (key, tpos), count equal runs ------------------------
+    k1, p1 = lax.sort([key, tpos], dimension=1, num_keys=2)
+    prev_same = (k1[:, 1:] == k1[:, :-1]) & (p1[:, 1:] == p1[:, :-1])
+    valid1 = k1 != BIG
     run_start = valid1 & jnp.concatenate(
         [np.ones((B, 1), bool), ~prev_same], axis=1
     )
@@ -121,19 +122,15 @@ def collate_batch(
     ).reshape(B, EXP)
     support = jnp.where(run_start, row_gather(seg, jnp.clip(run_id, 0, EXP - 1)), 0)
 
-    # ---- per-(t,strand) best position: sort runs by (t, strand, -support, tpos)
-    t2k = jnp.where(run_start, t1, BIG)
-    t2, s2, negsup2, p2, sup2 = lax.sort(
-        [t2k, jnp.where(run_start, s1, BIG), -support, p1, support],
+    # ---- per-(t,strand) best position: sort runs by (key, -support, tpos) ---
+    k2, negsup2, p2, sup2 = lax.sort(
+        [jnp.where(run_start, k1, BIG), -support, p1, support],
         dimension=1,
-        num_keys=4,
+        num_keys=3,
     )
-    grp_start = (t2 != BIG) & jnp.concatenate(
-        [
-            np.ones((B, 1), bool),
-            (t2[:, 1:] != t2[:, :-1]) | (s2[:, 1:] != s2[:, :-1]),
-        ],
-        axis=1,
+    s2 = (k2 & 1).astype(jnp.int32)
+    grp_start = (k2 != BIG) & jnp.concatenate(
+        [np.ones((B, 1), bool), k2[:, 1:] != k2[:, :-1]], axis=1
     )
     # consistency filter (SEMANTICS.md §4)
     if cfg.consistent_hits:
@@ -151,19 +148,18 @@ def collate_batch(
         best_s = jnp.maximum(m_fwd, m_rc)
         keep = keep & (jnp.where(s2 == 0, m_fwd, m_rc) == best_s)
 
-    # ---- compact winners: sort by (t, strand), take first MAX_OUT -----------
-    t3, s3, p3, sup3 = lax.sort(
-        [jnp.where(keep, t2, BIG), jnp.where(keep, s2, BIG), p2, sup2],
-        dimension=1,
-        num_keys=2,
+    # ---- compact winners: sort by packed key, take first MAX_OUT ------------
+    # winners have unique keys, so a single sort key suffices
+    k3, p3, sup3 = lax.sort(
+        [jnp.where(keep, k2, BIG), p2, sup2], dimension=1, num_keys=1
     )
     n_map = jnp.sum(keep, axis=1, dtype=jnp.int32)
     too_amb = n_map > cfg.max_num_hits
     out_trunc = (n_map > MO) & ~too_amb
-    emit = (~too_amb)[:, None] & (t3[:, :MO] != BIG)
-    out_t = jnp.where(emit, t3[:, :MO], -1)
+    emit = (~too_amb)[:, None] & (k3[:, :MO] != BIG)
+    out_t = jnp.where(emit, k3[:, :MO] >> 1, -1)
     out_p = jnp.where(emit, p3[:, :MO], 0)
-    out_s = jnp.where(emit, s3[:, :MO], 0)
+    out_s = jnp.where(emit, k3[:, :MO] & 1, 0)
     out_sc = jnp.where(emit, sup3[:, :MO], 0)
     mapped = (n_map >= 1) & ~too_amb
     return MapOut(

@@ -1,8 +1,16 @@
 """Device-resident quasi index: HBM flat arrays + static engine metadata.
 
-The index lives in HBM as plain jnp arrays (int32 fast path; bigSA/int64 texts
-are rejected for now — SURVEY.md §7.3). Static shape/config data rides in a
-hashable EngineStatic so jit traces once per (index, config, batch-shape).
+Layout is engineered around the chip's gather economics (measured: cost is
+per-INDEX, ~13 ns, while row width up to 16 B is free), so every hot probe
+reads one multi-column row:
+
+  kmer_rows (K, 4)  [hi, lo, b, e]          one row per table probe
+  lut_rows  (4^p,2) [start_v, start_v+1]    one row per prefix-bucket lookup
+  sa_ext    (n, 2)  [SA[i], txp_end]        one row per extension probe
+  sa_meta   (n, 2)  [sa_txp, sa_tpos]       one row per expansion slot
+  text2q    (nw, 4) packed words w..w+3     one row covers a 49+ char window
+
+All derived at upload from the on-disk arrays (disk format unchanged).
 """
 
 from __future__ import annotations
@@ -19,16 +27,15 @@ from rapmap_tpu.index.format import QuasiIndex
 class DeviceQuasiIndex(NamedTuple):
     """Pytree of HBM arrays (everything the mapping kernels touch)."""
 
-    text: jnp.ndarray       # int8 codes, padded tail of zeros
-    text2b: jnp.ndarray     # uint32, 16 bases/word (packed-word extension)
-    sentbits: jnp.ndarray   # uint32, 2 bits/base sentinel mask
-    sa: jnp.ndarray         # int32
-    sa_txp: jnp.ndarray     # int32
-    kmer_hi: jnp.ndarray    # uint32
-    kmer_lo: jnp.ndarray    # uint32
-    kmer_b: jnp.ndarray     # int32
-    kmer_e: jnp.ndarray     # int32
-    prefix_lut: jnp.ndarray # int32, len 4^p + 1
+    text: jnp.ndarray       # int8 codes (charwise fallback extension path)
+    text2q: jnp.ndarray     # uint32 (nw, 4): packed words i..i+3
+    sa: jnp.ndarray         # int32 (charwise fallback)
+    sa_ext: jnp.ndarray     # int32 (n, 2): [SA[i], transcript end of SA[i]]
+    sa_meta: jnp.ndarray    # int32 (n, 2): [sa_txp, sa_tpos]
+    sa_txp: jnp.ndarray     # int32 (collate fallback / sharding)
+    sa_tpos: jnp.ndarray    # int32
+    kmer_rows: jnp.ndarray  # int32 (K, 4): [hi, lo, b, e] (hi/lo bitcast)
+    lut_rows: jnp.ndarray   # int32 (4^p, 2): [lut[v], lut[v+1]]
     txp_off: jnp.ndarray    # int32
     txp_len: jnp.ndarray    # int32
 
@@ -39,8 +46,8 @@ class EngineStatic:
 
     k: int
     prefix_bases: int
-    lookup_steps: int  # binary-search trips covering the largest LUT bucket
-    pad_tail: int      # trailing text zero-pad (bounds max read length)
+    lookup_steps: int   # binary-search trips covering the largest LUT bucket
+    pad_tail: int       # trailing text zero-pad (bounds max read length)
 
     @staticmethod
     def for_index(idx: QuasiIndex) -> "EngineStatic":
@@ -56,18 +63,40 @@ class EngineStatic:
 def upload_index(idx: QuasiIndex) -> tuple[DeviceQuasiIndex, EngineStatic]:
     if np.asarray(idx.sa).dtype == np.int64:
         raise NotImplementedError("bigSA (int64) device path not yet supported")
+    sa = np.asarray(idx.sa, dtype=np.int32)
+    sa_txp = np.asarray(idx.sa_txp, dtype=np.int32)
+    sa_tpos = np.asarray(idx.sa_tpos, dtype=np.int32)
+    off = np.asarray(idx.txp_offsets, dtype=np.int64)
+    tl = np.asarray(idx.txp_lens, dtype=np.int32)
+    tend = (off[sa_txp] + tl[sa_txp]).astype(np.int32)
+    sa_ext = np.stack([sa, tend], axis=1)
+    sa_meta = np.stack([sa_txp, sa_tpos], axis=1)
+    kmer_rows = np.stack(
+        [
+            np.asarray(idx.kmer_hi, dtype=np.uint32).view(np.int32),
+            np.asarray(idx.kmer_lo, dtype=np.uint32).view(np.int32),
+            np.asarray(idx.kmer_b, dtype=np.int32),
+            np.asarray(idx.kmer_e, dtype=np.int32),
+        ],
+        axis=1,
+    ) if len(idx.kmer_b) else np.zeros((1, 4), np.int32)
+    lut = np.asarray(idx.prefix_lut, dtype=np.int32)
+    lut_rows = np.stack([lut[:-1], lut[1:]], axis=1)
+    t2b = np.asarray(idx.text2b, dtype=np.uint32)
+    nw = len(t2b)
+    t2p = np.concatenate([t2b, np.zeros(4, np.uint32)])
+    text2q = np.stack([t2p[i : i + nw] for i in range(4)], axis=1)
     dev = DeviceQuasiIndex(
         text=jnp.asarray(np.asarray(idx.text), dtype=jnp.int8),
-        text2b=jnp.asarray(np.asarray(idx.text2b), dtype=jnp.uint32),
-        sentbits=jnp.asarray(np.asarray(idx.sentbits), dtype=jnp.uint32),
-        sa=jnp.asarray(np.asarray(idx.sa), dtype=jnp.int32),
-        sa_txp=jnp.asarray(np.asarray(idx.sa_txp), dtype=jnp.int32),
-        kmer_hi=jnp.asarray(np.asarray(idx.kmer_hi), dtype=jnp.uint32),
-        kmer_lo=jnp.asarray(np.asarray(idx.kmer_lo), dtype=jnp.uint32),
-        kmer_b=jnp.asarray(np.asarray(idx.kmer_b), dtype=jnp.int32),
-        kmer_e=jnp.asarray(np.asarray(idx.kmer_e), dtype=jnp.int32),
-        prefix_lut=jnp.asarray(np.asarray(idx.prefix_lut), dtype=jnp.int32),
-        txp_off=jnp.asarray(np.asarray(idx.txp_offsets), dtype=jnp.int32),
-        txp_len=jnp.asarray(np.asarray(idx.txp_lens), dtype=jnp.int32),
+        text2q=jnp.asarray(text2q),
+        sa=jnp.asarray(sa),
+        sa_ext=jnp.asarray(sa_ext),
+        sa_meta=jnp.asarray(sa_meta),
+        sa_txp=jnp.asarray(sa_txp),
+        sa_tpos=jnp.asarray(sa_tpos),
+        kmer_rows=jnp.asarray(kmer_rows),
+        lut_rows=jnp.asarray(lut_rows),
+        txp_off=jnp.asarray(off.astype(np.int32)),
+        txp_len=jnp.asarray(tl),
     )
     return dev, EngineStatic.for_index(idx)

@@ -8,12 +8,14 @@ scheme (SURVEY.md §7.3 "gather-bound kernel"):
      numeric compare == lexicographic compare);
   2. MMP length = k + max(lcp with the two neighbours of the insertion point)
      — sorted order guarantees the max lcp is achieved there;
-  3. final interval = equal_range of Q truncated to the MMP length (two more
-     word-compare binary searches).
+  3. final interval = equal_range of Q truncated to the MMP length.
 
-Cost per anchor: 3 binary searches x ceil(log2 max_interval) steps + 2 lcp
-compares, each step ~4 HBM gathers — uniform across lanes (no straggler
-depths), ~10x fewer serial steps than per-depth narrowing on 76 bp reads.
+Op-count engineering (this runtime charges a high fixed cost per device op):
+  - the two equal_range searches and the two lcp probes each run as ONE
+    stacked (2R,) lane computation instead of two (R,) ones;
+  - suffix end-of-transcript limits come from sa_txp/txp_off/txp_len
+    arithmetic (one extra gather chain) instead of two sentinel-mask gathers
+    per word, so a W-word compare costs ~W+3 big gathers instead of 4W+1.
 """
 
 from __future__ import annotations
@@ -23,7 +25,7 @@ import numpy as np
 from jax import lax
 
 from rapmap_tpu.ops.device_index import DeviceQuasiIndex
-from rapmap_tpu.ops.gather import flat_gather
+from rapmap_tpu.ops.gather import flat_gather, row_gather
 
 U32 = np.uint32
 FULL = np.uint32(0xFFFFFFFF)
@@ -35,7 +37,7 @@ def pack_reads(reads: jnp.ndarray) -> jnp.ndarray:
     must be masked out by the caller via its valid-length logic)."""
     R, L = reads.shape
     c = reads.astype(jnp.int32)
-    bits = jnp.where((c >= 1) & (c <= 4), (c - 1) & 3, 0).astype(U32)  # (R, L)
+    bits = jnp.where((c >= 1) & (c <= 4), (c - 1) & 3, 0).astype(jnp.uint32)  # (R, L)
     b = jnp.concatenate([bits, np.zeros((R, 16), dtype=np.uint32)], axis=1)
     w = b[:, 0:L] << U32(30)
     for i in range(1, 16):
@@ -43,64 +45,73 @@ def pack_reads(reads: jnp.ndarray) -> jnp.ndarray:
     return w
 
 
-def _text_window(didx: DeviceQuasiIndex, gp: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
-    """16-base packed text window starting at global position gp, plus the
-    in-window offset (chars) of the first sentinel (16 if none)."""
-    nw = didx.text2b.shape[0]
-    wi = jnp.clip(gp >> 4, 0, nw - 2)
-    sh = ((gp & 15) << 1).astype(U32)
-    w0 = flat_gather(didx.text2b, wi)
-    w1 = flat_gather(didx.text2b, wi + 1)
-    s0 = flat_gather(didx.sentbits, wi)
-    s1 = flat_gather(didx.sentbits, wi + 1)
-    lo_shift = U32(32) - sh  # sh in [0,30]; guard sh==0 via where
-    tw = jnp.where(sh == 0, w0, (w0 << sh) | (w1 >> lo_shift))
-    ts = jnp.where(sh == 0, s0, (s0 << sh) | (s1 >> lo_shift))
-    sent_pos = (lax.clz(ts) >> 1).astype(jnp.int32)  # 16 if ts == 0 (clz=32)
-    return tw, sent_pos
+def _text_words(didx: DeviceQuasiIndex, gp: jnp.ndarray, W: int) -> list[jnp.ndarray]:
+    """Packed 16-base text windows at gp, gp+16, ..., gp+16(W-1).
 
+    text2q rows hold words i..i+3, so ceil((W+1)/4) row-gathers cover all
+    W+1 raw words needed after the sub-word shift."""
+    from rapmap_tpu.ops.gather import row_gather_nd
 
-def _prefix_mask(n: jnp.ndarray) -> jnp.ndarray:
-    """Mask selecting the first n (0..16) chars (2n MSBs) of a word."""
-    n2 = jnp.clip(n, 0, 16) * 2
-    # FULL << (32 - n2), with n2 == 0 -> 0
-    return jnp.where(n2 == 0, U32(0), FULL << (U32(32) - n2.astype(U32)))
+    nw = didx.text2q.shape[0]
+    sh = ((gp & 15) << 1).astype(jnp.uint32)
+    lo_shift = U32(32) - sh
+    wi = gp >> 4
+    n_quads = -(-(W + 1) // 4)
+    raw: list[jnp.ndarray] = []
+    for m in range(n_quads):
+        quad = row_gather_nd(didx.text2q, jnp.clip(wi + 4 * m, 0, nw - 1))
+        for c in range(4):
+            raw.append(lax.bitcast_convert_type(quad[..., c], jnp.uint32))
+    out = []
+    for j in range(W):
+        w0, w1 = raw[j], raw[j + 1]
+        out.append(jnp.where(sh == 0, w0, (w0 << sh) | (w1 >> lo_shift)))
+    return out
 
 
 def suffix_cmp(
     didx: DeviceQuasiIndex,
-    qwords: tuple[jnp.ndarray, ...],  # per-lane query words, len W
-    qlen: jnp.ndarray,                # (R,) valid query chars (beyond depth k)
-    gp: jnp.ndarray,                  # (R,) text position of suffix + k
+    qwords: list[jnp.ndarray],  # W arrays, per-lane query words
+    qlen: jnp.ndarray,          # valid query chars beyond depth k
+    slot: jnp.ndarray,          # SA slot of the candidate suffix (pre-clipped)
+    k: int,
     W: int,
 ):
-    """Compare text suffix (at gp) against the query suffix, both depth-k based.
+    """Compare the suffix at SA[slot] (depth-k based) against the query suffix.
 
-    Returns (cmp, lcp): cmp < 0 iff suffix < query, 0 iff equal on the first
-    qlen chars (query is a prefix), > 0 iff suffix > query; lcp in chars.
+    Returns (cmp, lcp): cmp < 0 iff suffix < query, 0 iff prefix-equal over
+    qlen chars, > 0 iff suffix > query; lcp in chars.
     """
+    from rapmap_tpu.ops.gather import row_gather_nd
+
+    row = row_gather_nd(didx.sa_ext, slot)  # [SA[i], transcript end]
+    g = row[..., 0]
+    tend = row[..., 1]
+    gp = g + k
+    tleft = tend - gp  # chars before this suffix's transcript-terminating '$'
+    twords = _text_words(didx, gp, W)
     cmp = qlen * 0
     lcp = qlen * 0
     decided = qlen < 0
     for j in range(W):
-        tw, tsent = _text_window(didx, gp + 16 * j)
         qn = jnp.clip(qlen - 16 * j, 0, 16)
-        n = jnp.minimum(qn, tsent)
-        mask = _prefix_mask(n)
+        tn = jnp.clip(tleft - 16 * j, 0, 16)
+        n = jnp.minimum(qn, tn)
+        n2 = (n * 2).astype(jnp.uint32)
+        mask = jnp.where(n2 == 0, U32(0), FULL << (U32(32) - n2))
         qv = qwords[j] & mask
-        tv = tw & mask
+        tv = twords[j] & mask
         x = qv ^ tv
         diffpos = (lax.clz(x) >> 1).astype(jnp.int32)  # chars; 16 if equal
         has_diff = diffpos < n
-        # outcome for this word when not yet decided:
         word_cmp = jnp.where(
             has_diff,
             jnp.where(tv < qv, -1, 1),
-            # no diff within n chars: text sentinel before query end -> suffix
-            # shorter -> less; query exhausted (qn <= tsent, qn < 16) -> equal
-            jnp.where((tsent < qn), -1, jnp.where(qn < 16, 0, 0)),
+            # no diff within n: transcript ends first -> suffix smaller;
+            # query exhausted -> prefix-equal
+            jnp.where(tn < qn, -1, 0),
         ).astype(jnp.int32)
-        word_final = has_diff | (tsent < qn) | (qn < 16)
+        word_final = has_diff | (tn < qn) | (qn < 16)
         word_lcp = jnp.where(has_diff, diffpos, n)
         lcp = jnp.where(decided, lcp, lcp + word_lcp)
         cmp = jnp.where(decided, cmp, jnp.where(word_final, word_cmp, 0))
@@ -108,15 +119,15 @@ def suffix_cmp(
     return cmp, lcp
 
 
-def _bound(didx, qwords, qlen, b, e, k: int, W: int, steps: int, upper: bool):
-    """Lower bound (upper=False: first p with S_p >= Q) or upper bound
-    (first p with S_p > Q) over SA[b:e) by word-compare binary search."""
+def _bound_stacked(didx, qwords, qlen, b, e, upper, k: int, W: int, steps: int):
+    """Batched binary search; `upper` is a per-lane bool vector (False: first
+    S_p >= Q; True: first S_p > Q). Works for any lane count (used stacked)."""
+    n_sa = didx.sa.shape[0]
 
     def step(_, iv):
         lo, hi = iv
         mid = (lo + hi) >> 1
-        g = flat_gather(didx.sa, jnp.clip(mid, 0, didx.sa.shape[0] - 1))
-        cmp, _ = suffix_cmp(didx, qwords, qlen, g + k, W)
+        cmp, _ = suffix_cmp(didx, qwords, qlen, jnp.clip(mid, 0, n_sa - 1), k, W)
         less = (cmp < 0) | (upper & (cmp == 0))
         cont = lo < hi
         lo2 = jnp.where(less, mid + 1, lo)
@@ -135,40 +146,43 @@ def extend_packed(
     b0, e0, pos, active, k: int, ext_steps: int, L: int,
 ):
     """Drop-in for ops.mmp._extend. Returns (b, e, mlen)."""
-    R = pos.shape[0]
     W = max(1, -(-(L - k) // 16))
     base = pos + k
     base_c = jnp.clip(base, 0, L - 1)
     # valid query chars beyond depth k: up to the next N and the read end
-    from rapmap_tpu.ops.gather import row_gather
-
     nb = jnp.where(base < L, row_gather(next_bad, base_c[:, None])[:, 0], base)
     qlen = jnp.clip(jnp.minimum(nb, lens) - base, 0, L - k)
-    qwords = tuple(
+    qwords = [
         jnp.where(
             base + 16 * j < L,
             row_gather(preads, jnp.clip(base + 16 * j, 0, L - 1)[:, None])[:, 0],
             U32(0),
         )
         for j in range(W)
-    )
+    ]
 
-    lb = _bound(didx, qwords, qlen, b0, e0, k, W, ext_steps, upper=False)
     n_sa = didx.sa.shape[0]
+    no_up = qlen < 0  # all-False
+    lb = _bound_stacked(didx, qwords, qlen, b0, e0, no_up, k, W, ext_steps)
 
-    def lcp_at(p, valid):
-        g = flat_gather(didx.sa, jnp.clip(p, 0, n_sa - 1))
-        _, l = suffix_cmp(didx, qwords, qlen, g + k, W)
-        return jnp.where(valid, l, 0)
-
-    l_left = lcp_at(lb - 1, lb - 1 >= b0)
-    l_right = lcp_at(lb, lb < e0)
-    ext = jnp.minimum(jnp.maximum(l_left, l_right), qlen)
+    # neighbour lcp probes, one stacked call
+    R = lb.shape[0]
+    p2 = jnp.concatenate([lb - 1, lb])
+    valid2 = jnp.concatenate([lb - 1 >= b0, lb < e0])
+    q2 = [jnp.concatenate([q, q]) for q in qwords]
+    qlen2 = jnp.concatenate([qlen, qlen])
+    _, l2 = suffix_cmp(didx, q2, qlen2, jnp.clip(p2, 0, n_sa - 1), k, W)
+    l2 = jnp.where(valid2, l2, 0)
+    ext = jnp.minimum(jnp.maximum(l2[:R], l2[R:]), qlen)
     mlen = k + ext
 
-    # equal_range of Q truncated to ext chars
-    lb2 = _bound(didx, qwords, ext, b0, e0, k, W, ext_steps, upper=False)
-    ub2 = _bound(didx, qwords, ext, b0, e0, k, W, ext_steps, upper=True)
+    # equal_range of Q truncated to ext chars: both bounds in one stacked call
+    ext2 = jnp.concatenate([ext, ext])
+    b_st = jnp.concatenate([b0, b0])
+    e_st = jnp.concatenate([e0, e0])
+    upper = jnp.concatenate([ext < 0, ext >= 0])  # [False..., True...]
+    bounds = _bound_stacked(didx, q2, ext2, b_st, e_st, upper, k, W, ext_steps)
+    lb2, ub2 = bounds[:R], bounds[R:]
     ok = active & (ub2 > lb2)
     b = jnp.where(ok, lb2, b0)
     e = jnp.where(ok, ub2, e0)

@@ -27,3 +27,13 @@ def row_gather(tab, idx: jnp.ndarray) -> jnp.ndarray:
 def flat_gather(tab, idx: jnp.ndarray) -> jnp.ndarray:
     """tab (N,), idx any-shape int (pre-clipped) -> tab[idx] via 1-D gather."""
     return jnp.take(tab, idx.reshape(-1), mode="clip").reshape(idx.shape)
+
+
+def row_gather_nd(tab, idx: jnp.ndarray) -> jnp.ndarray:
+    """tab (N, C), idx any-shape int (pre-clipped) -> (*idx.shape, C).
+
+    One multi-column row per index: on this hardware gather cost is per index
+    and row width (<= 16 B) is free, so pack related columns into rows."""
+    C = tab.shape[1]
+    out = jnp.take(tab, idx.reshape(-1), axis=0, mode="clip")
+    return out.reshape(*idx.shape, C)

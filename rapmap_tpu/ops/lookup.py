@@ -1,8 +1,9 @@
 """Vectorized k-mer -> SA-interval lookup (sparsepp/BooPHF replacement).
 
-Branchless binary search over the sorted (hi, lo) k-mer table, narrowed by a
-first-p-bases prefix LUT; every step is a batched HBM gather, so thousands of
-lanes probe in lockstep (SURVEY.md §7.1 kernel 1).
+Binary search over the sorted k-mer table, narrowed to a prefix-LUT bucket.
+Gather economics on this chip are per-index (row width free), so every probe
+reads one (hi, lo, b, e) row and the LUT read returns both bucket bounds in
+one (start, end) row — 1 + steps row-gathers per key total.
 """
 
 from __future__ import annotations
@@ -12,6 +13,7 @@ import numpy as np
 from jax import lax
 
 from rapmap_tpu.ops.device_index import DeviceQuasiIndex, EngineStatic
+from rapmap_tpu.ops.gather import row_gather_nd
 
 
 def _prefix_of(hi: jnp.ndarray, lo: jnp.ndarray, k: int, p: int) -> jnp.ndarray:
@@ -26,21 +28,27 @@ def _prefix_of(hi: jnp.ndarray, lo: jnp.ndarray, k: int, p: int) -> jnp.ndarray:
     return pref.astype(jnp.int32)
 
 
+def _as_u32(x: jnp.ndarray) -> jnp.ndarray:
+    return lax.bitcast_convert_type(x, jnp.uint32)
+
+
 def kmer_lookup(
     didx: DeviceQuasiIndex, st: EngineStatic, key_hi: jnp.ndarray, key_lo: jnp.ndarray
 ) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Any-shaped uint32 key arrays -> (found, b, e) int32/bool of same shape."""
-    K = didx.kmer_hi.shape[0]
+    K = didx.kmer_rows.shape[0]
+    Kc = max(K - 1, 0)
     pref = _prefix_of(key_hi, key_lo, st.k, st.prefix_bases)
-    lo_i = didx.prefix_lut[pref]
-    hi_i = didx.prefix_lut[pref + 1]
+    bounds = row_gather_nd(didx.lut_rows, pref)  # (..., 2)
+    lo_i = bounds[..., 0]
+    hi_i = bounds[..., 1]
 
     def step(_, iv):
         lo, hi = iv
         mid = (lo + hi) >> 1
-        m = jnp.clip(mid, 0, max(K - 1, 0))
-        vh = didx.kmer_hi[m]
-        vl = didx.kmer_lo[m]
+        row = row_gather_nd(didx.kmer_rows, jnp.clip(mid, 0, Kc))
+        vh = _as_u32(row[..., 0])
+        vl = _as_u32(row[..., 1])
         less = (vh < key_hi) | ((vh == key_hi) & (vl < key_lo))
         cont = lo < hi
         lo2 = jnp.where(less, mid + 1, lo)
@@ -48,8 +56,12 @@ def kmer_lookup(
         return (jnp.where(cont, lo2, lo), jnp.where(cont, hi2, hi))
 
     lo_f, _ = lax.fori_loop(0, st.lookup_steps, step, (lo_i, hi_i))
-    idx = jnp.clip(lo_f, 0, max(K - 1, 0))
-    found = (lo_f < hi_i) & (didx.kmer_hi[idx] == key_hi) & (didx.kmer_lo[idx] == key_lo)
-    b = jnp.where(found, didx.kmer_b[idx], 0)
-    e = jnp.where(found, didx.kmer_e[idx], 0)
+    row = row_gather_nd(didx.kmer_rows, jnp.clip(lo_f, 0, Kc))
+    found = (
+        (lo_f < hi_i)
+        & (_as_u32(row[..., 0]) == key_hi)
+        & (_as_u32(row[..., 1]) == key_lo)
+    )
+    b = jnp.where(found, row[..., 2], 0)
+    e = jnp.where(found, row[..., 3], 0)
     return found, b, e

@@ -1,2 +1,2 @@
 __version__ = "0.1.0"
-INDEX_FORMAT_VERSION = 1
+INDEX_FORMAT_VERSION = 2
