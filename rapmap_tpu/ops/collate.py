@@ -91,20 +91,24 @@ def collate_batch(
     hidx_c = jnp.clip(hidx, 0, H2 - 1)
     slot_valid = j[None, :] < jnp.minimum(total, EXP)[:, None]
 
-    def gat(tab):
-        return row_gather(tab, hidx_c)
-
-    p = gat(hb) + (j[None, :] - gat(s_h))
+    # one 4-column row-gather resolves the hit fields for every slot
+    hit_rows = jnp.stack(
+        [hb, s_h, hq, jnp.broadcast_to(hstrand, hb.shape)], axis=-1
+    ).reshape(B * H2, 4)
+    flat = (np.arange(B, dtype=np.int32)[:, None] * H2 + hidx_c).reshape(-1)
+    g4 = jnp.take(hit_rows, flat, axis=0, mode="clip").reshape(B, EXP, 4)
+    p = g4[..., 0] + (j[None, :] - g4[..., 1])
+    hq_slot = g4[..., 2]
+    strand = g4[..., 3]
     if expand_fn is None:
         # one row-gather: [transcript id, precomputed transcript-local pos]
         from rapmap_tpu.ops.gather import row_gather_nd
 
         meta = row_gather_nd(didx.sa_meta, jnp.clip(p, 0, didx.sa_meta.shape[0] - 1))
         t = meta[..., 0]
-        tpos = meta[..., 1] - gat(hq)
+        tpos = meta[..., 1] - hq_slot
     else:
-        t, tpos = expand_fn(p, gat(hq))
-    strand = gat(hstrand)
+        t, tpos = expand_fn(p, hq_slot)
     # packed sort key: t*2 + strand (requires n_txps < 2^30), BIG = invalid
     key = jnp.where(slot_valid, t * 2 + strand, BIG)
 
