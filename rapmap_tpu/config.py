@@ -21,6 +21,8 @@ class MapConfig:
     # device-engine static shape knobs (no effect on semantics when not exceeded;
     # exceeding them sets the over_budget counter)
     max_hits_per_strand: int = 16  # MMP hits recorded per read-strand
-    expand_budget: int = 256       # SA-slot expansion slots per read
+    expand_budget: int = 8         # AVERAGE SA-expansion slots per read: the
+    # global pool holds expand_budget * batch slots (ops.collate); typical
+    # reads use 2-6, so 8 leaves ample headroom before over_budget flags
     max_out: int = 64              # mapping records retained per read on device
     packed_extension: bool = True  # word-compare extension (ops.extend_packed)

@@ -1,13 +1,24 @@
 """Hit collation: SA intervals -> per-transcript mappings (HitManager rebuild).
 
-SEMANTICS.md §4 as batched sort/segment ops (SURVEY.md §7.1 kernel 4):
-  1. budgeted expansion of every hit's SA interval into per-read slots
-  2. (t, strand, tpos) voting via one lexicographic sort + run-length counts
-  3. per-(t,strand) best-position selection via a second sort
-  4. winner compaction via a third sort, capped at cfg.max_out
+SEMANTICS.md §4 with a GLOBAL slot pool (SURVEY.md §7.1 kernel 4): hits from
+all reads expand into one (CAPG,) pool sized cfg.expand_budget slots per read
+on average, instead of a fixed per-read budget. Typical reads expand ~2-6
+slots, so the pool is ~30x smaller than the old (B, EXP) layout; all voting
+sorts and segment ops run over the 1-D pool.
 
-Everything is static-shaped; budget overflows set per-read over_budget flags
-instead of changing shapes.
+Pipeline:
+  1. global exclusive cumsum over hit widths -> each hit's slot range
+     (read-major, so each read's slots are contiguous)
+  2. slot -> hit assignment by scatter of hit ids at range starts + a
+     running-max scan (no per-slot binary search, no (B, EXP, 2H) broadcast)
+  3. one 4-column row-gather resolves hit fields; one sa_meta row-gather
+     resolves (transcript, position)
+  4. voting: one 3-key global sort + run-length support counts
+  5. per-(t,strand) best position: one 4-key sort; consistency/strict filters
+  6. winners scatter into the (B, MAX_OUT) MapOut layout
+
+Budget overflow (pool exhausted — the tail reads' slots are cut) sets those
+reads' over_budget flags, mirroring the old per-read budget semantics.
 """
 
 from __future__ import annotations
@@ -21,7 +32,7 @@ from jax import lax
 
 from rapmap_tpu.config import MapConfig
 from rapmap_tpu.ops.device_index import DeviceQuasiIndex, EngineStatic
-from rapmap_tpu.ops.gather import flat_gather, row_gather
+from rapmap_tpu.ops.gather import flat_gather, row_gather_nd
 from rapmap_tpu.ops.mmp import ScanHits
 
 BIG = np.int32(2**31 - 1)
@@ -35,7 +46,7 @@ class MapOut(NamedTuple):
     n_mappings: jnp.ndarray   # (B,) int32 — pre-cap mapping count
     mapped: jnp.ndarray       # (B,) bool
     too_ambiguous: jnp.ndarray  # (B,) bool
-    over_budget: jnp.ndarray    # (B,) bool — expansion budget or hit buffer blown
+    over_budget: jnp.ndarray    # (B,) bool — expansion pool or hit buffer blown
     out_truncated: jnp.ndarray  # (B,) bool — winners > max_out emitted slots
 
 
@@ -52,15 +63,16 @@ def collate_batch(
     CSR resolver instead (SEMANTICS.md §7)."""
     R, H = hits.q.shape
     B = R // 2
-    EXP = cfg.expand_budget
     MO = cfg.max_out
     H2 = 2 * H
+    NH = B * H2
+    CAPG = cfg.expand_budget * B
 
     # ---- per-strand coverage gate (quasi_coverage) --------------------------
     hvalid_rows = np.arange(H, dtype=np.int32)[None, :] < hits.n[:, None]  # (R, H)
-    cov = jnp.sum(jnp.where(hvalid_rows, hits.l, 0), axis=1)  # (R,)
-    lens2 = jnp.concatenate([lens, lens])
     if cfg.quasi_coverage > 0.0:
+        cov = jnp.sum(jnp.where(hvalid_rows, hits.l, 0), axis=1)  # (R,)
+        lens2 = jnp.concatenate([lens, lens])
         strand_ok = cov.astype(jnp.float32) >= cfg.quasi_coverage * lens2.astype(jnp.float32)
     else:
         strand_ok = hits.n >= 0
@@ -70,76 +82,84 @@ def collate_batch(
     def fold(x):
         return jnp.concatenate([x[:B], x[B:]], axis=1)  # (B, 2H), fwd hits first
 
-    hq, hl, hb, he = fold(hits.q), fold(hits.l), fold(hits.b), fold(hits.e)
+    hq, hb, he = fold(hits.q), fold(hits.b), fold(hits.e)
     hv = fold(hvalid_rows)
     hstrand = np.concatenate(
         [np.zeros((B, H), np.int32), np.ones((B, H), np.int32)], axis=1
     )
+    read_of_hit = np.repeat(np.arange(B, dtype=np.int32), H2)
     n_fwd = jnp.where(strand_ok[:B], hits.n[:B], 0)
     n_rc = jnp.where(strand_ok[B:], hits.n[B:], 0)
 
-    # ---- budgeted expansion -------------------------------------------------
-    w = jnp.where(hv, he - hb, 0)  # (B, 2H)
-    s_h = jnp.cumsum(w, axis=1) - w  # exclusive prefix
-    total = jnp.sum(w, axis=1)  # (B,)
-    over_budget = (total > EXP) | hits.truncated[:B] | hits.truncated[B:]
+    # ---- global expansion pool ---------------------------------------------
+    w = jnp.where(hv, he - hb, 0).reshape(-1)  # (NH,)
+    cs = jnp.cumsum(w)
+    sg = cs - w                     # global start of each hit's slot range
+    total_global = cs[-1]
+    ends_r = cs.reshape(B, H2)[:, -1]
+    starts_r = jnp.concatenate([ends_r[:1] * 0, ends_r[:-1]])
+    over_budget = (ends_r > CAPG) & (ends_r > starts_r)
+    over_budget = over_budget | hits.truncated[:B] | hits.truncated[B:]
 
-    j = np.arange(EXP, dtype=np.int32)  # slots
-    # h(j) = last hit whose exclusive-prefix start <= j (zero-width hits skipped)
-    cmp = s_h[:, None, :] <= j[None, :, None]  # (B, EXP, 2H)
-    hidx = jnp.sum(cmp, axis=2, dtype=jnp.int32) - 1  # (B, EXP)
-    hidx_c = jnp.clip(hidx, 0, H2 - 1)
-    slot_valid = j[None, :] < jnp.minimum(total, EXP)[:, None]
+    # slot -> hit: scatter hit ids at their range starts, then running max
+    hit_ids = np.arange(NH, dtype=np.int32)
+    valid_hit = (w > 0) & (sg < CAPG)
+    scat_idx = jnp.where(valid_hit, sg, CAPG)
+    # init from a traced scalar so no device-resident constant is embedded
+    pool0 = jnp.broadcast_to(total_global * 0 - 1, (CAPG + 1,))
+    pool_hit = pool0.at[scat_idx].max(jnp.where(valid_hit, hit_ids, -1), mode="drop")[:CAPG]
+    pool_hit = lax.associative_scan(jnp.maximum, pool_hit)
+    g = np.arange(CAPG, dtype=np.int32)
+    slot_valid = (g < jnp.minimum(total_global, CAPG)) & (pool_hit >= 0)
+    ph = jnp.clip(pool_hit, 0, NH - 1)
 
     # one 4-column row-gather resolves the hit fields for every slot
+    rs_const = read_of_hit * 2 + hstrand.reshape(-1)  # host numpy
     hit_rows = jnp.stack(
-        [hb, s_h, hq, jnp.broadcast_to(hstrand, hb.shape)], axis=-1
-    ).reshape(B * H2, 4)
-    flat = (np.arange(B, dtype=np.int32)[:, None] * H2 + hidx_c).reshape(-1)
-    g4 = jnp.take(hit_rows, flat, axis=0, mode="clip").reshape(B, EXP, 4)
-    p = g4[..., 0] + (j[None, :] - g4[..., 1])
-    hq_slot = g4[..., 2]
-    strand = g4[..., 3]
+        [hb.reshape(-1), sg, hq.reshape(-1), jnp.broadcast_to(rs_const, sg.shape)],
+        axis=-1,
+    )  # (NH, 4)
+    g4 = jnp.take(hit_rows, ph, axis=0, mode="clip")  # (CAPG, 4)
+    p = g4[:, 0] + (g - g4[:, 1])
+    hq_slot = g4[:, 2]
+    read = g4[:, 3] >> 1
+    strand = g4[:, 3] & 1
     if expand_fn is None:
-        # one row-gather: [transcript id, precomputed transcript-local pos]
-        from rapmap_tpu.ops.gather import row_gather_nd
-
         meta = row_gather_nd(didx.sa_meta, jnp.clip(p, 0, didx.sa_meta.shape[0] - 1))
-        t = meta[..., 0]
-        tpos = meta[..., 1] - hq_slot
+        t = meta[:, 0]
+        tpos = meta[:, 1] - hq_slot
     else:
         t, tpos = expand_fn(p, hq_slot)
-    # packed sort key: t*2 + strand (requires n_txps < 2^30), BIG = invalid
-    key = jnp.where(slot_valid, t * 2 + strand, BIG)
 
-    # ---- vote: sort by (key, tpos), count equal runs ------------------------
-    k1, p1 = lax.sort([key, tpos], dimension=1, num_keys=2)
-    prev_same = (k1[:, 1:] == k1[:, :-1]) & (p1[:, 1:] == p1[:, :-1])
+    key1 = jnp.where(slot_valid, read, BIG)
+    key2 = jnp.where(slot_valid, t * 2 + strand, BIG)  # needs n_txps < 2^30
+
+    # ---- vote: sort by (read, t*2+strand, tpos), count equal runs -----------
+    k1, k2, p1 = lax.sort([key1, key2, tpos], dimension=0, num_keys=3)
+    prev_same = (k1[1:] == k1[:-1]) & (k2[1:] == k2[:-1]) & (p1[1:] == p1[:-1])
     valid1 = k1 != BIG
-    run_start = valid1 & jnp.concatenate(
-        [np.ones((B, 1), bool), ~prev_same], axis=1
-    )
-    run_id = jnp.cumsum(run_start.astype(jnp.int32), axis=1) - 1  # (B, EXP)
-    gid = (np.arange(B, dtype=np.int32)[:, None] * EXP + jnp.clip(run_id, 0, EXP - 1)).reshape(-1)
+    run_start = valid1 & jnp.concatenate([np.ones(1, bool), ~prev_same])
+    run_id = jnp.cumsum(run_start.astype(jnp.int32)) - 1
     seg = jax.ops.segment_sum(
-        valid1.astype(jnp.int32).reshape(-1), gid, num_segments=B * EXP
-    ).reshape(B, EXP)
-    support = jnp.where(run_start, row_gather(seg, jnp.clip(run_id, 0, EXP - 1)), 0)
+        valid1.astype(jnp.int32), jnp.clip(run_id, 0, CAPG - 1), num_segments=CAPG
+    )
+    support = jnp.where(run_start, flat_gather(seg, jnp.clip(run_id, 0, CAPG - 1)), 0)
 
-    # ---- per-(t,strand) best position: sort runs by (key, -support, tpos) ---
-    k2, negsup2, p2, sup2 = lax.sort(
-        [jnp.where(run_start, k1, BIG), -support, p1, support],
-        dimension=1,
-        num_keys=3,
+    # ---- per-(read,t,strand) best position: sort runs by (r, ts, -sup, tpos)
+    k1r = jnp.where(run_start, k1, BIG)
+    k2r = jnp.where(run_start, k2, BIG)
+    k1s, k2s, negsup, p2, sup2 = lax.sort(
+        [k1r, k2r, -support, p1, support], dimension=0, num_keys=4
     )
-    s2 = (k2 & 1).astype(jnp.int32)
-    grp_start = (k2 != BIG) & jnp.concatenate(
-        [np.ones((B, 1), bool), k2[:, 1:] != k2[:, :-1]], axis=1
+    s2 = (k2s & 1).astype(jnp.int32)
+    grp_start = (k1s != BIG) & jnp.concatenate(
+        [np.ones(1, bool), (k1s[1:] != k1s[:-1]) | (k2s[1:] != k2s[:-1])]
     )
+    rclip = jnp.clip(k1s, 0, B - 1)
     # consistency filter (SEMANTICS.md §4)
     if cfg.consistent_hits:
         need = jnp.where(
-            s2 == 0, n_fwd[:, None], n_rc[:, None]
+            s2 == 0, flat_gather(n_fwd, rclip), flat_gather(n_rc, rclip)
         ) - (1 if cfg.fuzzy else 0)
         keep = grp_start & (sup2 >= need)
     else:
@@ -147,28 +167,34 @@ def collate_batch(
     if cfg.strict_check:
         # orientation-bias curb (SEMANTICS.md §3): keep only the strand(s)
         # whose best kept score equals the read's overall best
-        m_fwd = jnp.max(jnp.where(keep & (s2 == 0), sup2, 0), axis=1, keepdims=True)
-        m_rc = jnp.max(jnp.where(keep & (s2 == 1), sup2, 0), axis=1, keepdims=True)
-        best_s = jnp.maximum(m_fwd, m_rc)
-        keep = keep & (jnp.where(s2 == 0, m_fwd, m_rc) == best_s)
+        sid = jnp.clip(k1s * 2 + s2, 0, 2 * B - 1)
+        m_rs = jax.ops.segment_max(
+            jnp.where(keep, sup2, 0), sid, num_segments=2 * B
+        )
+        m_rs = jnp.maximum(m_rs, 0)
+        best = jnp.maximum(m_rs[0::2], m_rs[1::2])  # (B,)
+        keep = keep & (flat_gather(m_rs, sid) == flat_gather(best, rclip))
 
-    # ---- compact winners: sort by packed key, take first MAX_OUT ------------
-    # winners have unique keys, so a single sort key suffices
-    k3, p3, sup3 = lax.sort(
-        [jnp.where(keep, k2, BIG), p2, sup2], dimension=1, num_keys=1
-    )
-    n_map = jnp.sum(keep, axis=1, dtype=jnp.int32)
-    too_amb = n_map > cfg.max_num_hits
+    # ---- winners -> (B, MAX_OUT) MapOut scatter -----------------------------
+    counts = jax.ops.segment_sum(
+        keep.astype(jnp.int32), rclip, num_segments=B
+    )  # (B,) — rclip only counts real reads (keep is False where k1s == BIG)
+    base = jnp.cumsum(counts) - counts  # exclusive per-read winner base
+    gks = jnp.cumsum(keep.astype(jnp.int32)) - 1
+    rank = gks - flat_gather(base, rclip)
+    too_amb = counts > cfg.max_num_hits
+    emit = keep & ~flat_gather(too_amb, rclip) & (rank < MO)
+    flatpos = jnp.where(emit, rclip * MO + rank, B * MO)
+    tmpl = jnp.broadcast_to(total_global * 0, (B * MO + 1,))
+    out_t = (tmpl - 1).at[flatpos].set(jnp.where(emit, k2s >> 1, -1), mode="drop")[: B * MO].reshape(B, MO)
+    out_p = tmpl.at[flatpos].set(jnp.where(emit, p2, 0), mode="drop")[: B * MO].reshape(B, MO)
+    out_s = tmpl.at[flatpos].set(jnp.where(emit, k2s & 1, 0), mode="drop")[: B * MO].reshape(B, MO)
+    out_sc = tmpl.at[flatpos].set(jnp.where(emit, sup2, 0), mode="drop")[: B * MO].reshape(B, MO)
+    n_map = counts
     out_trunc = (n_map > MO) & ~too_amb
-    emit = (~too_amb)[:, None] & (k3[:, :MO] != BIG)
-    out_t = jnp.where(emit, k3[:, :MO] >> 1, -1)
-    out_p = jnp.where(emit, p3[:, :MO], 0)
-    out_s = jnp.where(emit, k3[:, :MO] & 1, 0)
-    out_sc = jnp.where(emit, sup3[:, :MO], 0)
     mapped = (n_map >= 1) & ~too_amb
     return MapOut(
         t=out_t, pos=out_p, strand=out_s, score=out_sc,
         n_mappings=n_map, mapped=mapped, too_ambiguous=too_amb,
         over_budget=over_budget, out_truncated=out_trunc,
     )
-
