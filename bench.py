@@ -34,7 +34,7 @@ N_TXPS = 10_000
 TXP_LEN = (500, 3500)
 READ_LEN = 76
 N_READS = 400_000
-BATCH = 32768
+BATCH = 8192  # larger batches amortize tunnel overhead but compile 4-10 min on this rig
 
 
 def build_world():
