@@ -1,0 +1,135 @@
+#!/usr/bin/env python
+"""Mapping-accuracy evaluation on simulated reads (paper-style validation).
+
+The RapMap paper established correctness by precision/recall of mapped loci on
+simulated data (SURVEY.md §4); this harness reproduces that protocol against
+this framework: simulate reads with known (transcript, position, strand) truth
+from a FASTA (+ error/N rates), map them, and score.
+
+A read is a true positive if its reported mapping set contains the true locus
+(exact transcript + position + strand); precision counts reported loci that
+are the true one. Results print as one JSON object.
+
+Usage:
+  python scripts/eval_accuracy.py -t txome.fa [-n 20000] [-l 76] [-e 0.01] [-k 31]
+  python scripts/eval_accuracy.py --synthetic  # generate a transcriptome too
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import tempfile
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+from rapmap_tpu.utils.jaxenv import setup as _jax_setup
+
+_jax_setup()
+
+BASES = np.frombuffer(b"ACGT", dtype=np.uint8)
+COMP = bytes.maketrans(b"ACGT", b"TGCA")
+
+
+def simulate(txps, n_reads, read_len, err, n_rate, rng):
+    reads, truth = [], []
+    lens = np.array([len(s) for _, s in txps])
+    ok = np.nonzero(lens >= read_len)[0]
+    for i in range(n_reads):
+        t = int(ok[rng.integers(0, len(ok))])
+        seq = txps[t][1]
+        p = int(rng.integers(0, len(seq) - read_len + 1))
+        r = bytearray(seq[p : p + read_len])
+        for j in range(read_len):
+            u = rng.random()
+            if u < err:
+                r[j] = BASES[int(rng.integers(0, 4))]
+            elif u < err + n_rate:
+                r[j] = ord("N")
+        rc = bool(rng.random() < 0.5)
+        if rc:
+            r = bytearray(bytes(r).translate(COMP)[::-1])
+        reads.append(bytes(r))
+        truth.append((t, p, rc))
+    return reads, truth
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("-t", "--transcripts")
+    ap.add_argument("--synthetic", action="store_true")
+    ap.add_argument("-n", "--numReads", type=int, default=20000)
+    ap.add_argument("-l", "--readLen", type=int, default=76)
+    ap.add_argument("-e", "--errorRate", type=float, default=0.01)
+    ap.add_argument("--nRate", type=float, default=0.002)
+    ap.add_argument("-k", "--kmerLen", type=int, default=31)
+    ap.add_argument("--batchSize", type=int, default=4096)
+    ap.add_argument("--seed", type=int, default=7)
+    args = ap.parse_args()
+
+    rng = np.random.default_rng(args.seed)
+    tmp = tempfile.mkdtemp(prefix="tqm_eval_")
+    if args.synthetic or not args.transcripts:
+        fa = os.path.join(tmp, "txome.fa")
+        with open(fa, "w") as f:
+            for i in range(2000):
+                L = int(rng.integers(300, 3000))
+                f.write(f">t{i}\n{BASES[rng.integers(0, 4, L)].tobytes().decode()}\n")
+        args.transcripts = fa
+
+    from rapmap_tpu.index.builder import build_quasi_index
+    from rapmap_tpu.index.encode import encode_reads
+    from rapmap_tpu.config import MapConfig
+    from rapmap_tpu.models.quasi import QuasiMapper
+    from rapmap_tpu.io.fastx import read_fasta
+
+    txps = [(n, s) for n, s in read_fasta(args.transcripts)]
+    idx = build_quasi_index(args.transcripts, k=args.kmerLen)
+    name_to_id = {n: i for i, n in enumerate(idx.txp_names)}
+    reads, truth = simulate(txps, args.numReads, args.readLen, args.errorRate, args.nRate, rng)
+
+    mapper = QuasiMapper(idx, MapConfig(k=idx.k))
+    B = args.batchSize
+    L = args.readLen
+    tp = fn = 0
+    reported = 0
+    correct_reported = 0
+    for s in range(0, len(reads), B):
+        chunk = reads[s : s + B]
+        codes = np.full((B, L), 5, dtype=np.int8)
+        for i, r in enumerate(chunk):
+            codes[i] = encode_reads(np.frombuffer(r, dtype=np.uint8))
+        lens = np.full(B, L, np.int32)
+        wr = mapper.fetch(mapper.map_se_async(codes, lens, n_valid=len(chunk)))
+        off = 0
+        for i in range(len(chunk)):
+            c = int(wr.counts[i])
+            locs = {
+                (int(wr.recs[off + j][0]), int(wr.recs[off + j][1]), int(wr.recs[off + j][2]))
+                for j in range(c)
+            }
+            off += c
+            t, p, rc = truth[s + i]
+            want = (name_to_id[txps[t][0]], p, 1 if rc else 0)
+            reported += len(locs)
+            if want in locs:
+                tp += 1
+                correct_reported += 1
+            else:
+                fn += 1
+    recall = tp / max(tp + fn, 1)
+    precision = correct_reported / max(reported, 1)
+    print(json.dumps({
+        "reads": len(reads), "read_len": args.readLen, "error_rate": args.errorRate,
+        "recall_true_locus": round(recall, 4),
+        "precision_reported_loci": round(precision, 4),
+        "mean_loci_per_read": round(reported / len(reads), 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -149,3 +149,21 @@ def test_no_output_flag(world):
     assert r.returncode == 0, r.stderr
     assert r.stdout == ""
     assert json.load(open(stats))["reads_mapped"] == len(reads)
+
+
+def test_multi_file_reads(world):
+    tmp, txps, reads, fq = world
+    # split the FASTQ into two files; comma-separated input must equal the whole
+    lines = open(fq).read().splitlines(keepends=False)
+    recs = ["\n".join(lines[i : i + 4]) for i in range(0, len(lines), 4)]
+    fa_ = str(tmp / "part1.fq")
+    fb_ = str(tmp / "part2.fq")
+    open(fa_, "w").write("\n".join(recs[:6]) + "\n")
+    open(fb_, "w").write("\n".join(recs[6:]) + "\n")
+    out1 = str(tmp / "whole.sam")
+    out2 = str(tmp / "split.sam")
+    assert tqm("quasimap", "-i", str(tmp / "idx"), "-r", fq, "-o", out1).returncode == 0
+    r = tqm("quasimap", "-i", str(tmp / "idx"), "-r", f"{fa_},{fb_}", "-o", out2)
+    assert r.returncode == 0, r.stderr
+    body = lambda p: [l for l in open(p).read().splitlines() if not l.startswith("@PG")]
+    assert body(out1) == body(out2)
