@@ -142,20 +142,29 @@ def extend_packed(
     didx: DeviceQuasiIndex,
     preads: jnp.ndarray,    # (R, L) packed read words (pack_reads)
     next_bad: jnp.ndarray,  # (R, L) from denc.next_bad_batch
-    lens: jnp.ndarray,
+    lens: jnp.ndarray,      # (R,)
     b0, e0, pos, active, k: int, ext_steps: int, L: int,
+    lane=None,              # per-anchor read-row indices; default: one per row
 ):
-    """Drop-in for ops.mmp._extend. Returns (b, e, mlen)."""
+    """Drop-in for ops.mmp._extend. Returns (b, e, mlen).
+
+    With `lane` given, anchors may outnumber read rows (anchor-parallel mode,
+    used by the SA-sharded engine): anchor i reads lane[i]'s data at pos[i].
+    """
     W = max(1, -(-(L - k) // 16))
     base = pos + k
     base_c = jnp.clip(base, 0, L - 1)
+    if lane is None:
+        lane = np.arange(pos.shape[0], dtype=np.int32)
+    pre_f = preads.reshape(-1)
+    nb_f = next_bad.reshape(-1)
     # valid query chars beyond depth k: up to the next N and the read end
-    nb = jnp.where(base < L, row_gather(next_bad, base_c[:, None])[:, 0], base)
-    qlen = jnp.clip(jnp.minimum(nb, lens) - base, 0, L - k)
+    nb = jnp.where(base < L, flat_gather(nb_f, lane * L + base_c), base)
+    qlen = jnp.clip(jnp.minimum(nb, flat_gather(lens, lane)) - base, 0, L - k)
     qwords = [
         jnp.where(
             base + 16 * j < L,
-            row_gather(preads, jnp.clip(base + 16 * j, 0, L - 1)[:, None])[:, 0],
+            flat_gather(pre_f, lane * L + jnp.clip(base + 16 * j, 0, L - 1)),
             U32(0),
         )
         for j in range(W)

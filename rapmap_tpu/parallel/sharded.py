@@ -1,0 +1,288 @@
+"""SA-sharded index across a 2-D ("data", "idx") mesh (BASELINE config 5).
+
+Implements docs/DESIGN_SA_SHARDING.md: the suffix array is cut at
+prefix-bucket boundaries, so every k-mer's SA interval (and anything extension
+narrows it to) lives wholly inside one shard. Reads shard over "data" and
+replicate over "idx"; each idx-shard answers lookups/extensions for its k-mer
+range; per-anchor results and expansion candidates union across "idx" with
+psum (each anchor/slot is non-zero on exactly one shard).
+
+The serial NIP walk couples anchors to earlier anchors' MMP lengths, which
+would need a cross-shard exchange per step; instead every anchor extends
+anchor-parallel per shard, mlen's psum-union, and a gather-free per-lane walk
+reconstructs the NIP-visited subset — exact SEMANTICS.md §3 results.
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+from jax.sharding import Mesh, PartitionSpec as P
+
+from rapmap_tpu.config import MapConfig
+from rapmap_tpu.index.format import QuasiIndex
+from rapmap_tpu.models.quasi import Counters
+from rapmap_tpu.ops import encode as denc
+from rapmap_tpu.ops.collate import collate_batch
+from rapmap_tpu.ops.device_index import DeviceQuasiIndex, EngineStatic
+from rapmap_tpu.ops.extend_packed import extend_packed, pack_reads
+from rapmap_tpu.ops.gather import row_gather, row_gather_nd
+from rapmap_tpu.ops.lookup import kmer_lookup
+from rapmap_tpu.ops.mmp import ScanHits
+
+
+class ShardedIndexArrays(NamedTuple):
+    """Stacked per-shard arrays; leading axis = idx shard (padded equal sizes)."""
+
+    text: jnp.ndarray      # (P, n_text_pad) int8 — replicated content
+    text2q: jnp.ndarray    # (P, nw, 4)
+    sa: jnp.ndarray        # (P, S_pad)
+    sa_ext: jnp.ndarray    # (P, S_pad, 2)
+    sa_meta: jnp.ndarray   # (P, S_pad, 2)
+    kmer_rows: jnp.ndarray # (P, K_pad, 4) — b/e rebased to shard-local slots
+    lut_rows: jnp.ndarray  # (P, 4^p, 2) — rows outside shard range are empty
+    txp_off: jnp.ndarray   # (P, T)
+    txp_len: jnp.ndarray   # (P, T)
+    slot_base: jnp.ndarray # (P, 1) int32 global slot offset of the shard
+
+
+def shard_quasi_index(idx: QuasiIndex, n_shards: int):
+    """Cut the index at prefix-bucket boundaries into n_shards slot ranges.
+
+    Returns (ShardedIndexArrays as numpy, EngineStatic).
+    """
+    lut = np.asarray(idx.prefix_lut, dtype=np.int64)
+    kb = np.asarray(idx.kmer_b, dtype=np.int64)
+    ke = np.asarray(idx.kmer_e, dtype=np.int64)
+    K = len(kb)
+    n = len(idx.sa)
+    # choose prefix cut values so each shard holds ~K/n_shards k-mer rows
+    targets = [round(i * K / n_shards) for i in range(n_shards + 1)]
+    pv = [int(np.searchsorted(lut, t, side="left")) for t in targets]
+    pv[0], pv[-1] = 0, len(lut) - 1
+    row_cuts = [int(lut[v]) for v in pv]
+    # shard slot ranges: from the first owned k-mer's b to the next cut's b
+    slot_cuts = []
+    for r in row_cuts:
+        slot_cuts.append(int(kb[r]) if r < K else n)
+    slot_cuts[0] = 0
+    slot_cuts[-1] = n
+
+    S_pad = max(slot_cuts[i + 1] - slot_cuts[i] for i in range(n_shards)) or 1
+    K_pad = max(row_cuts[i + 1] - row_cuts[i] for i in range(n_shards)) or 1
+    sa = np.asarray(idx.sa, dtype=np.int32)
+    sa_txp = np.asarray(idx.sa_txp, dtype=np.int32)
+    sa_tpos = np.asarray(idx.sa_tpos, dtype=np.int32)
+    off = np.asarray(idx.txp_offsets, dtype=np.int64)
+    tl = np.asarray(idx.txp_lens, dtype=np.int32)
+    tend_all = (off[sa_txp] + tl[sa_txp]).astype(np.int32)
+    khi = np.asarray(idx.kmer_hi, dtype=np.uint32).view(np.int32)
+    klo = np.asarray(idx.kmer_lo, dtype=np.uint32).view(np.int32)
+
+    t2b = np.asarray(idx.text2b, dtype=np.uint32)
+    nw = len(t2b)
+    t2p = np.concatenate([t2b, np.zeros(4, np.uint32)])
+    text2q1 = np.stack([t2p[i : i + nw] for i in range(4)], axis=1)
+
+    P_ = n_shards
+    text = np.broadcast_to(np.asarray(idx.text, np.int8), (P_, len(idx.text))).copy()
+    text2q = np.broadcast_to(text2q1, (P_, nw, 4)).copy()
+    sa_s = np.zeros((P_, S_pad), np.int32)
+    sa_ext = np.zeros((P_, S_pad, 2), np.int32)
+    sa_meta = np.zeros((P_, S_pad, 2), np.int32)
+    kmer_rows = np.zeros((P_, K_pad, 4), np.int32)
+    lut_rows = np.zeros((P_, len(lut) - 1, 2), np.int32)
+    bases = np.zeros((P_, 1), np.int32)
+    for p in range(P_):
+        s0, s1 = slot_cuts[p], slot_cuts[p + 1]
+        r0, r1 = row_cuts[p], row_cuts[p + 1]
+        ns, nr = s1 - s0, r1 - r0
+        bases[p, 0] = s0
+        sa_s[p, :ns] = sa[s0:s1]
+        sa_ext[p, :ns, 0] = sa[s0:s1]
+        sa_ext[p, :ns, 1] = tend_all[s0:s1]
+        sa_meta[p, :ns, 0] = sa_txp[s0:s1]
+        sa_meta[p, :ns, 1] = sa_tpos[s0:s1]
+        kmer_rows[p, :nr, 0] = khi[r0:r1]
+        kmer_rows[p, :nr, 1] = klo[r0:r1]
+        kmer_rows[p, :nr, 2] = (kb[r0:r1] - s0).astype(np.int32)
+        kmer_rows[p, :nr, 3] = (ke[r0:r1] - s0).astype(np.int32)
+        # LUT rebased to shard-local rows; buckets outside [pv[p], pv[p+1]) empty
+        lr = np.clip(lut, r0, r1) - r0
+        lut_rows[p, :, 0] = lr[:-1]
+        lut_rows[p, :, 1] = lr[1:]
+    arrays = ShardedIndexArrays(
+        text=text, text2q=text2q, sa=sa_s, sa_ext=sa_ext, sa_meta=sa_meta,
+        kmer_rows=kmer_rows, lut_rows=lut_rows,
+        txp_off=np.broadcast_to(off.astype(np.int32), (P_, len(off))).copy(),
+        txp_len=np.broadcast_to(tl, (P_, len(tl))).copy(),
+        slot_base=bases,
+    )
+    st = EngineStatic.for_index(idx)
+    return arrays, st
+
+
+def _local_didx(sh) -> DeviceQuasiIndex:
+    """View one shard's slice (inside shard_map, leading axis already split)."""
+    return DeviceQuasiIndex(
+        text=sh.text[0], text2q=sh.text2q[0], sa=sh.sa[0], sa_ext=sh.sa_ext[0],
+        sa_meta=sh.sa_meta[0], sa_txp=sh.sa_meta[0][:, 0], sa_tpos=sh.sa_meta[0][:, 1],
+        kmer_rows=sh.kmer_rows[0], lut_rows=sh.lut_rows[0],
+        txp_off=sh.txp_off[0], txp_len=sh.txp_len[0],
+    )
+
+
+def _sharded_scan(didx, st, reads, lens, cfg):
+    """Anchor-parallel scan: extend every anchor owned by this shard, union
+    across 'idx', then reconstruct the NIP-visited subset (SEMANTICS.md §3)."""
+    R, L = reads.shape
+    k = st.k
+    S = L - k + 1
+    H = cfg.max_hits_per_strand
+    ext_steps = max(1, math.ceil(math.log2(cfg.max_interval + 1)) + 1)
+
+    key_hi, key_lo, kvalid = denc.kmer_keys_batch(reads, k)
+    found, db, de = kmer_lookup(didx, st, key_hi, key_lo)
+    in_len = (np.arange(S, dtype=np.int32)[None, :] + k) <= lens[:, None]
+    anchor = found & kvalid & in_len & ((de - db) <= cfg.max_interval)
+
+    # extend ALL owned anchors, anchor-parallel and shard-local
+    next_bad = denc.next_bad_batch(reads, L)
+    preads = pack_reads(reads)
+    lane = np.repeat(np.arange(R, dtype=np.int32), S)
+    pos_flat = np.tile(np.arange(S, dtype=np.int32), R)
+    af = anchor.reshape(-1)
+    b1, e1, mlen = extend_packed(
+        didx, preads, next_bad, lens,
+        db.reshape(-1), de.reshape(-1), af.astype(jnp.int32) * 0 + pos_flat,
+        af, k, ext_steps, L, lane=lane,
+    )
+
+    # union anchors across the idx axis (each non-zero on exactly one shard)
+    base = didx_base_holder[0]
+    mlen_g = lax.psum(jnp.where(af, mlen, 0), "idx")
+    b_g = lax.psum(jnp.where(af, b1 + base, 0), "idx")
+    e_g = lax.psum(jnp.where(af, e1 + base, 0), "idx")
+    anchor_g = lax.psum(af.astype(jnp.int32), "idx") > 0
+    mlen2 = jnp.where(anchor_g, mlen_g, 0).reshape(R, S)
+    b2 = b_g.reshape(R, S)
+    e2 = e_g.reshape(R, S)
+    anch2 = anchor_g.reshape(R, S)
+
+    # NIP walk reconstruction: visit anchors in SEMANTICS order, gather-free
+    s_or_big = jnp.where(anch2, np.arange(S, dtype=np.int32)[None, :], np.int32(S))
+    next_anchor = jnp.flip(
+        lax.associative_scan(jnp.minimum, jnp.flip(s_or_big, axis=1), axis=1), axis=1
+    )
+
+    def at(arr2d, pos, fill):
+        v = row_gather(arr2d, jnp.clip(pos, 0, arr2d.shape[1] - 1)[:, None])[:, 0]
+        return jnp.where(pos < arr2d.shape[1], v, fill)
+
+    zR_H = np.zeros((R, H), np.int32)
+    hits0 = ScanHits(q=zR_H, l=zR_H, b=zR_H, e=zR_H, n=lens * 0, truncated=lens < 0)
+    pos0 = at(next_anchor, lens * 0, np.int32(S))
+    rows = np.arange(R, dtype=np.int32)
+
+    def cond(state):
+        pos, hits = state
+        return jnp.any((pos < S) & ~hits.truncated)
+
+    def body(state):
+        pos, hits = state
+        act = (pos < S) & ~hits.truncated
+        posc = jnp.clip(pos, 0, S - 1)
+        bb = at(b2, posc, np.int32(0))
+        ee = at(e2, posc, np.int32(0))
+        ml = at(mlen2, posc, np.int32(0))
+        slot = jnp.clip(hits.n, 0, H - 1)
+        overflow = act & (hits.n >= H)
+        write = act & ~overflow
+
+        def put(buf, val):
+            old = buf[rows, slot]
+            return buf.at[rows, slot].set(jnp.where(write, val, old))
+
+        hits = ScanHits(
+            q=put(hits.q, posc), l=put(hits.l, ml), b=put(hits.b, bb), e=put(hits.e, ee),
+            n=hits.n + write.astype(jnp.int32), truncated=hits.truncated | overflow,
+        )
+        nxt = posc + jnp.maximum(1, ml - k + 1)
+        pos_next = jnp.where(nxt >= S, np.int32(S), at(next_anchor, nxt, np.int32(S)))
+        return jnp.where(act, pos_next, pos), hits
+
+    _, hits = lax.while_loop(cond, body, (pos0, hits0))
+    return hits
+
+
+# thread-local-ish holder for the shard base inside shard_map bodies
+didx_base_holder = [None]
+
+
+def _se_shard2d(sh: ShardedIndexArrays, st, reads, lens, nv, cfg):
+    didx = _local_didx(sh)
+    base = sh.slot_base[0, 0]
+    didx_base_holder[0] = base
+    lanes = jnp.concatenate([reads, denc.revcomp_batch(reads, lens)], axis=0)
+    lens2 = jnp.concatenate([lens, lens])
+    hits = _sharded_scan(didx, st, lanes, lens2, cfg)
+
+    n_local = didx.sa_meta.shape[0]
+
+    def expand_fn(p, q):
+        local = p - base
+        mine = (local >= 0) & (local < n_local)
+        meta = row_gather_nd(didx.sa_meta, jnp.clip(local, 0, n_local - 1))
+        t1 = jnp.where(mine, meta[..., 0] + 1, 0)
+        tp = jnp.where(mine, meta[..., 1], 0)
+        t1 = lax.psum(t1, "idx")
+        tp = lax.psum(tp, "idx")
+        return t1 - 1, tp - q
+
+    out = collate_batch(None, None, hits, lens, cfg, expand_fn=expand_fn)
+    B = reads.shape[0]
+    real = np.arange(B, dtype=np.int32) < nv
+    ctr = Counters(
+        reads_total=lax.psum(nv.astype(jnp.int32), "data"),
+        reads_mapped=lax.psum(jnp.sum(out.mapped & real, dtype=jnp.int32), "data"),
+        too_ambiguous=lax.psum(jnp.sum(out.too_ambiguous & real, dtype=jnp.int32), "data"),
+        over_budget=lax.psum(jnp.sum(out.over_budget & real, dtype=jnp.int32), "data"),
+        records=lax.psum(
+            jnp.sum(jnp.where(real[:, None], out.t != -1, False), dtype=jnp.int32), "data"
+        ),
+    )
+    return out, ctr
+
+
+def make_mesh_2d(n_data: int, n_idx: int, devices=None) -> Mesh:
+    devices = devices if devices is not None else jax.devices()
+    assert len(devices) >= n_data * n_idx
+    arr = np.asarray(devices[: n_data * n_idx]).reshape(n_data, n_idx)
+    return Mesh(arr, ("data", "idx"))
+
+
+@partial(jax.jit, static_argnames=("st", "cfg", "mesh"))
+def map_batch_se_sharded(
+    sharr: ShardedIndexArrays,
+    st: EngineStatic,
+    reads: jnp.ndarray,       # (B_total, L)
+    lens: jnp.ndarray,
+    n_valid_local: jnp.ndarray,  # (n_data,) valid rows per data shard
+    cfg: MapConfig,
+    mesh: Mesh,
+):
+    fn = jax.shard_map(
+        lambda sh, r, l, nv: _se_shard2d(sh, st, r, l, nv[0], cfg),
+        mesh=mesh,
+        in_specs=(P("idx"), P("data"), P("data"), P("data")),
+        out_specs=(P("data"), P()),
+        check_vma=False,
+    )
+    return fn(sharr, reads, lens, n_valid_local)

@@ -1,0 +1,67 @@
+"""SA-sharded 2-D mesh mapping == single-device mapping (BASELINE config 5)."""
+
+import jax
+import numpy as np
+import pytest
+
+from rapmap_tpu.config import MapConfig
+from rapmap_tpu.models.quasi import QuasiMapper
+from rapmap_tpu.parallel import sharded
+from tests.util import sample_reads, toy_index
+from tests.test_device_parity import batch_of
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+@pytest.mark.parametrize("n_data,n_idx", [(4, 2), (2, 4)])
+def test_sharded_matches_single_device(tmp_path, n_data, n_idx):
+    rng = np.random.default_rng(91)
+    idx, txps = toy_index(
+        tmp_path / f"m{n_idx}", rng, n_txps=6, min_len=150, max_len=300, k=11,
+        shared_prefix=30,
+    )
+    reads = sample_reads(rng, txps, 40, read_len=44, error_rate=0.03, n_frac=0.01)
+    from tests.util import BASES
+
+    seqs = [r[1] for r in reads] + [BASES[rng.integers(0, 4, 44)].tobytes() for _ in range(4)]
+    L = 44
+    per = -(-len(seqs) // n_data) + 1  # a little pad on every data shard
+    B = n_data * per
+    codes, lens = batch_of(seqs + [b""] * (B - len(seqs)), L)
+    cfg = MapConfig(k=idx.k, max_hits_per_strand=34, expand_budget=128, max_out=32)
+
+    mapper = QuasiMapper(idx, cfg)
+    out1, ctr1 = mapper.map_se(codes, lens, n_valid=len(seqs))
+
+    sharr_np, st = sharded.shard_quasi_index(idx, n_idx)
+    mesh = sharded.make_mesh_2d(n_data, n_idx)
+    nv = np.zeros(n_data, dtype=np.int32)
+    rem = len(seqs)
+    for i in range(n_data):
+        nv[i] = min(per, max(rem, 0))
+        rem -= nv[i]
+    import jax.numpy as jnp
+
+    sharr = jax.tree.map(jnp.asarray, sharr_np)
+    out2, ctr2 = sharded.map_batch_se_sharded(
+        sharr, st, jnp.asarray(codes), jnp.asarray(lens), jnp.asarray(nv), cfg, mesh
+    )
+    out2 = jax.tree.map(np.asarray, out2)
+    for field in ("t", "pos", "strand", "score", "n_mappings"):
+        assert np.array_equal(getattr(out1, field), getattr(out2, field)), field
+    for field in ctr1._fields:
+        assert int(getattr(ctr1, field)) == int(np.asarray(getattr(ctr2, field))), field
+
+
+def test_shard_cut_points(tmp_path):
+    rng = np.random.default_rng(92)
+    idx, _ = toy_index(tmp_path, rng, n_txps=5, min_len=120, max_len=250, k=9)
+    arr, st = sharded.shard_quasi_index(idx, 3)
+    # every kmer interval must be wholly inside one shard
+    kb = np.asarray(idx.kmer_b)
+    ke = np.asarray(idx.kmer_e)
+    bases = arr.slot_base[:, 0]
+    sizes = [(arr.sa_meta[p, :, 0] != 0).sum() for p in range(3)]  # loose
+    cuts = list(bases) + [len(idx.sa)]
+    for b, e in zip(kb, ke):
+        owner = np.searchsorted(cuts, b, side="right") - 1
+        assert cuts[owner] <= b and e <= cuts[owner + 1], (b, e, cuts)
