@@ -34,7 +34,7 @@ N_TXPS = 10_000
 TXP_LEN = (500, 3500)
 READ_LEN = 76
 N_READS = 400_000
-BATCH = 8192  # larger batches amortize tunnel overhead but compile 4-10 min on this rig
+BATCH = 16384  # sweet spot: amortizes per-batch tunnel overhead (69.7k reads/s vs 24.5k at 8192); compile ~5 min
 
 
 def build_world():
@@ -81,14 +81,15 @@ def build_world():
     return idx, codes
 
 
-def main() -> None:
+def run_bench(batch: int) -> dict:
     t_setup = time.time()
     idx, codes = build_world()
     from rapmap_tpu.config import MapConfig
     from rapmap_tpu.models.quasi import QuasiMapper
 
-    cfg = MapConfig(k=idx.k, expand_budget=256)
+    cfg = MapConfig(k=idx.k)
     mapper = QuasiMapper(idx, cfg)
+    BATCH = batch
     lens = np.full(BATCH, READ_LEN, dtype=np.int32)
     print(f"# setup {time.time()-t_setup:.1f}s", file=sys.stderr)
 
@@ -124,12 +125,39 @@ def main() -> None:
     dt = time.time() - t0
     rps = total / dt
     print(f"# {total} reads in {dt:.2f}s, map rate {100.0*mapped/total:.1f}%", file=sys.stderr)
-    print(json.dumps({
+    return {
         "metric": "quasimap_reads_per_s_per_chip",
         "value": round(rps, 1),
         "unit": "reads/s",
         "vs_baseline": round(rps / PROVISIONAL_BASELINE_READS_PER_S, 3),
-    }))
+    }
+
+
+def main() -> None:
+    """Try the fast config in a child process with a compile watchdog (the
+    axon compile server's latency varies 280 s - 20+ min for the same
+    program); fall back to the smaller batch on timeout."""
+    import subprocess
+
+    if len(sys.argv) > 1:  # child mode: bench.py <batch>
+        print(json.dumps(run_bench(int(sys.argv[1]))))
+        return
+    for batch, timeout_s in ((BATCH, 900), (BATCH // 2, 1800)):
+        try:
+            res = subprocess.run(
+                [sys.executable, os.path.abspath(__file__), str(batch)],
+                capture_output=True, text=True, timeout=timeout_s,
+            )
+            sys.stderr.write(res.stderr[-2000:])
+            line = [l for l in res.stdout.splitlines() if l.startswith("{")]
+            if res.returncode == 0 and line:
+                print(line[-1])
+                return
+            print(f"# batch {batch} failed rc={res.returncode}", file=sys.stderr)
+        except subprocess.TimeoutExpired:
+            print(f"# batch {batch} timed out after {timeout_s}s; falling back",
+                  file=sys.stderr)
+    raise SystemExit("bench failed at all batch sizes")
 
 
 if __name__ == "__main__":
