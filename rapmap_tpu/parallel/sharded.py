@@ -286,3 +286,40 @@ def map_batch_se_sharded(
         check_vma=False,
     )
     return fn(sharr, reads, lens, n_valid_local)
+
+
+def _pe_shard2d(sh, st, r1, l1, r2, l2, nv, cfg):
+    from rapmap_tpu.ops.pairs import merge_pairs_batch
+
+    o1, _ = _se_shard2d(sh, st, r1, l1, nv, cfg)
+    o2, _ = _se_shard2d(sh, st, r2, l2, nv, cfg)
+    pairs = merge_pairs_batch(o1, o2, cfg)
+    B = r1.shape[0]
+    real = np.arange(B, dtype=np.int32) < nv
+    ctr = Counters(
+        reads_total=lax.psum(nv.astype(jnp.int32), "data"),
+        reads_mapped=lax.psum(jnp.sum(pairs.any_record & real, dtype=jnp.int32), "data"),
+        too_ambiguous=lax.psum(jnp.sum(pairs.too_ambiguous & real, dtype=jnp.int32), "data"),
+        over_budget=lax.psum(
+            jnp.sum((o1.over_budget | o2.over_budget) & real, dtype=jnp.int32), "data"
+        ),
+        records=lax.psum(
+            jnp.sum(jnp.where(real[:, None], pairs.t != -1, False), dtype=jnp.int32), "data"
+        ),
+    )
+    return o1, o2, pairs, ctr
+
+
+@partial(jax.jit, static_argnames=("st", "cfg", "mesh"))
+def map_batch_pe_sharded(
+    sharr: ShardedIndexArrays, st: EngineStatic,
+    reads1, lens1, reads2, lens2, n_valid_local, cfg: MapConfig, mesh: Mesh,
+):
+    fn = jax.shard_map(
+        lambda sh, r1, l1, r2, l2, nv: _pe_shard2d(sh, st, r1, l1, r2, l2, nv[0], cfg),
+        mesh=mesh,
+        in_specs=(P("idx"), P("data"), P("data"), P("data"), P("data"), P("data")),
+        out_specs=(P("data"), P("data"), P("data"), P()),
+        check_vma=False,
+    )
+    return fn(sharr, reads1, lens1, reads2, lens2, n_valid_local)

@@ -65,3 +65,44 @@ def test_shard_cut_points(tmp_path):
     for b, e in zip(kb, ke):
         owner = np.searchsorted(cuts, b, side="right") - 1
         assert cuts[owner] <= b and e <= cuts[owner + 1], (b, e, cuts)
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+def test_sharded_pe_matches_single_device(tmp_path):
+    rng = np.random.default_rng(93)
+    idx, txps = toy_index(tmp_path, rng, n_txps=5, min_len=250, max_len=400, k=11)
+    comp = bytes.maketrans(b"ACGT", b"TGCA")
+    L = 36
+    lefts, rights = [], []
+    for _ in range(22):
+        t = int(rng.integers(0, len(txps)))
+        seq = txps[t][1]
+        a = int(rng.integers(0, len(seq) - 130))
+        lefts.append(seq[a : a + L])
+        rights.append(seq[a + 100 - L : a + 100].translate(comp)[::-1])
+    n_data, n_idx = 4, 2
+    per = -(-len(lefts) // n_data) + 1
+    B = n_data * per
+    c1, l1 = batch_of(lefts + [b""] * (B - len(lefts)), L)
+    c2, l2 = batch_of(rights + [b""] * (B - len(rights)), L)
+    cfg = MapConfig(k=idx.k, max_hits_per_strand=26, expand_budget=64, max_out=32)
+    mapper = QuasiMapper(idx, cfg)
+    _, _, po1, ctr1 = mapper.map_pe(c1, l1, c2, l2, n_valid=len(lefts))
+
+    import jax.numpy as jnp
+
+    sharr_np, st = sharded.shard_quasi_index(idx, n_idx)
+    sharr = jax.tree.map(jnp.asarray, sharr_np)
+    mesh = sharded.make_mesh_2d(n_data, n_idx)
+    nv = np.zeros(n_data, np.int32)
+    rem = len(lefts)
+    for i in range(n_data):
+        nv[i] = min(per, max(rem, 0)); rem -= nv[i]
+    _, _, po2, ctr2 = sharded.map_batch_pe_sharded(
+        sharr, st, jnp.asarray(c1), jnp.asarray(l1), jnp.asarray(c2), jnp.asarray(l2),
+        jnp.asarray(nv), cfg, mesh,
+    )
+    po2 = jax.tree.map(np.asarray, po2)
+    for field in ("t", "p1", "s1", "has1", "p2", "s2", "has2", "concordant"):
+        assert np.array_equal(getattr(po1, field), getattr(po2, field)), field
+    assert int(ctr1.reads_mapped) == int(np.asarray(ctr2.reads_mapped))
