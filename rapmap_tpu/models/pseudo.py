@@ -23,7 +23,7 @@ from rapmap_tpu.models.quasi import Counters
 from rapmap_tpu.ops import encode as denc
 from rapmap_tpu.ops.collate import MapOut, collate_batch
 from rapmap_tpu.ops.mmp import ScanHits
-from rapmap_tpu.ops.pairs import PairOut, merge_pairs_batch
+from rapmap_tpu.ops.pairs import merge_pairs_batch
 
 
 class DevicePseudoIndex(NamedTuple):
