@@ -48,6 +48,7 @@ class EngineStatic:
     prefix_bases: int
     lookup_steps: int   # binary-search trips covering the largest LUT bucket
     pad_tail: int       # trailing text zero-pad (bounds max read length)
+    max_interval_idx: int = 1 << 30  # widest k-mer interval in the table
 
     @staticmethod
     def for_index(idx: QuasiIndex) -> "EngineStatic":
@@ -55,8 +56,11 @@ class EngineStatic:
         max_bucket = int(np.max(np.diff(lut))) if len(lut) > 1 else 1
         steps = max(1, int(np.ceil(np.log2(max_bucket + 1))) + 1)
         pad_tail = len(idx.text) - idx.n_text
+        widths = np.asarray(idx.kmer_e) - np.asarray(idx.kmer_b)
+        max_w = int(widths.max()) if len(widths) else 1
         return EngineStatic(
-            k=idx.k, prefix_bases=idx.prefix_bases, lookup_steps=steps, pad_tail=pad_tail
+            k=idx.k, prefix_bases=idx.prefix_bases, lookup_steps=steps,
+            pad_tail=pad_tail, max_interval_idx=max_w,
         )
 
 

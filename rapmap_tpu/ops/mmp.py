@@ -106,7 +106,10 @@ def scan_batch(
     H = cfg.max_hits_per_strand
     S = L - k + 1
     assert L < st.pad_tail, "read length must stay below the text tail pad"
-    ext_steps = max(1, math.ceil(math.log2(cfg.max_interval + 1)) + 1)
+    # binary-search trips need only cover the widest interval that can
+    # actually occur: min(configured cap, widest k-mer interval in the index)
+    eff_w = min(cfg.max_interval, st.max_interval_idx)
+    ext_steps = max(1, math.ceil(math.log2(eff_w + 1)) + 1)
 
     # ---- phase 1: dense lookup over all window positions --------------------
     key_hi, key_lo, kvalid = denc.kmer_keys_batch(reads, k)  # (R, S)

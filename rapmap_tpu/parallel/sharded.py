@@ -146,7 +146,10 @@ def _sharded_scan(didx, st, reads, lens, cfg):
     k = st.k
     S = L - k + 1
     H = cfg.max_hits_per_strand
-    ext_steps = max(1, math.ceil(math.log2(cfg.max_interval + 1)) + 1)
+    # binary-search trips need only cover the widest interval that can
+    # actually occur: min(configured cap, widest k-mer interval in the index)
+    eff_w = min(cfg.max_interval, st.max_interval_idx)
+    ext_steps = max(1, math.ceil(math.log2(eff_w + 1)) + 1)
 
     key_hi, key_lo, kvalid = denc.kmer_keys_batch(reads, k)
     found, db, de = kmer_lookup(didx, st, key_hi, key_lo)
