@@ -1,9 +1,10 @@
 """PseudoMapper — kallisto-style k-mer-only mapping engine (SEMANTICS.md §7).
 
 RapMapMapper rebuild (SURVEY.md §3.5): no suffix array; each k-mer hit yields
-its CSR occurrence list directly, with jump-ahead of k on hit. Shares the
-collation/voting/pair machinery with the quasi engine via collate_batch's
-expand_fn hook.
+its CSR occurrence list directly, with jump-ahead of k on hit. Reuses the quasi
+engine's row-structured lookup (ops.lookup over a prefix LUT + (hi,lo,b,e)
+rows), dense-lookup scan with a next-anchor walk, and the global-pool
+collation via collate_batch's expand_fn hook.
 """
 
 from __future__ import annotations
@@ -16,131 +17,118 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 import numpy as np
+from jax import lax
 
 from rapmap_tpu.config import MapConfig
 from rapmap_tpu.index.format import PseudoIndex
+from rapmap_tpu.index.kmer_table import build_prefix_lut
 from rapmap_tpu.models.quasi import Counters
 from rapmap_tpu.ops import encode as denc
 from rapmap_tpu.ops.collate import MapOut, collate_batch
+from rapmap_tpu.ops.gather import row_gather, row_gather_nd
+from rapmap_tpu.ops.lookup import kmer_lookup
 from rapmap_tpu.ops.mmp import ScanHits
 from rapmap_tpu.ops.pairs import merge_pairs_batch
 
 
 class DevicePseudoIndex(NamedTuple):
-    kmer_hi: jnp.ndarray
-    kmer_lo: jnp.ndarray
-    kmer_off: jnp.ndarray  # int32 CSR offsets (n_kmers + 1)
-    occ_txp: jnp.ndarray
-    occ_pos: jnp.ndarray
+    kmer_rows: jnp.ndarray  # (K, 4) int32: [hi, lo, occ_b, occ_e]
+    lut_rows: jnp.ndarray   # (4^p, 2)
+    occ_rows: jnp.ndarray   # (NOcc, 2) int32: [txp, pos]
 
 
 @dataclass(frozen=True)
 class PseudoStatic:
     k: int
+    prefix_bases: int
     lookup_steps: int
 
 
 def upload_pseudo_index(idx: PseudoIndex) -> tuple[DevicePseudoIndex, PseudoStatic]:
     if int(np.asarray(idx.kmer_off)[-1]) >= 2**31:
         raise NotImplementedError("pseudo index with >=2^31 occurrences unsupported")
+    khi = np.asarray(idx.kmer_hi, dtype=np.uint32)
+    klo = np.asarray(idx.kmer_lo, dtype=np.uint32)
+    off = np.asarray(idx.kmer_off, dtype=np.int64)
+    K = len(khi)
+    p = max(4, min(idx.k, 12, math.ceil(math.log(max(K, 2), 4)) + 1))
+    lut = build_prefix_lut(khi, klo, idx.k, p)
+    lut_rows = np.stack([lut[:-1], lut[1:]], axis=1).astype(np.int32)
+    max_bucket = int(np.max(np.diff(lut))) if len(lut) > 1 else 1
+    steps = max(1, math.ceil(math.log2(max_bucket + 1)) + 1)
+    kmer_rows = np.stack(
+        [khi.view(np.int32), klo.view(np.int32),
+         off[:-1].astype(np.int32), off[1:].astype(np.int32)], axis=1,
+    ) if K else np.zeros((1, 4), np.int32)
+    occ_rows = np.stack(
+        [np.asarray(idx.occ_txp, np.int32), np.asarray(idx.occ_pos, np.int32)], axis=1
+    ) if len(idx.occ_txp) else np.zeros((1, 2), np.int32)
     dev = DevicePseudoIndex(
-        kmer_hi=jnp.asarray(np.asarray(idx.kmer_hi), jnp.uint32),
-        kmer_lo=jnp.asarray(np.asarray(idx.kmer_lo), jnp.uint32),
-        kmer_off=jnp.asarray(np.asarray(idx.kmer_off), jnp.int32),
-        occ_txp=jnp.asarray(np.asarray(idx.occ_txp), jnp.int32),
-        occ_pos=jnp.asarray(np.asarray(idx.occ_pos), jnp.int32),
+        kmer_rows=jnp.asarray(kmer_rows),
+        lut_rows=jnp.asarray(lut_rows),
+        occ_rows=jnp.asarray(occ_rows),
     )
-    steps = max(1, math.ceil(math.log2(len(idx.kmer_hi) + 1)) + 1)
-    return dev, PseudoStatic(k=idx.k, lookup_steps=steps)
-
-
-def _pseudo_lookup(didx: DevicePseudoIndex, st: PseudoStatic, key_hi, key_lo):
-    """Plain binary search over the whole sorted k-mer list (no prefix LUT)."""
-    from jax import lax
-
-    K = didx.kmer_hi.shape[0]
-    lo0 = jnp.zeros_like(key_hi, dtype=jnp.int32)
-    hi0 = lo0 + K
-
-    def step(_, iv):
-        lo, hi = iv
-        mid = (lo + hi) >> 1
-        m = jnp.clip(mid, 0, max(K - 1, 0))
-        vh = didx.kmer_hi[m]
-        vl = didx.kmer_lo[m]
-        less = (vh < key_hi) | ((vh == key_hi) & (vl < key_lo))
-        cont = lo < hi
-        return (jnp.where(less & cont, mid + 1, lo), jnp.where(cont & ~less, mid, hi))
-
-    lo_f, _ = lax.fori_loop(0, st.lookup_steps, step, (lo0, hi0))
-    idx = jnp.clip(lo_f, 0, max(K - 1, 0))
-    found = (lo_f < K) & (didx.kmer_hi[idx] == key_hi) & (didx.kmer_lo[idx] == key_lo)
-    b = jnp.where(found, didx.kmer_off[idx], 0)
-    e = jnp.where(found, didx.kmer_off[jnp.minimum(idx + 1, K)], 0)
-    return found, b, e
+    return dev, PseudoStatic(k=idx.k, prefix_bases=p, lookup_steps=steps)
 
 
 def pseudo_scan_batch(
     didx: DevicePseudoIndex, st: PseudoStatic, reads: jnp.ndarray, lens: jnp.ndarray, cfg: MapConfig
 ) -> ScanHits:
-    """k-mer walk with jump-ahead k on hit (SEMANTICS.md §7); lockstep lanes."""
-    from jax import lax
-
+    """k-mer walk with jump-ahead k on hit (SEMANTICS.md §7): dense lookup over
+    all windows, then a next-anchor walk (misses cost zero iterations — the
+    reference's +1-on-miss visits record nothing, so the anchor sets match)."""
     R, L = reads.shape
     k = st.k
     H = cfg.max_hits_per_strand
-    key_hi, key_lo, _ = denc.kmer_keys_batch(reads, k)
-    next_bad = denc.next_bad_batch(reads, L)
+    S = L - k + 1
 
-    def at_pos(arr2d, pos, fill):
-        v = jnp.take_along_axis(arr2d, jnp.clip(pos, 0, arr2d.shape[1] - 1)[:, None], axis=1)[:, 0]
+    key_hi, key_lo, kvalid = denc.kmer_keys_batch(reads, k)
+    found, db, de = kmer_lookup(didx, st, key_hi, key_lo)
+    in_len = (np.arange(S, dtype=np.int32)[None, :] + k) <= lens[:, None]
+    anchor = found & kvalid & in_len & ((de - db) <= cfg.max_interval)
+    s_or_big = jnp.where(anchor, np.arange(S, dtype=np.int32)[None, :], np.int32(S))
+    next_anchor = jnp.flip(
+        lax.associative_scan(jnp.minimum, jnp.flip(s_or_big, axis=1), axis=1), axis=1
+    )
+
+    def at(arr2d, pos, fill):
+        v = row_gather(arr2d, jnp.clip(pos, 0, arr2d.shape[1] - 1)[:, None])[:, 0]
         return jnp.where(pos < arr2d.shape[1], v, fill)
 
     zRH = np.zeros((R, H), np.int32)
-    hits0 = ScanHits(
-        q=zRH, l=zRH, b=zRH, e=zRH,
-        n=lens * 0, truncated=lens < 0,
-    )
-
-    def running(pos, hits):
-        return (pos + k <= lens) & ~hits.truncated
+    hits0 = ScanHits(q=zRH, l=zRH, b=zRH, e=zRH, n=lens * 0, truncated=lens < 0)
+    pos0 = at(next_anchor, lens * 0, np.int32(S))
+    rows = np.arange(R, dtype=np.int32)
 
     def cond(state):
         pos, hits = state
-        return jnp.any(running(pos, hits))
+        return jnp.any((pos < S) & ~hits.truncated)
 
     def body(state):
         pos, hits = state
-        act = running(pos, hits)
-        nb = at_pos(next_bad, pos, np.int32(L))
-        window_ok = nb >= pos + k
-        khi = at_pos(key_hi, pos, np.uint32(0))
-        klo = at_pos(key_lo, pos, np.uint32(0))
-        found, b, e = _pseudo_lookup(didx, st, khi, klo)
-        found = found & window_ok & act
-        wide = found & ((e - b) > cfg.max_interval)
-        do_hit = found & ~wide
+        act = (pos < S) & ~hits.truncated
+        posc = jnp.clip(pos, 0, S - 1)
+        b = at(db, posc, np.int32(0))
+        e = at(de, posc, np.int32(0))
         slot = jnp.clip(hits.n, 0, H - 1)
-        overflow = do_hit & (hits.n >= H)
-        write = do_hit & ~overflow
-        rows = np.arange(R, dtype=np.int32)
+        overflow = act & (hits.n >= H)
+        write = act & ~overflow
 
         def put(buf, val):
             old = buf[rows, slot]
             return buf.at[rows, slot].set(jnp.where(write, val, old))
 
         hits = ScanHits(
-            q=put(hits.q, pos), l=put(hits.l, pos * 0 + k),
+            q=put(hits.q, posc), l=put(hits.l, posc * 0 + k),
             b=put(hits.b, b), e=put(hits.e, e),
             n=hits.n + write.astype(jnp.int32),
             truncated=hits.truncated | overflow,
         )
-        pos_next = jnp.where(
-            ~window_ok, nb + 1, jnp.where(do_hit, pos + k, pos + 1)
-        )
+        nxt = posc + k  # jump-ahead on hit
+        pos_next = jnp.where(nxt >= S, np.int32(S), at(next_anchor, nxt, np.int32(S)))
         return jnp.where(act, pos_next, pos), hits
 
-    _, hits = lax.while_loop(cond, body, (lens * 0, hits0))
+    _, hits = lax.while_loop(cond, body, (pos0, hits0))
     return hits
 
 
@@ -153,10 +141,8 @@ def pseudo_map_batch_se(
     hits = pseudo_scan_batch(didx, st, lanes, lens2, cfg)
 
     def expand_fn(p, q):
-        from rapmap_tpu.ops.gather import flat_gather
-
-        pc = jnp.clip(p, 0, didx.occ_txp.shape[0] - 1)
-        return flat_gather(didx.occ_txp, pc), flat_gather(didx.occ_pos, pc) - q
+        meta = row_gather_nd(didx.occ_rows, jnp.clip(p, 0, didx.occ_rows.shape[0] - 1))
+        return meta[..., 0], meta[..., 1] - q
 
     out = collate_batch(None, None, hits, lens, cfg, expand_fn=expand_fn)
     B = reads.shape[0]
