@@ -142,7 +142,7 @@ def main() -> None:
     if len(sys.argv) > 1:  # child mode: bench.py <batch>
         print(json.dumps(run_bench(int(sys.argv[1]))))
         return
-    for batch, timeout_s in ((BATCH, 900), (BATCH // 2, 1800)):
+    for batch, timeout_s in ((BATCH, 800), (BATCH // 2, 1200), (BATCH // 4, 1800)):
         try:
             res = subprocess.run(
                 [sys.executable, os.path.abspath(__file__), str(batch)],
