@@ -255,6 +255,11 @@ def run_map(args, pseudo: bool) -> int:
 
     dt = time.time() - t0
     totals["wall_s"] = round(dt, 3)
+    if totals.get("out_truncated"):
+        log.warning(
+            "%d reads had mapping records dropped by the per-read output cap "
+            "(max_out < maxNumHits)", totals["out_truncated"],
+        )
     if totals.get("reads_total"):
         rate = 100.0 * totals.get("reads_mapped", 0) / totals["reads_total"]
         log.info(

@@ -15,7 +15,8 @@ class MapConfig:
     max_interval: int = 1000       # SA intervals wider than this are skipped
     consistent_hits: bool = False  # -c: consensus intersection across MMPs
     fuzzy: bool = False            # -f: tolerate one missing hit in consensus
-    strict_check: bool = False     # -s: accepted; currently a documented no-op
+    strict_check: bool = False     # -s: orientation-bias curb (ops.collate +
+    # oracle implement it; covered by the config-sweep parity tests)
     quasi_coverage: float = 0.0    # -z: min fraction of read covered by MMPs
     no_orphans: bool = False       # suppress orphan output for pairs
     # device-engine static shape knobs (no effect on semantics when not exceeded;
@@ -24,5 +25,12 @@ class MapConfig:
     expand_budget: int = 8         # AVERAGE SA-expansion slots per read: the
     # global pool holds expand_budget * batch slots (ops.collate); typical
     # reads use 2-6, so 8 leaves ample headroom before over_budget flags
-    max_out: int = 64              # mapping records retained per read on device
+    max_out: int = 0               # mapping records retained per read on device;
+    # 0 (default) derives max_num_hits so -m's full record count is never
+    # silently truncated; explicit smaller values trip the out_truncated counter
     packed_extension: bool = True  # word-compare extension (ops.extend_packed)
+
+    @property
+    def out_slots(self) -> int:
+        """Per-read device output slots (MAX_OUT); derived from -m unless set."""
+        return self.max_out if self.max_out > 0 else self.max_num_hits

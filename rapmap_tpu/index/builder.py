@@ -114,12 +114,12 @@ def build_quasi_index(
         nk = max(1, len(kb))
         prefix_bases = max(4, min(k, 12, _math.ceil(_math.log(nk, 4)) + 1))
     lut = build_prefix_lut(khi, klo, k, prefix_bases)
-    text2b, sentbits = pack_text_2bit(text)
+    text2b, _ = pack_text_2bit(text)  # sentinel mask unused by the engines
     sa_txp = _sa_txp_of(sa, offsets, lens)
     sa_tpos = (np.asarray(sa, dtype=np.int64) - offsets[sa_txp]).astype(np.int32)
     log.info("k-mer table: %d distinct %d-mers (%.1fs)", len(kb), k, time.time() - t0)
     idx = QuasiIndex(
-        k=k, text=text, text2b=text2b, sentbits=sentbits, sa=sa, sa_txp=sa_txp,
+        k=k, text=text, text2b=text2b, sa=sa, sa_txp=sa_txp,
         sa_tpos=sa_tpos,
         kmer_hi=khi, kmer_lo=klo, kmer_b=kb, kmer_e=ke, prefix_lut=lut,
         txp_offsets=offsets, txp_lens=lens, txp_names=names,

@@ -17,7 +17,7 @@ import numpy as np
 from rapmap_tpu.version import INDEX_FORMAT_VERSION, __version__
 
 _QUASI_ARRAYS = [
-    "text", "text2b", "sentbits", "sa", "sa_txp", "sa_tpos",
+    "text", "text2b", "sa", "sa_txp", "sa_tpos",
     "kmer_hi", "kmer_lo", "kmer_b", "kmer_e", "prefix_lut",
     "txp_offsets", "txp_lens",
 ]
@@ -34,7 +34,6 @@ class QuasiIndex:
     k: int
     text: np.ndarray          # int8 codes, padded with >= pad_tail zeros
     text2b: np.ndarray        # uint32 2-bit packed words
-    sentbits: np.ndarray      # uint32, 2-bit-per-base sentinel mask
     sa: np.ndarray            # int32 (or int64 for big_sa), len n
     sa_txp: np.ndarray        # int32 per SA slot
     sa_tpos: np.ndarray       # int32 per SA slot: SA[i] - txp_offsets[sa_txp[i]]

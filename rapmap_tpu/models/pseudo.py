@@ -153,6 +153,7 @@ def pseudo_map_batch_se(
         too_ambiguous=jnp.sum(out.too_ambiguous & real, dtype=jnp.int32),
         over_budget=jnp.sum(out.over_budget & real, dtype=jnp.int32),
         records=jnp.sum(jnp.where(real[:, None], out.t != -1, False), dtype=jnp.int32),
+        out_truncated=jnp.sum(out.out_truncated & real, dtype=jnp.int32),
     )
     return out, ctr
 
@@ -172,6 +173,10 @@ def pseudo_map_batch_pe(
         too_ambiguous=jnp.sum(pairs.too_ambiguous & real, dtype=jnp.int32),
         over_budget=jnp.sum((o1.over_budget | o2.over_budget) & real, dtype=jnp.int32),
         records=jnp.sum(jnp.where(real[:, None], pairs.t != -1, False), dtype=jnp.int32),
+        out_truncated=jnp.sum(
+            (o1.out_truncated | o2.out_truncated | pairs.out_truncated) & real,
+            dtype=jnp.int32,
+        ),
     )
     return o1, o2, pairs, ctr
 

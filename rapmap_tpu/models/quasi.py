@@ -31,6 +31,7 @@ class Counters(NamedTuple):
     too_ambiguous: jnp.ndarray
     over_budget: jnp.ndarray
     records: jnp.ndarray
+    out_truncated: jnp.ndarray  # reads whose records exceeded cfg.out_slots
 
 
 @partial(jax.jit, static_argnames=("st", "cfg"))
@@ -54,6 +55,7 @@ def map_batch_se(
         too_ambiguous=jnp.sum(out.too_ambiguous & real, dtype=jnp.int32),
         over_budget=jnp.sum(out.over_budget & real, dtype=jnp.int32),
         records=jnp.sum(jnp.where(real[:, None], out.t != -1, False), dtype=jnp.int32),
+        out_truncated=jnp.sum(out.out_truncated & real, dtype=jnp.int32),
     )
     return out, ctr
 
@@ -80,6 +82,10 @@ def map_batch_pe(
         too_ambiguous=jnp.sum(pairs.too_ambiguous & real, dtype=jnp.int32),
         over_budget=jnp.sum((out1.over_budget | out2.over_budget) & real, dtype=jnp.int32),
         records=jnp.sum(jnp.where(real[:, None], pairs.t != -1, False), dtype=jnp.int32),
+        out_truncated=jnp.sum(
+            (out1.out_truncated | out2.out_truncated | pairs.out_truncated) & real,
+            dtype=jnp.int32,
+        ),
     )
     return out1, out2, pairs, ctr
 

@@ -63,7 +63,7 @@ def collate_batch(
     CSR resolver instead (SEMANTICS.md §7)."""
     R, H = hits.q.shape
     B = R // 2
-    MO = cfg.max_out
+    MO = cfg.out_slots
     H2 = 2 * H
     NH = B * H2
     CAPG = cfg.expand_budget * B

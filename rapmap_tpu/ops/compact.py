@@ -41,8 +41,12 @@ def _compact(fields: list[jnp.ndarray], valid: jnp.ndarray, cap: int):
     stacked = jnp.stack([f.reshape(-1) for f in fields], axis=-1)  # (B*MO, F)
     buf = jnp.zeros((cap + 1, stacked.shape[-1]), jnp.int32)
     recs = buf.at[dest].set(stacked.astype(jnp.int32), mode="drop")[:cap]
-    counts = jnp.sum(valid, axis=1, dtype=jnp.int32)
     total = jnp.sum(fv, dtype=jnp.int32)
+    # clamp per-read counts to what was actually written, so host writers
+    # walking recs by counts never index past the cap on overflow
+    raw = jnp.sum(valid, axis=1, dtype=jnp.int32)
+    ends = jnp.cumsum(raw)
+    counts = jnp.minimum(ends, cap) - jnp.minimum(ends - raw, cap)
     return recs, counts, total, total > cap
 
 

@@ -7,9 +7,9 @@ therefore ship one uint8 buffer in and one int32 buffer out.
 
 wire_in  (uint8): codes1 [B*L] | (codes2 [B*L] if PE) | lens1 int32 LE [4B]
                   | (lens2 [4B]) | n_valid int32 [4]
-wire_out (int32): [0] total records | [1] overflowed | [2:7] counters
+wire_out (int32): [0] total records | [1] overflowed | [2:8] counters
                   (reads_total, reads_mapped, too_ambiguous, over_budget,
-                  records) | [7] reserved | [8:8+B] per-read record counts
+                  records, out_truncated) | [8:8+B] per-read record counts
                   | [8+B:] records row-major, F fields each.
 """
 
@@ -68,8 +68,7 @@ def pack_out(recsd, ctr) -> jnp.ndarray:
         recsd.total,
         recsd.overflowed.astype(jnp.int32),
         ctr.reads_total, ctr.reads_mapped, ctr.too_ambiguous,
-        ctr.over_budget, ctr.records,
-        recsd.total * 0,
+        ctr.over_budget, ctr.records, ctr.out_truncated,
     ])
     return jnp.concatenate([hdr, recsd.counts, recsd.recs.reshape(-1)])
 
@@ -95,5 +94,6 @@ def unpack_out(wire: np.ndarray, B: int, fields: int) -> WireResult:
         counters=dict(
             reads_total=int(hdr[2]), reads_mapped=int(hdr[3]),
             too_ambiguous=int(hdr[4]), over_budget=int(hdr[5]), records=int(hdr[6]),
+            out_truncated=int(hdr[7]),
         ),
     )

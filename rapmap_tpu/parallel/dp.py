@@ -45,6 +45,9 @@ def _se_shard(didx, st, reads, lens, n_valid_local, cfg):
         records=jax.lax.psum(
             jnp.sum(jnp.where(real[:, None], out.t != -1, False), dtype=jnp.int32), "data"
         ),
+        out_truncated=jax.lax.psum(
+            jnp.sum(out.out_truncated & real, dtype=jnp.int32), "data"
+        ),
     )
     return out, ctr
 
@@ -84,6 +87,13 @@ def _pe_shard(didx, st, r1, l1, r2, l2, nv, cfg):
         ),
         records=jax.lax.psum(
             jnp.sum(jnp.where(real[:, None], pairs.t != -1, False), dtype=jnp.int32), "data"
+        ),
+        out_truncated=jax.lax.psum(
+            jnp.sum(
+                (o1.out_truncated | o2.out_truncated | pairs.out_truncated) & real,
+                dtype=jnp.int32,
+            ),
+            "data",
         ),
     )
     return o1, o2, pairs, ctr

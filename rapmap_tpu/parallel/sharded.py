@@ -50,7 +50,9 @@ class ShardedIndexArrays(NamedTuple):
     lut_rows: jnp.ndarray  # (P, 4^p, 2) — rows outside shard range are empty
     txp_off: jnp.ndarray   # (P, T)
     txp_len: jnp.ndarray   # (P, T)
-    slot_base: jnp.ndarray # (P, 1) int32 global slot offset of the shard
+    slot_base: jnp.ndarray # (P, 2) int32 [global slot offset, true slot count]
+    # (true count matters: shards are padded to S_pad, and ownership tests must
+    # use the real count or a short shard also claims the next shard's slots)
 
 
 def shard_quasi_index(idx: QuasiIndex, n_shards: int):
@@ -99,12 +101,13 @@ def shard_quasi_index(idx: QuasiIndex, n_shards: int):
     sa_meta = np.zeros((P_, S_pad, 2), np.int32)
     kmer_rows = np.zeros((P_, K_pad, 4), np.int32)
     lut_rows = np.zeros((P_, len(lut) - 1, 2), np.int32)
-    bases = np.zeros((P_, 1), np.int32)
+    bases = np.zeros((P_, 2), np.int32)
     for p in range(P_):
         s0, s1 = slot_cuts[p], slot_cuts[p + 1]
         r0, r1 = row_cuts[p], row_cuts[p + 1]
         ns, nr = s1 - s0, r1 - r0
         bases[p, 0] = s0
+        bases[p, 1] = ns
         sa_s[p, :ns] = sa[s0:s1]
         sa_ext[p, :ns, 0] = sa[s0:s1]
         sa_ext[p, :ns, 1] = tend_all[s0:s1]
@@ -237,12 +240,13 @@ def _se_shard2d(sh: ShardedIndexArrays, st, reads, lens, nv, cfg):
     lens2 = jnp.concatenate([lens, lens])
     hits = _sharded_scan(didx, st, lanes, lens2, cfg)
 
-    n_local = didx.sa_meta.shape[0]
+    n_pad = didx.sa_meta.shape[0]
+    n_local = sh.slot_base[0, 1]  # true slot count, not the padded S_pad
 
     def expand_fn(p, q):
         local = p - base
         mine = (local >= 0) & (local < n_local)
-        meta = row_gather_nd(didx.sa_meta, jnp.clip(local, 0, n_local - 1))
+        meta = row_gather_nd(didx.sa_meta, jnp.clip(local, 0, n_pad - 1))
         t1 = jnp.where(mine, meta[..., 0] + 1, 0)
         tp = jnp.where(mine, meta[..., 1], 0)
         t1 = lax.psum(t1, "idx")
@@ -260,6 +264,7 @@ def _se_shard2d(sh: ShardedIndexArrays, st, reads, lens, nv, cfg):
         records=lax.psum(
             jnp.sum(jnp.where(real[:, None], out.t != -1, False), dtype=jnp.int32), "data"
         ),
+        out_truncated=lax.psum(jnp.sum(out.out_truncated & real, dtype=jnp.int32), "data"),
     )
     return out, ctr
 
@@ -308,6 +313,13 @@ def _pe_shard2d(sh, st, r1, l1, r2, l2, nv, cfg):
         ),
         records=lax.psum(
             jnp.sum(jnp.where(real[:, None], pairs.t != -1, False), dtype=jnp.int32), "data"
+        ),
+        out_truncated=lax.psum(
+            jnp.sum(
+                (o1.out_truncated | o2.out_truncated | pairs.out_truncated) & real,
+                dtype=jnp.int32,
+            ),
+            "data",
         ),
     )
     return o1, o2, pairs, ctr

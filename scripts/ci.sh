@@ -11,10 +11,15 @@ make -C rapmap_tpu/native
 make -C rapmap_tpu/native asan
 
 echo "== native tests under ASAN =="
-# run only the native-focused tests with the sanitized library preloaded
-TQM_NATIVE_ASAN=1 LD_PRELOAD="$(gcc -print-file-name=libasan.so)" \
-  ASAN_OPTIONS=detect_leaks=0 \
-  python -m pytest tests/test_native.py -q || echo "ASAN run skipped/failed (non-fatal in constrained envs)"
+# run only the native-focused tests with the sanitized library preloaded;
+# a sanitizer failure fails CI whenever the toolchain provides libasan
+LIBASAN="$(gcc -print-file-name=libasan.so)"
+if [ -e "$LIBASAN" ]; then
+  TQM_NATIVE_ASAN=1 LD_PRELOAD="$LIBASAN" ASAN_OPTIONS=detect_leaks=0 \
+    python -m pytest tests/test_native.py -q
+else
+  echo "libasan not found; skipping sanitizer run"
+fi
 
 echo "== test pyramid =="
 python -m pytest tests/ -q -x

@@ -7,7 +7,7 @@ import pytest
 from rapmap_tpu.config import MapConfig
 from rapmap_tpu.models.quasi import QuasiMapper
 from rapmap_tpu.parallel import sharded
-from tests.util import sample_reads, toy_index
+from tests.util import BASES, sample_reads, toy_index
 from tests.test_device_parity import batch_of
 
 
@@ -65,6 +65,60 @@ def test_shard_cut_points(tmp_path):
     for b, e in zip(kb, ke):
         owner = np.searchsorted(cuts, b, side="right") - 1
         assert cuts[owner] <= b and e <= cuts[owner + 1], (b, e, cuts)
+
+
+@pytest.mark.skipif(len(jax.devices()) < 6, reason="needs 6 virtual devices")
+def test_sharded_slot_ownership_past_cuts(tmp_path):
+    """Regression: a shard shorter than S_pad must NOT claim the next shard's
+    first (S_pad - ns) slots via its zero-padded sa_meta rows (double-claim
+    makes the psum return t_true + 1). Reads are exact substrings starting at
+    text positions of SA slots just past every shard cut, which expand
+    precisely the slots inside the potential double-claim windows."""
+    rng = np.random.default_rng(94)
+    idx, _ = toy_index(tmp_path, rng, n_txps=7, min_len=120, max_len=400, k=11)
+    n_idx, n_data = 3, 2
+    arr, st = sharded.shard_quasi_index(idx, n_idx)
+    S_pad = arr.sa_meta.shape[1]
+    ns = arr.slot_base[:, 1]
+    assert (ns < S_pad).any(), "test needs at least one short shard"
+
+    sa = np.asarray(idx.sa, dtype=np.int64)
+    text = np.asarray(idx.text)
+    rl = 24
+    seqs = []
+    for p in range(1, n_idx):
+        cut = int(arr.slot_base[p, 0])
+        # slots of shard p that sit inside shard p-1's padded claim window
+        hi = min(int(arr.slot_base[p - 1, 0]) + S_pad, cut + int(ns[p]))
+        for s in range(cut, hi):
+            g = sa[s]
+            w = text[g : g + rl]
+            if len(w) == rl and (w >= 1).all():  # sentinel-free window
+                seqs.append(bytes(BASES[w - 1]))
+    assert seqs, "no sentinel-free reads in the double-claim windows"
+    seqs = seqs[:40]
+    per = -(-len(seqs) // n_data)
+    B = n_data * per
+    codes, lens = batch_of(seqs + [b""] * (B - len(seqs)), rl)
+    cfg = MapConfig(k=idx.k, max_hits_per_strand=16, expand_budget=128, max_out=32)
+
+    mapper = QuasiMapper(idx, cfg)
+    out1, _ = mapper.map_se(codes, lens, n_valid=len(seqs))
+
+    import jax.numpy as jnp
+
+    sharr = jax.tree.map(jnp.asarray, arr)
+    mesh = sharded.make_mesh_2d(n_data, n_idx)
+    nv = np.zeros(n_data, np.int32)
+    rem = len(seqs)
+    for i in range(n_data):
+        nv[i] = min(per, max(rem, 0)); rem -= nv[i]
+    out2, _ = sharded.map_batch_se_sharded(
+        sharr, st, jnp.asarray(codes), jnp.asarray(lens), jnp.asarray(nv), cfg, mesh
+    )
+    out2 = jax.tree.map(np.asarray, out2)
+    for field in ("t", "pos", "strand", "score", "n_mappings"):
+        assert np.array_equal(getattr(out1, field), getattr(out2, field)), field
 
 
 @pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")

@@ -33,6 +33,41 @@ def test_wire_se_matches_mapout(tmp_path):
     assert off == wr.total
 
 
+def test_compact_overflow_clamps_counts():
+    """Regression: when total records exceed cap, per-read counts must clamp to
+    what was actually written so host SAM writers never index past recs."""
+    import io
+
+    import jax.numpy as jnp
+
+    from rapmap_tpu.io import sam
+    from rapmap_tpu.ops.collate import MapOut
+    from rapmap_tpu.ops.compact import compact_se
+
+    B, MO, cap = 4, 8, 10  # 4 reads x 6 records = 24 > cap
+    t = np.where(np.arange(MO)[None, :] < 6, np.arange(B)[:, None], -1)
+    z = np.zeros((B, MO), np.int32)
+    flags = np.zeros(B, bool)
+    out = MapOut(
+        t=jnp.asarray(t, jnp.int32), pos=jnp.asarray(z), strand=jnp.asarray(z),
+        score=jnp.asarray(z), n_mappings=jnp.asarray((t != -1).sum(1), jnp.int32),
+        mapped=jnp.asarray(~flags), too_ambiguous=jnp.asarray(flags),
+        over_budget=jnp.asarray(flags), out_truncated=jnp.asarray(flags),
+    )
+    recsd = compact_se(out, cap)
+    counts = np.asarray(recsd.counts)
+    assert bool(recsd.overflowed)
+    assert int(np.sum(counts)) == cap  # clamped: 6 + 4 + 0 + 0
+    assert list(counts) == [6, 4, 0, 0]
+    recs = np.asarray(recsd.recs)
+    buf = io.StringIO()
+    names = [f"r{i}" for i in range(B)]
+    seqs = [b"ACGT" * 5] * B
+    quals = [b"I" * 20] * B
+    sam.write_se_records_dense(buf, names, seqs, quals, recs, counts, [f"t{i}" for i in range(B)])
+    assert buf.getvalue().count("\n") >= B  # no IndexError, all reads emitted
+
+
 def test_wire_pe_matches_pairout(tmp_path):
     rng = np.random.default_rng(56)
     idx, txps = toy_index(tmp_path, rng, n_txps=5, min_len=250, max_len=400, k=11)
