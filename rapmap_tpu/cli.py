@@ -36,6 +36,11 @@ def _add_map_flags(p: argparse.ArgumentParser) -> None:
     p.add_argument("-n", "--noOutput", action="store_true", help="map but emit no SAM")
     p.add_argument("--maxInterval", type=int, default=1000)
     p.add_argument("--batchSize", type=int, default=4096)
+    p.add_argument(
+        "--chunkSize", type=int, default=0,
+        help="device inner chunk (reads); compile cost scales with this, not "
+        "batchSize. 0 = one program over the whole batch",
+    )
     p.add_argument("--pipelineDepth", type=int, default=4, help="async batches in flight")
     p.add_argument("--maxReadLen", type=int, default=512)
     p.add_argument("--noUnmapped", action="store_true", help="suppress unmapped records")
@@ -92,6 +97,7 @@ def _cfg_from_args(args, k: int) -> MapConfig:
         strict_check=args.strictCheck,
         quasi_coverage=args.quasiCoverage,
         no_orphans=args.noOrphans,
+        chunk=args.chunkSize,
     )
 
 

@@ -29,6 +29,11 @@ class MapConfig:
     # 0 (default) derives max_num_hits so -m's full record count is never
     # silently truncated; explicit smaller values trip the out_truncated counter
     packed_extension: bool = True  # word-compare extension (ops.extend_packed)
+    chunk: int = 0                 # wire-path inner chunk size: the jitted
+    # program processes the batch as a lax.scan over fixed (chunk)-read chunks,
+    # so compile time is batch-size-independent and huge batches amortize the
+    # per-dispatch tunnel cost. 0 = single program over the whole batch.
+    # Semantics note: the expansion pool (expand_budget) is per chunk.
 
     @property
     def out_slots(self) -> int:

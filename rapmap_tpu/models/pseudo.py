@@ -242,7 +242,7 @@ class PseudoMapper:
         fut = pseudo_map_batch_se_wire(
             self.didx, self.st, jnp.asarray(win), self.cfg, self._cap(B), B, L
         )
-        return ("se", B, fut)
+        return ("se", B, fut, 0, 0)
 
     def map_pe_async(self, c1, l1, c2, l2, n_valid: int | None = None):
         from rapmap_tpu.ops.wire import pack_in_pe
@@ -253,11 +253,11 @@ class PseudoMapper:
         fut = pseudo_map_batch_pe_wire(
             self.didx, self.st, jnp.asarray(win), self.cfg, self._cap(B), B, L
         )
-        return ("pe", B, fut)
+        return ("pe", B, fut, 0, 0)
 
     @staticmethod
     def fetch(result):
         from rapmap_tpu.ops.wire import unpack_out
 
-        kind, B, fut = result
-        return unpack_out(np.asarray(fut), B, 4 if kind == "se" else 7)
+        kind, B, fut, C, capc = result
+        return unpack_out(np.asarray(fut), B, 4 if kind == "se" else 7, chunk=C, capc=capc)

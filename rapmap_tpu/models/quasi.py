@@ -13,6 +13,7 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 import numpy as np
+from jax import lax
 
 from rapmap_tpu.config import MapConfig
 from rapmap_tpu.index.format import QuasiIndex
@@ -101,6 +102,65 @@ def map_batch_se_wire(didx, st, wire_in, cfg: MapConfig, cap: int, B: int, L: in
     return pack_out(compact_se(out, cap), ctr)
 
 
+def _se_counters(flags, n_valid, C):
+    real = np.arange(C, dtype=np.int32) < n_valid
+    return Counters(
+        reads_total=n_valid.astype(jnp.int32),
+        reads_mapped=jnp.sum(flags.mapped & real, dtype=jnp.int32),
+        too_ambiguous=jnp.sum(flags.too_ambiguous & real, dtype=jnp.int32),
+        over_budget=jnp.sum(flags.over_budget & real, dtype=jnp.int32),
+        records=jnp.sum(
+            jnp.where(real & ~flags.too_ambiguous, flags.n_mappings, 0),
+            dtype=jnp.int32,
+        ),
+        out_truncated=jnp.sum(flags.out_truncated & real, dtype=jnp.int32),
+    )
+
+
+@partial(jax.jit, static_argnames=("st", "cfg", "capc", "B", "L", "C"))
+def map_batch_se_wire_chunked(
+    didx, st, wire_in, cfg: MapConfig, capc: int, B: int, L: int, C: int
+):
+    """SE wire step as a lax.scan over fixed (C)-read chunks.
+
+    The compiled program's size depends on C, not B, so compile time stays
+    flat while B grows to amortize per-dispatch tunnel overhead. Each chunk
+    compacts its records into its own (capc)-row range of the output buffer
+    (ops.wire.unpack_out re-densifies on the host). Uses the direct-compact
+    collate (no (B, MAX_OUT) intermediate)."""
+    from rapmap_tpu.ops.collate import collate_records_se
+    from rapmap_tpu.ops.wire import HDR, unpack_in_se
+
+    assert B % C == 0, "batch must be a multiple of the chunk size"
+    reads, lens, n_valid = unpack_in_se(wire_in, B, L)
+    nch = B // C
+    r3 = reads.reshape(nch, C, L)
+    l2 = lens.reshape(nch, C)
+
+    def body(rows_done, xs):
+        r, l = xs
+        nv = jnp.clip(n_valid - rows_done, 0, C)
+        lanes = jnp.concatenate([r, denc.revcomp_batch(r, l)], axis=0)
+        lens2 = jnp.concatenate([l, l])
+        hits = scan_batch(didx, st, lanes, lens2, cfg)
+        se, flags = collate_records_se(didx, st, hits, l, cfg, capc)
+        ctr = _se_counters(flags, nv, C)
+        hdr = jnp.stack([
+            se.total, se.overflowed.astype(jnp.int32),
+            ctr.reads_total, ctr.reads_mapped, ctr.too_ambiguous,
+            ctr.over_budget, ctr.records, ctr.out_truncated,
+        ])
+        wout = jnp.concatenate([hdr, se.counts, se.recs.reshape(-1)])
+        return rows_done + C, wout
+
+    _, outs = lax.scan(body, n_valid * 0, (r3, l2))  # (nch, HDR + C + capc*4)
+    hdrs = outs[:, :HDR]
+    hdr = hdrs.sum(axis=0).at[1].set(hdrs[:, 1].max())
+    counts = outs[:, HDR : HDR + C].reshape(B)
+    recs = outs[:, HDR + C :].reshape(-1)
+    return jnp.concatenate([hdr, counts, recs])
+
+
 @partial(jax.jit, static_argnames=("st", "cfg", "cap", "B", "L"))
 def map_batch_pe_wire(didx, st, wire_in, cfg: MapConfig, cap: int, B: int, L: int):
     from rapmap_tpu.ops.compact import compact_pe
@@ -109,6 +169,44 @@ def map_batch_pe_wire(didx, st, wire_in, cfg: MapConfig, cap: int, B: int, L: in
     r1, l1, r2, l2, n_valid = unpack_in_pe(wire_in, B, L)
     _, _, pairs, ctr = map_batch_pe(didx, st, r1, l1, r2, l2, n_valid, cfg)
     return pack_out(compact_pe(pairs, cap), ctr)
+
+
+@partial(jax.jit, static_argnames=("st", "cfg", "capc", "B", "L", "C"))
+def map_batch_pe_wire_chunked(
+    didx, st, wire_in, cfg: MapConfig, capc: int, B: int, L: int, C: int
+):
+    """PE wire step chunked like map_batch_se_wire_chunked (the pair merge
+    still goes through the slotted (C, MAX_OUT) MapOut layout per mate)."""
+    from rapmap_tpu.ops.compact import compact_pe
+    from rapmap_tpu.ops.wire import HDR, unpack_in_pe
+
+    assert B % C == 0, "batch must be a multiple of the chunk size"
+    r1, l1, r2, l2, n_valid = unpack_in_pe(wire_in, B, L)
+    nch = B // C
+    xs = (
+        r1.reshape(nch, C, L), l1.reshape(nch, C),
+        r2.reshape(nch, C, L), l2.reshape(nch, C),
+    )
+
+    def body(rows_done, xs):
+        a, la, b, lb = xs
+        nv = jnp.clip(n_valid - rows_done, 0, C)
+        _, _, pairs, ctr = map_batch_pe(didx, st, a, la, b, lb, nv, cfg)
+        pe = compact_pe(pairs, capc)
+        hdr = jnp.stack([
+            pe.total, pe.overflowed.astype(jnp.int32),
+            ctr.reads_total, ctr.reads_mapped, ctr.too_ambiguous,
+            ctr.over_budget, ctr.records, ctr.out_truncated,
+        ])
+        wout = jnp.concatenate([hdr, pe.counts, pe.recs.reshape(-1)])
+        return rows_done + C, wout
+
+    _, outs = lax.scan(body, n_valid * 0, xs)
+    hdrs = outs[:, :HDR]
+    hdr = hdrs.sum(axis=0).at[1].set(hdrs[:, 1].max())
+    counts = outs[:, HDR : HDR + C].reshape(B)
+    recs = outs[:, HDR + C :].reshape(-1)
+    return jnp.concatenate([hdr, counts, recs])
 
 
 class QuasiMapper:
@@ -148,16 +246,27 @@ class QuasiMapper:
     def _cap(self, B: int) -> int:
         return 4 * B
 
+    def _chunk_of(self, B: int) -> int:
+        C = self.cfg.chunk
+        return C if (C and C < B and B % C == 0) else 0
+
     def map_se_async(self, codes, lens, n_valid: int | None = None):
         from rapmap_tpu.ops.wire import pack_in_se
 
         B, L = codes.shape
         nv = n_valid if n_valid is not None else B
         win = pack_in_se(np.asarray(codes), np.asarray(lens), nv)
+        C = self._chunk_of(B)
+        if C:
+            capc = self._cap(C)
+            fut = map_batch_se_wire_chunked(
+                self.didx, self.st, jnp.asarray(win), self.cfg, capc, B, L, C
+            )
+            return ("se", B, fut, C, capc)
         fut = map_batch_se_wire(
             self.didx, self.st, jnp.asarray(win), self.cfg, self._cap(B), B, L
         )
-        return ("se", B, fut)
+        return ("se", B, fut, 0, 0)
 
     def map_pe_async(self, c1, l1, c2, l2, n_valid: int | None = None):
         from rapmap_tpu.ops.wire import pack_in_pe
@@ -165,10 +274,17 @@ class QuasiMapper:
         B, L = c1.shape
         nv = n_valid if n_valid is not None else B
         win = pack_in_pe(np.asarray(c1), np.asarray(l1), np.asarray(c2), np.asarray(l2), nv)
+        C = self._chunk_of(B)
+        if C:
+            capc = self._cap(C)
+            fut = map_batch_pe_wire_chunked(
+                self.didx, self.st, jnp.asarray(win), self.cfg, capc, B, L, C
+            )
+            return ("pe", B, fut, C, capc)
         fut = map_batch_pe_wire(
             self.didx, self.st, jnp.asarray(win), self.cfg, self._cap(B), B, L
         )
-        return ("pe", B, fut)
+        return ("pe", B, fut, 0, 0)
 
     @staticmethod
     def fetch(result):
@@ -176,6 +292,6 @@ class QuasiMapper:
         PE (t,p1,s1,has1,p2,s2,has2)."""
         from rapmap_tpu.ops.wire import unpack_out
 
-        kind, B, fut = result
+        kind, B, fut, C, capc = result
         wire = np.asarray(fut)
-        return unpack_out(wire, B, 4 if kind == "se" else 7)
+        return unpack_out(wire, B, 4 if kind == "se" else 7, chunk=C, capc=capc)

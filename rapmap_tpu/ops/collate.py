@@ -50,20 +50,33 @@ class MapOut(NamedTuple):
     out_truncated: jnp.ndarray  # (B,) bool — winners > max_out emitted slots
 
 
-def collate_batch(
+class CollateCore(NamedTuple):
+    """Winner rows in global (read, t*2+strand) sorted order + per-read flags."""
+
+    keep: jnp.ndarray      # (CAPG,) bool — row is an emitted mapping
+    rclip: jnp.ndarray     # (CAPG,) int32 read id (clipped; only valid where keep)
+    k2s: jnp.ndarray       # (CAPG,) int32 t*2+strand
+    p2: jnp.ndarray        # (CAPG,) int32 transcript position
+    sup2: jnp.ndarray      # (CAPG,) int32 MMP support score
+    rank: jnp.ndarray      # (CAPG,) int32 winner rank within its read
+    counts: jnp.ndarray    # (B,) int32 winner count per read (pre-cap)
+    too_ambiguous: jnp.ndarray
+    over_budget: jnp.ndarray
+
+
+def _collate_core(
     didx: DeviceQuasiIndex,
     st: EngineStatic,
     hits: ScanHits,
     lens: jnp.ndarray,  # (B,) read lengths
     cfg: MapConfig,
     expand_fn=None,
-) -> MapOut:
+) -> CollateCore:
     """expand_fn(slot_index p, query_pos q) -> (t, tpos) resolves one expanded
     occurrence; defaults to the quasi/SA resolution. The pseudo path passes its
     CSR resolver instead (SEMANTICS.md §7)."""
     R, H = hits.q.shape
     B = R // 2
-    MO = cfg.out_slots
     H2 = 2 * H
     NH = B * H2
     CAPG = cfg.expand_budget * B
@@ -175,7 +188,7 @@ def collate_batch(
         best = jnp.maximum(m_rs[0::2], m_rs[1::2])  # (B,)
         keep = keep & (flat_gather(m_rs, sid) == flat_gather(best, rclip))
 
-    # ---- winners -> (B, MAX_OUT) MapOut scatter -----------------------------
+    # ---- per-read winner counts / ranks -------------------------------------
     counts = jax.ops.segment_sum(
         keep.astype(jnp.int32), rclip, num_segments=B
     )  # (B,) — rclip only counts real reads (keep is False where k1s == BIG)
@@ -183,18 +196,86 @@ def collate_batch(
     gks = jnp.cumsum(keep.astype(jnp.int32)) - 1
     rank = gks - flat_gather(base, rclip)
     too_amb = counts > cfg.max_num_hits
-    emit = keep & ~flat_gather(too_amb, rclip) & (rank < MO)
-    flatpos = jnp.where(emit, rclip * MO + rank, B * MO)
-    tmpl = jnp.broadcast_to(total_global * 0, (B * MO + 1,))
-    out_t = (tmpl - 1).at[flatpos].set(jnp.where(emit, k2s >> 1, -1), mode="drop")[: B * MO].reshape(B, MO)
-    out_p = tmpl.at[flatpos].set(jnp.where(emit, p2, 0), mode="drop")[: B * MO].reshape(B, MO)
-    out_s = tmpl.at[flatpos].set(jnp.where(emit, k2s & 1, 0), mode="drop")[: B * MO].reshape(B, MO)
-    out_sc = tmpl.at[flatpos].set(jnp.where(emit, sup2, 0), mode="drop")[: B * MO].reshape(B, MO)
-    n_map = counts
-    out_trunc = (n_map > MO) & ~too_amb
-    mapped = (n_map >= 1) & ~too_amb
+    return CollateCore(
+        keep=keep, rclip=rclip, k2s=k2s, p2=p2, sup2=sup2, rank=rank,
+        counts=counts, too_ambiguous=too_amb, over_budget=over_budget,
+    )
+
+
+def collate_batch(
+    didx: DeviceQuasiIndex,
+    st: EngineStatic,
+    hits: ScanHits,
+    lens: jnp.ndarray,
+    cfg: MapConfig,
+    expand_fn=None,
+) -> MapOut:
+    """Winners scattered into the slotted (B, MAX_OUT) MapOut layout (used by
+    the pair merge and the library API)."""
+    B = hits.q.shape[0] // 2
+    MO = cfg.out_slots
+    c = _collate_core(didx, st, hits, lens, cfg, expand_fn)
+    emit = c.keep & ~flat_gather(c.too_ambiguous, c.rclip) & (c.rank < MO)
+    flatpos = jnp.where(emit, c.rclip * MO + c.rank, B * MO)
+    tmpl = jnp.broadcast_to(c.counts.sum() * 0, (B * MO + 1,))
+    out_t = (tmpl - 1).at[flatpos].set(jnp.where(emit, c.k2s >> 1, -1), mode="drop")[: B * MO].reshape(B, MO)
+    out_p = tmpl.at[flatpos].set(jnp.where(emit, c.p2, 0), mode="drop")[: B * MO].reshape(B, MO)
+    out_s = tmpl.at[flatpos].set(jnp.where(emit, c.k2s & 1, 0), mode="drop")[: B * MO].reshape(B, MO)
+    out_sc = tmpl.at[flatpos].set(jnp.where(emit, c.sup2, 0), mode="drop")[: B * MO].reshape(B, MO)
+    n_map = c.counts
+    out_trunc = (n_map > MO) & ~c.too_ambiguous
+    mapped = (n_map >= 1) & ~c.too_ambiguous
     return MapOut(
         t=out_t, pos=out_p, strand=out_s, score=out_sc,
-        n_mappings=n_map, mapped=mapped, too_ambiguous=too_amb,
-        over_budget=over_budget, out_truncated=out_trunc,
+        n_mappings=n_map, mapped=mapped, too_ambiguous=c.too_ambiguous,
+        over_budget=c.over_budget, out_truncated=out_trunc,
     )
+
+
+class MapFlags(NamedTuple):
+    """Per-read outcome flags (MapOut minus the record payload)."""
+
+    n_mappings: jnp.ndarray
+    mapped: jnp.ndarray
+    too_ambiguous: jnp.ndarray
+    over_budget: jnp.ndarray
+    out_truncated: jnp.ndarray
+
+
+def collate_records_se(
+    didx: DeviceQuasiIndex,
+    st: EngineStatic,
+    hits: ScanHits,
+    lens: jnp.ndarray,
+    cfg: MapConfig,
+    cap: int,
+    expand_fn=None,
+):
+    """Winners compacted DIRECTLY into a dense (cap, 4) record buffer.
+
+    The core's winner rows already sit in (read, t*2+strand) sorted order —
+    exactly the row-major layout compact_se(collate_batch(...)) produces — so
+    the SE wire path skips the (B, MAX_OUT) scatter + re-compaction entirely
+    (MAX_OUT disappears from the hot program). Returns (SERecords, MapFlags).
+    """
+    from rapmap_tpu.ops.compact import SERecords
+
+    B = hits.q.shape[0] // 2
+    c = _collate_core(didx, st, hits, lens, cfg, expand_fn)
+    emit = c.keep & ~flat_gather(c.too_ambiguous, c.rclip)
+    gidx = jnp.cumsum(emit.astype(jnp.int32)) - 1
+    dest = jnp.where(emit, jnp.minimum(gidx, cap), cap)
+    rows = jnp.stack([c.k2s >> 1, c.p2, c.k2s & 1, c.sup2], axis=-1)
+    buf = jnp.zeros((cap + 1, 4), jnp.int32)
+    recs = buf.at[dest].set(rows.astype(jnp.int32), mode="drop")[:cap]
+    emitted = jax.ops.segment_sum(emit.astype(jnp.int32), c.rclip, num_segments=B)
+    ends = jnp.cumsum(emitted)
+    counts = jnp.minimum(ends, cap) - jnp.minimum(ends - emitted, cap)
+    total = jnp.sum(emit, dtype=jnp.int32)
+    se = SERecords(recs=recs, counts=counts, total=total, overflowed=total > cap)
+    mapped = (c.counts >= 1) & ~c.too_ambiguous
+    flags = MapFlags(
+        n_mappings=c.counts, mapped=mapped, too_ambiguous=c.too_ambiguous,
+        over_budget=c.over_budget, out_truncated=mapped & (emitted < c.counts),
+    )
+    return se, flags

@@ -81,13 +81,23 @@ class WireResult(NamedTuple):
     counters: dict
 
 
-def unpack_out(wire: np.ndarray, B: int, fields: int) -> WireResult:
+def unpack_out(wire: np.ndarray, B: int, fields: int, chunk: int = 0, capc: int = 0) -> WireResult:
+    """chunk/capc > 0: the record area holds one (capc, fields) block per
+    chunk (chunked wire step); re-densify by concatenating each chunk's
+    written prefix (per-read counts are already clamped per chunk)."""
     hdr = wire[:HDR]
     counts = wire[HDR : HDR + B]
-    recs = wire[HDR + B :].reshape(-1, fields)
     total = int(hdr[0])
+    if chunk:
+        nch = B // chunk
+        blocks = wire[HDR + B :].reshape(nch, capc, fields)
+        tc = counts.reshape(nch, chunk).sum(axis=1)
+        recs = np.concatenate([blocks[c, : tc[c]] for c in range(nch)], axis=0)
+    else:
+        recs = wire[HDR + B :].reshape(-1, fields)
+        recs = recs[: min(total, recs.shape[0])]
     return WireResult(
-        recs=recs[: min(total, recs.shape[0])],
+        recs=recs,
         counts=counts,
         total=total,
         overflowed=bool(hdr[1]),

@@ -33,6 +33,50 @@ def test_wire_se_matches_mapout(tmp_path):
     assert off == wr.total
 
 
+def test_wire_se_chunked_matches_unchunked(tmp_path):
+    """Chunked wire step (lax.scan over fixed chunks + direct-compact collate)
+    must produce the same records/counters as the single-program path."""
+    rng = np.random.default_rng(57)
+    idx, txps = toy_index(tmp_path, rng, n_txps=5, min_len=150, max_len=300, k=11)
+    reads = sample_reads(rng, txps, 29, read_len=40, error_rate=0.02, n_frac=0.01)
+    L = 40
+    B = 32
+    codes, lens = batch_of([r[1] for r in reads] + [b""] * (B - len(reads)), L)
+    base = dict(k=idx.k, max_hits_per_strand=30, expand_budget=512)
+    m1 = QuasiMapper(idx, MapConfig(**base))
+    m2 = QuasiMapper(idx, MapConfig(**base, chunk=8))
+    w1 = m1.fetch(m1.map_se_async(codes, lens, n_valid=len(reads)))
+    w2 = m2.fetch(m2.map_se_async(codes, lens, n_valid=len(reads)))
+    assert w1.counters == w2.counters
+    assert np.array_equal(w1.counts, w2.counts)
+    assert np.array_equal(w1.recs, w2.recs)
+
+
+def test_wire_pe_chunked_matches_unchunked(tmp_path):
+    rng = np.random.default_rng(58)
+    idx, txps = toy_index(tmp_path, rng, n_txps=5, min_len=250, max_len=400, k=11)
+    comp = bytes.maketrans(b"ACGT", b"TGCA")
+    L = 36
+    lefts, rights = [], []
+    for _ in range(13):
+        t = int(rng.integers(0, len(txps)))
+        seq = txps[t][1]
+        a = int(rng.integers(0, len(seq) - 130))
+        lefts.append(seq[a : a + L])
+        rights.append(seq[a + 100 - L : a + 100].translate(comp)[::-1])
+    B = 16
+    c1, l1 = batch_of(lefts + [b""] * (B - len(lefts)), L)
+    c2, l2 = batch_of(rights + [b""] * (B - len(rights)), L)
+    base = dict(k=idx.k, max_hits_per_strand=26, expand_budget=256)
+    m1 = QuasiMapper(idx, MapConfig(**base))
+    m2 = QuasiMapper(idx, MapConfig(**base, chunk=4))
+    w1 = m1.fetch(m1.map_pe_async(c1, l1, c2, l2, n_valid=len(lefts)))
+    w2 = m2.fetch(m2.map_pe_async(c1, l1, c2, l2, n_valid=len(lefts)))
+    assert w1.counters == w2.counters
+    assert np.array_equal(w1.counts, w2.counts)
+    assert np.array_equal(w1.recs, w2.recs)
+
+
 def test_compact_overflow_clamps_counts():
     """Regression: when total records exceed cap, per-read counts must clamp to
     what was actually written so host SAM writers never index past recs."""
