@@ -53,6 +53,12 @@ def build_world():
                 f.write(f">t{i}\n{bases[rng.integers(0, 4, L)].tobytes().decode()}\n")
         build_quasi_index(fa, outdir=idx_dir, k=31)
     idx = load_index(idx_dir)
+    if getattr(idx, "chd_dir", None) is None:
+        # upgrade pre-CHD cached indexes: 2-gather perfect-hash probe
+        from rapmap_tpu.index.chd import attach_chd
+
+        idx = load_index(idx_dir, mmap=False)
+        attach_chd(idx, save_dir=idx_dir)
 
     reads_npz = os.path.join(CACHE, "reads_v2.npz")
     if not os.path.exists(reads_npz):

@@ -118,12 +118,24 @@ def build_quasi_index(
     sa_txp = _sa_txp_of(sa, offsets, lens)
     sa_tpos = (np.asarray(sa, dtype=np.int64) - offsets[sa_txp]).astype(np.int32)
     log.info("k-mer table: %d distinct %d-mers (%.1fs)", len(kb), k, time.time() - t0)
+    # CHD perfect hash (BooPHF role): device probes become 2 gathers flat
+    t0 = time.time()
+    from rapmap_tpu.index.chd import build_chd
+
+    chd = build_chd(khi, klo, seed0=seed + 1)
+    meta = {}
+    chd_dir = chd_perm = None
+    if chd is not None:
+        chd_dir, chd_perm = chd["dir"], chd["perm"]
+        meta["chd"] = {k_: chd[k_] for k_ in ("seed", "m_bits", "t_bits")}
+        log.info("CHD perfect hash built (%.1fs)", time.time() - t0)
     idx = QuasiIndex(
         k=k, text=text, text2b=text2b, sa=sa, sa_txp=sa_txp,
         sa_tpos=sa_tpos,
         kmer_hi=khi, kmer_lo=klo, kmer_b=kb, kmer_e=ke, prefix_lut=lut,
         txp_offsets=offsets, txp_lens=lens, txp_names=names,
         n_text=n_text, prefix_bases=prefix_bases, seed=seed,
+        chd_dir=chd_dir, chd_perm=chd_perm, meta=meta,
     )
     if outdir:
         save_index(idx, outdir)

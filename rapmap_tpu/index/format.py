@@ -49,6 +49,9 @@ class QuasiIndex:
     prefix_bases: int = 10
     seed: int = 0
     meta: dict = field(default_factory=dict)
+    # optional CHD perfect hash (meta["chd"] holds seed/m_bits/t_bits)
+    chd_dir: np.ndarray | None = None   # int32 (2^m_bits,)
+    chd_perm: np.ndarray | None = None  # int32 (2^t_bits,) kmer row or -1
 
     @property
     def n_txps(self) -> int:
@@ -78,10 +81,15 @@ def _sha(arr: np.ndarray) -> str:
     return hashlib.sha256(np.ascontiguousarray(arr).tobytes()).hexdigest()[:16]
 
 
+_QUASI_OPTIONAL = ["chd_dir", "chd_perm"]
+
+
 def save_index(idx, outdir: str) -> None:
     os.makedirs(outdir, exist_ok=True)
     is_quasi = isinstance(idx, QuasiIndex)
-    names = _QUASI_ARRAYS if is_quasi else _PSEUDO_ARRAYS
+    names = list(_QUASI_ARRAYS) if is_quasi else list(_PSEUDO_ARRAYS)
+    if is_quasi:
+        names += [n for n in _QUASI_OPTIONAL if getattr(idx, n) is not None]
     hashes = {}
     for name in names:
         arr = getattr(idx, name)
@@ -124,7 +132,9 @@ def load_index(indir: str, mmap: bool = True, verify: bool = False):
     (the reference's IndexHeader load-time check, SURVEY.md §2.1 #12)."""
     header = load_header(indir)
     is_quasi = header["index_type"] == "quasi"
-    names = _QUASI_ARRAYS if is_quasi else _PSEUDO_ARRAYS
+    names = list(_QUASI_ARRAYS) if is_quasi else list(_PSEUDO_ARRAYS)
+    if is_quasi:
+        names += [n for n in _QUASI_OPTIONAL if n in header["hashes"]]
     arrays = {}
     mode = "r" if mmap else None
     for name in names:

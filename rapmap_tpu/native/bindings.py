@@ -50,6 +50,12 @@ def _load() -> ctypes.CDLL | None:
         lib.tqm_sais_u8_i64.argtypes = [
             ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64,
         ]
+        lib.tqm_chd_build.restype = ctypes.c_int
+        lib.tqm_chd_build.argtypes = [
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64,
+            ctypes.c_int32, ctypes.c_int32, ctypes.c_uint32, ctypes.c_int32,
+            ctypes.c_void_p, ctypes.c_void_p,
+        ]
         lib.tqm_fastq_parse.restype = ctypes.c_int64
         lib.tqm_fastq_parse.argtypes = [
             ctypes.c_char_p, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
@@ -78,6 +84,33 @@ def suffix_array(text_codes: np.ndarray) -> np.ndarray:
     if rc != 0:
         raise RuntimeError(f"tqm_sais failed with code {rc}")
     return sa
+
+
+def chd_build(
+    khi: np.ndarray, klo: np.ndarray, m_bits: int, t_bits: int, seed: int,
+    maxd: int = 65535,
+):
+    """Perfect-hash displacement build over (hi, lo) keys.
+
+    Returns (dir int32 (2^m_bits,), perm int32 (2^t_bits,) row index or -1),
+    or None if no displacement assignment was found (caller reseeds)."""
+    lib = _load()
+    if lib is None:
+        raise RuntimeError("native library unavailable")
+    hi = np.ascontiguousarray(khi, dtype=np.uint32)
+    lo = np.ascontiguousarray(klo, dtype=np.uint32)
+    dirv = np.empty(1 << m_bits, dtype=np.int32)
+    perm = np.empty(1 << t_bits, dtype=np.int32)
+    rc = lib.tqm_chd_build(
+        hi.ctypes.data, lo.ctypes.data, len(hi),
+        m_bits, t_bits, seed & 0xFFFFFFFF, maxd,
+        dirv.ctypes.data, perm.ctypes.data,
+    )
+    if rc == -1:
+        return None
+    if rc != 0:
+        raise ValueError(f"tqm_chd_build failed with code {rc}")
+    return dirv, perm
 
 
 def fastq_parse(buf: bytes, max_reads: int, pad_len: int):

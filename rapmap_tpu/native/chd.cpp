@@ -1,0 +1,100 @@
+// CHD-style hash-and-displace perfect hash over (hi, lo) uint32 k-mer keys.
+//
+// Covers the reference's BooPHF/FrugalBooMap role (upstream:include/BooPHF.hpp,
+// upstream:include/FrugalBooMap.hpp — SURVEY.md §2.2): the device probes a
+// k-mer with exactly TWO gathers (bucket displacement + table row) instead of
+// the sorted-table binary search, whose trip count follows the largest
+// prefix-LUT bucket.
+//
+// Scheme (Hash, displace, and compress — Belazzougui/Botelho/Dietzfelbinger,
+// simplified, no compression): keys hash into m buckets; buckets are placed
+// in decreasing-size order; bucket j stores one displacement d so that every
+// key i in it lands in a free slot mix32(hb_i + d) & (T-1). Query recomputes
+// g, d = dir[g], slot; a key/row compare verifies membership (alien keys
+// just miss the compare).
+
+#include <algorithm>
+#include <cstdint>
+#include <vector>
+
+static inline uint32_t mix32(uint32_t x) {
+  x ^= x >> 16;
+  x *= 0x85ebca6bu;
+  x ^= x >> 13;
+  x *= 0xc2b2ae35u;
+  x ^= x >> 16;
+  return x;
+}
+
+extern "C" int tqm_chd_build(const uint32_t* hi, const uint32_t* lo, int64_t n,
+                             int32_t m_bits, int32_t t_bits, uint32_t seed,
+                             int32_t maxd, int32_t* dir, int32_t* perm) {
+  if (n <= 0 || m_bits < 1 || t_bits < 1 || (1ll << t_bits) < n) return -2;
+  const uint32_t m_mask = (uint32_t)((1ll << m_bits) - 1);
+  const int64_t m = 1ll << m_bits;
+  const int64_t T = 1ll << t_bits;
+  const uint32_t t_mask = (uint32_t)(T - 1);
+  const uint32_t sa = seed * 0x9e3779b9u + 1u;
+  const uint32_t sb = seed * 0x85ebca6bu + 2u;
+
+  std::vector<int32_t> bcount(m, 0);
+  std::vector<uint32_t> hb(n), g(n);
+  for (int64_t i = 0; i < n; i++) {
+    g[i] = mix32(hi[i] ^ mix32(lo[i] ^ sa)) & m_mask;
+    hb[i] = mix32(hi[i] ^ mix32(lo[i] ^ sb));
+    bcount[g[i]]++;
+  }
+  std::vector<int64_t> boff(m + 1, 0);
+  for (int64_t j = 0; j < m; j++) boff[j + 1] = boff[j] + bcount[j];
+  std::vector<int32_t> items(n);
+  {
+    std::vector<int64_t> cur(boff.begin(), boff.end() - 1);
+    for (int64_t i = 0; i < n; i++) items[cur[g[i]]++] = (int32_t)i;
+  }
+  std::vector<int32_t> order(m);
+  for (int64_t j = 0; j < m; j++) order[j] = (int32_t)j;
+  std::sort(order.begin(), order.end(),
+            [&](int32_t a, int32_t b) { return bcount[a] > bcount[b]; });
+
+  std::vector<uint8_t> used(T, 0);
+  for (int64_t i = 0; i < T; i++) perm[i] = -1;
+  std::vector<uint32_t> slots;
+  for (int64_t oj = 0; oj < m; oj++) {
+    const int32_t j = order[oj];
+    const int32_t s = bcount[j];
+    if (s == 0) {
+      dir[j] = 0;
+      continue;
+    }
+    const int32_t* it = &items[boff[j]];
+    bool placed = false;
+    for (int32_t d = 0; d < maxd && !placed; d++) {
+      slots.clear();
+      bool ok = true;
+      for (int32_t q = 0; q < s; q++) {
+        uint32_t sl = mix32(hb[it[q]] + (uint32_t)d) & t_mask;
+        if (used[sl]) {
+          ok = false;
+          break;
+        }
+        for (uint32_t prev : slots)
+          if (prev == sl) {
+            ok = false;
+            break;
+          }
+        if (!ok) break;
+        slots.push_back(sl);
+      }
+      if (ok) {
+        for (int32_t q = 0; q < s; q++) {
+          used[slots[q]] = 1;
+          perm[slots[q]] = it[q];
+        }
+        dir[j] = d;
+        placed = true;
+      }
+    }
+    if (!placed) return -1;  // caller retries with a different seed
+  }
+  return 0;
+}

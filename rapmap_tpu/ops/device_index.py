@@ -38,6 +38,9 @@ class DeviceQuasiIndex(NamedTuple):
     lut_rows: jnp.ndarray   # int32 (4^p, 2): [lut[v], lut[v+1]]
     txp_off: jnp.ndarray    # int32
     txp_len: jnp.ndarray    # int32
+    # CHD perfect hash (2-gather k-mer probe); None = binary-search path
+    chd_dir: jnp.ndarray | None = None   # int32 (2^m_bits,)
+    chd_rows: jnp.ndarray | None = None  # int32 (2^t_bits, 4): slot -> kmer row
 
 
 @dataclass(frozen=True)
@@ -49,18 +52,30 @@ class EngineStatic:
     lookup_steps: int   # binary-search trips covering the largest LUT bucket
     pad_tail: int       # trailing text zero-pad (bounds max read length)
     max_interval_idx: int = 1 << 30  # widest k-mer interval in the table
+    # CHD perfect-hash probe (2 gathers) when the index carries one
+    use_chd: bool = False
+    chd_seed: int = 0
+    chd_m_bits: int = 0
+    chd_t_bits: int = 0
 
     @staticmethod
-    def for_index(idx: QuasiIndex) -> "EngineStatic":
+    def for_index(idx: QuasiIndex, use_chd: bool | None = None) -> "EngineStatic":
         lut = np.asarray(idx.prefix_lut)
         max_bucket = int(np.max(np.diff(lut))) if len(lut) > 1 else 1
         steps = max(1, int(np.ceil(np.log2(max_bucket + 1))) + 1)
         pad_tail = len(idx.text) - idx.n_text
         widths = np.asarray(idx.kmer_e) - np.asarray(idx.kmer_b)
         max_w = int(widths.max()) if len(widths) else 1
+        chd = idx.meta.get("chd") if getattr(idx, "chd_dir", None) is not None else None
+        if use_chd is None:
+            use_chd = chd is not None
         return EngineStatic(
             k=idx.k, prefix_bases=idx.prefix_bases, lookup_steps=steps,
             pad_tail=pad_tail, max_interval_idx=max_w,
+            use_chd=bool(use_chd and chd is not None),
+            chd_seed=int(chd["seed"]) if chd else 0,
+            chd_m_bits=int(chd["m_bits"]) if chd else 0,
+            chd_t_bits=int(chd["t_bits"]) if chd else 0,
         )
 
 
@@ -90,6 +105,19 @@ def upload_index(idx: QuasiIndex) -> tuple[DeviceQuasiIndex, EngineStatic]:
     nw = len(t2b)
     t2p = np.concatenate([t2b, np.zeros(4, np.uint32)])
     text2q = np.stack([t2p[i : i + nw] for i in range(4)], axis=1)
+    st = EngineStatic.for_index(idx)
+    chd_dir = chd_rows = None
+    if st.use_chd:
+        perm = np.asarray(idx.chd_perm, dtype=np.int64)
+        # empty slots -> a row no query can match: hi=lo=0xFFFFFFFF, b=e=0
+        # (queries are verified by key compare; b==e also yields no anchor)
+        sentinel = np.array([-1, -1, 0, 0], dtype=np.int32)
+        rows = np.where(
+            (perm >= 0)[:, None], kmer_rows[np.clip(perm, 0, len(kmer_rows) - 1)],
+            sentinel[None, :],
+        ).astype(np.int32)
+        chd_dir = jnp.asarray(np.asarray(idx.chd_dir, dtype=np.int32))
+        chd_rows = jnp.asarray(rows)
     dev = DeviceQuasiIndex(
         text=jnp.asarray(np.asarray(idx.text), dtype=jnp.int8),
         text2q=jnp.asarray(text2q),
@@ -102,5 +130,7 @@ def upload_index(idx: QuasiIndex) -> tuple[DeviceQuasiIndex, EngineStatic]:
         lut_rows=jnp.asarray(lut_rows),
         txp_off=jnp.asarray(off.astype(np.int32)),
         txp_len=jnp.asarray(tl),
+        chd_dir=chd_dir,
+        chd_rows=chd_rows,
     )
-    return dev, EngineStatic.for_index(idx)
+    return dev, st

@@ -1,9 +1,15 @@
 """Vectorized k-mer -> SA-interval lookup (sparsepp/BooPHF replacement).
 
-Binary search over the sorted k-mer table, narrowed to a prefix-LUT bucket.
-Gather economics on this chip are per-index (row width free), so every probe
-reads one (hi, lo, b, e) row and the LUT read returns both bucket bounds in
-one (start, end) row — 1 + steps row-gathers per key total.
+Two device probe strategies over the same sorted k-mer table:
+
+* CHD perfect hash (the reference's BooPHF role, upstream:include/BooPHF.hpp):
+  displacement-directory gather + table-row gather — 2 gathers flat per key,
+  independent of table shape. Used whenever the index carries a CHD section.
+* Binary search narrowed to a prefix-LUT bucket: 1 + steps row-gathers per
+  key (steps tracks the worst LUT bucket). Fallback when no CHD was built.
+
+Gather economics on this chip are per-index (row width <= 16 B free), so both
+paths pack (hi, lo, b, e) into one 4-column row per probe.
 """
 
 from __future__ import annotations
@@ -13,7 +19,7 @@ import numpy as np
 from jax import lax
 
 from rapmap_tpu.ops.device_index import DeviceQuasiIndex, EngineStatic
-from rapmap_tpu.ops.gather import row_gather_nd
+from rapmap_tpu.ops.gather import flat_gather, row_gather_nd
 
 
 def _prefix_of(hi: jnp.ndarray, lo: jnp.ndarray, k: int, p: int) -> jnp.ndarray:
@@ -32,10 +38,40 @@ def _as_u32(x: jnp.ndarray) -> jnp.ndarray:
     return lax.bitcast_convert_type(x, jnp.uint32)
 
 
+def _mix32(x: jnp.ndarray) -> jnp.ndarray:
+    """murmur3 fmix32; must match native/chd.cpp and index/chd.py exactly."""
+    x = x ^ (x >> np.uint32(16))
+    x = x * np.uint32(0x85EBCA6B)
+    x = x ^ (x >> np.uint32(13))
+    x = x * np.uint32(0xC2B2AE35)
+    x = x ^ (x >> np.uint32(16))
+    return x
+
+
+def _chd_lookup(
+    didx: DeviceQuasiIndex, st: EngineStatic, key_hi: jnp.ndarray, key_lo: jnp.ndarray
+) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """2-gather perfect-hash probe. Alien keys land on an arbitrary (or
+    sentinel) slot and simply fail the key compare."""
+    sa_ = np.uint32((st.chd_seed * 0x9E3779B9 + 1) & 0xFFFFFFFF)
+    sb_ = np.uint32((st.chd_seed * 0x85EBCA6B + 2) & 0xFFFFFFFF)
+    g = (_mix32(key_hi ^ _mix32(key_lo ^ sa_)) & np.uint32((1 << st.chd_m_bits) - 1)).astype(jnp.int32)
+    hb = _mix32(key_hi ^ _mix32(key_lo ^ sb_))
+    d = _as_u32(flat_gather(didx.chd_dir, g))
+    slot = (_mix32(hb + d) & np.uint32((1 << st.chd_t_bits) - 1)).astype(jnp.int32)
+    row = row_gather_nd(didx.chd_rows, slot)
+    found = (_as_u32(row[..., 0]) == key_hi) & (_as_u32(row[..., 1]) == key_lo)
+    b = jnp.where(found, row[..., 2], 0)
+    e = jnp.where(found, row[..., 3], 0)
+    return found, b, e
+
+
 def kmer_lookup(
     didx: DeviceQuasiIndex, st: EngineStatic, key_hi: jnp.ndarray, key_lo: jnp.ndarray
 ) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Any-shaped uint32 key arrays -> (found, b, e) int32/bool of same shape."""
+    if getattr(st, "use_chd", False) and getattr(didx, "chd_dir", None) is not None:
+        return _chd_lookup(didx, st, key_hi, key_lo)
     K = didx.kmer_rows.shape[0]
     Kc = max(K - 1, 0)
     pref = _prefix_of(key_hi, key_lo, st.k, st.prefix_bases)
