@@ -26,7 +26,12 @@ def _add_map_flags(p: argparse.ArgumentParser) -> None:
     p.add_argument("-1", "--mates1", dest="mates1", help="left mates")
     p.add_argument("-2", "--mates2", dest="mates2", help="right mates")
     p.add_argument("-o", "--output", default="-", help="output SAM path ('-' = stdout)")
-    p.add_argument("-t", "--numThreads", type=int, default=1, help="host worker threads")
+    p.add_argument(
+        "-t", "--numThreads", type=int, default=1,
+        help="host worker threads; >= 2 runs parsing on a producer thread "
+        "that prefetches batches ahead of the device (device work itself is "
+        "one-chip async-pipelined regardless)",
+    )
     p.add_argument("-m", "--maxNumHits", type=int, default=200)
     p.add_argument("-s", "--strictCheck", action="store_true")
     p.add_argument("-f", "--fuzzy", action="store_true")
@@ -226,6 +231,8 @@ def run_map(args, pseudo: bool) -> int:
         with device_trace(args.traceDir):
             if args.reads:
                 it = fastx.batched_reads(args.reads, args.batchSize, args.maxReadLen)
+                if args.numThreads >= 2:
+                    it = fastx.prefetch(it, depth=max(2, args.pipelineDepth))
                 bi = 0
                 while True:
                     with timers.stage("parse"):
@@ -240,6 +247,8 @@ def run_map(args, pseudo: bool) -> int:
                 flush_all(drain_se)
             elif args.mates1 and args.mates2:
                 it = fastx.batched_read_pairs(args.mates1, args.mates2, args.batchSize, args.maxReadLen)
+                if args.numThreads >= 2:
+                    it = fastx.prefetch(it, depth=max(2, args.pipelineDepth))
                 bi = 0
                 while True:
                     with timers.stage("parse"):

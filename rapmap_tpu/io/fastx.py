@@ -9,6 +9,9 @@ from __future__ import annotations
 
 import gzip
 import io
+import os
+import queue
+import threading
 from dataclasses import dataclass
 from typing import Iterator, Sequence
 
@@ -137,7 +140,102 @@ def _read_fastq_multi(paths: str) -> Iterator[tuple[str, bytes, bytes]]:
         yield from read_fastq(path)
 
 
+# ---- native C parse fast path (FastxParser role, SURVEY.md §2.1 #15) --------
+
+_STREAM_CHUNK = 8 << 20
+
+
+def _byte_stream(paths: str) -> Iterator[bytes]:
+    """Decompressed bytes of all files, newline-separated at file boundaries
+    (concatenated FASTQ is FASTQ, so batches may span files like the Python
+    chaining path)."""
+    for path in paths.split(","):
+        with _open(path) as f:
+            tail = b"\n"
+            while True:
+                d = f.read(_STREAM_CHUNK)
+                if not d:
+                    break
+                tail = d
+                yield d
+            if not tail.endswith(b"\n"):
+                yield b"\n"
+
+
+def _is_fastq(paths: str) -> bool:
+    with _open(paths.split(",")[0]) as f:
+        return f.read(1) == b"@"
+
+
+def _native_batches(path: str, batch_size: int, max_len: int):
+    """Yield (codes (batch_size, max_len) int8, lens, names, seqs, quals) with
+    parse + encode in C (native/fastx.cpp). Final batch may be short (all-pad
+    tail rows)."""
+    from rapmap_tpu.index.encode import NCODE
+    from rapmap_tpu.native import bindings as nat
+
+    stream = _byte_stream(path)
+    buf = b""
+    eof = False
+    codes = np.full((batch_size, max_len), NCODE, dtype=np.int8)
+    lens = np.zeros(batch_size, dtype=np.int32)
+    names: list[str] = []
+    seqs: list[bytes] = []
+    quals: list[bytes] = []
+    got = 0
+    while True:
+        if buf:
+            c, l, noff, nlen, soff, slen, qoff, consumed, n = nat.fastq_parse(
+                buf, batch_size - got, max_len
+            )
+            if n:
+                codes[got : got + n] = c[:n]
+                lens[got : got + n] = l[:n]
+                for i in range(n):
+                    no, sl = int(noff[i]), int(slen[i])
+                    so, qo = int(soff[i]), int(qoff[i])
+                    names.append(buf[no : no + int(nlen[i])].decode())
+                    seqs.append(buf[so : so + min(sl, max_len)])
+                    quals.append(buf[qo : qo + min(sl, max_len)])
+                got += n
+            buf = buf[consumed:]
+        if got == batch_size:
+            yield codes, lens, names, seqs, quals
+            codes = np.full((batch_size, max_len), NCODE, dtype=np.int8)
+            lens = np.zeros(batch_size, dtype=np.int32)
+            names, seqs, quals = [], [], []
+            got = 0
+            continue
+        if eof:
+            if buf.strip():
+                raise ValueError("incomplete FASTQ record at end of input")
+            if got:
+                yield codes, lens, names, seqs, quals
+            return
+        nxt = next(stream, None)
+        if nxt is None:
+            eof = True
+        else:
+            buf = buf + nxt if buf else nxt
+
+
+def _use_native(path: str) -> bool:
+    if os.environ.get("TQM_NO_NATIVE_PARSE"):
+        return False
+    try:
+        from rapmap_tpu.native import bindings as nat
+
+        return nat.available() and _is_fastq(path)
+    except Exception:  # pragma: no cover
+        return False
+
+
 def batched_reads(path: str, batch_size: int, max_len: int) -> Iterator[ReadBatch]:
+    if _use_native(path):
+        for codes, lens, names, seqs, quals in _native_batches(path, batch_size, max_len):
+            L = bucket_len(max((len(s) for s in seqs), default=1), max_len)
+            yield ReadBatch(codes[:, :L], lens, names, seqs, quals)
+        return
     buf: list[tuple[str, bytes, bytes]] = []
     for rec in _read_fastq_multi(path):
         buf.append(rec)
@@ -150,9 +248,58 @@ def batched_reads(path: str, batch_size: int, max_len: int) -> Iterator[ReadBatc
         yield pack_batch(buf, L, batch_size)
 
 
+def prefetch(it: Iterator, depth: int = 2) -> Iterator:
+    """Producer-thread wrapper: parse/pack batches ahead of the consumer so
+    host input overlaps device compute (the reference's producer threads +
+    bounded queue, upstream:include/FastxParser.hpp; enabled by -t >= 2)."""
+    q: queue.Queue = queue.Queue(maxsize=max(1, depth))
+    DONE = object()
+
+    def run():
+        try:
+            for x in it:
+                q.put(x)
+            q.put(DONE)
+        except BaseException as exc:  # propagate into the consumer
+            q.put(exc)
+
+    t = threading.Thread(target=run, daemon=True, name="tqm-parse")
+    t.start()
+    while True:
+        x = q.get()
+        if x is DONE:
+            t.join()
+            return
+        if isinstance(x, BaseException):
+            t.join()
+            raise x
+        yield x
+
+
 def batched_read_pairs(
     path1: str, path2: str, batch_size: int, max_len: int
 ) -> Iterator[tuple[ReadBatch, ReadBatch]]:
+    if _use_native(path1) and _use_native(path2):
+        it1 = _native_batches(path1, batch_size, max_len)
+        it2 = _native_batches(path2, batch_size, max_len)
+        for b1 in it1:
+            b2 = next(it2, None)
+            if b2 is None or len(b1[2]) != len(b2[2]):
+                raise ValueError("paired FASTQ files have unequal record counts")
+            L = bucket_len(
+                max(
+                    max((len(s) for s in b1[3]), default=1),
+                    max((len(s) for s in b2[3]), default=1),
+                ),
+                max_len,
+            )
+            yield (
+                ReadBatch(b1[0][:, :L], b1[1], b1[2], b1[3], b1[4]),
+                ReadBatch(b2[0][:, :L], b2[1], b2[2], b2[3], b2[4]),
+            )
+        if next(it2, None) is not None:
+            raise ValueError("paired FASTQ files have unequal record counts")
+        return
     buf1: list[tuple[str, bytes, bytes]] = []
     buf2: list[tuple[str, bytes, bytes]] = []
     it2 = _read_fastq_multi(path2)
