@@ -57,6 +57,14 @@ def _add_map_flags(p: argparse.ArgumentParser) -> None:
     )
     p.add_argument("--profile", action="store_true", help="log per-stage wall times")
     p.add_argument("--traceDir", help="write a jax.profiler trace to this directory")
+    # multi-process distribution (SURVEY.md §5.8): one process per host, each
+    # mapping batch i where i %% worldSize == rank into its own SAM shard
+    p.add_argument("--worldSize", type=int, default=1, help="number of cooperating processes")
+    p.add_argument("--rank", type=int, default=0, help="this process's id in [0, worldSize)")
+    p.add_argument(
+        "--coordinator", default="localhost:29471",
+        help="host:port of process 0 for jax.distributed.initialize",
+    )
 
 
 def build_parser() -> argparse.ArgumentParser:
@@ -112,6 +120,20 @@ def run_map(args, pseudo: bool) -> int:
 
     from rapmap_tpu.index.format import load_header, load_index
     from rapmap_tpu.io import fastx, sam
+
+    world = max(1, args.worldSize)
+    rank = args.rank
+    if world > 1:
+        if not (0 <= rank < world):
+            log.error("--rank must be in [0, worldSize)")
+            return 1
+        from rapmap_tpu.parallel import multihost
+
+        multihost.init_distributed(args.coordinator, world, rank)
+        if args.output == "-":
+            log.error("--worldSize > 1 needs a file output (-o), not stdout")
+            return 1
+        args.output = f"{args.output}.{rank:04d}"
 
     header = load_header(args.index)
     want = "pseudo" if pseudo else "quasi"
@@ -233,33 +255,37 @@ def run_map(args, pseudo: bool) -> int:
                 it = fastx.batched_reads(args.reads, args.batchSize, args.maxReadLen)
                 if args.numThreads >= 2:
                     it = fastx.prefetch(it, depth=max(2, args.pipelineDepth))
-                bi = 0
+                bi = my_bi = 0
                 while True:
                     with timers.stage("parse"):
                         batch = next(it, None)
                     if batch is None:
                         break
-                    if bi >= skip_batches:
-                        with timers.stage("dispatch"):
-                            fut = mapper.map_se_async(batch.codes, batch.lens, n_valid=batch.n)
-                        step(drain_se, (batch, fut))
+                    if bi % world == rank:
+                        if my_bi >= skip_batches:
+                            with timers.stage("dispatch"):
+                                fut = mapper.map_se_async(batch.codes, batch.lens, n_valid=batch.n)
+                            step(drain_se, (batch, fut))
+                        my_bi += 1
                     bi += 1
                 flush_all(drain_se)
             elif args.mates1 and args.mates2:
                 it = fastx.batched_read_pairs(args.mates1, args.mates2, args.batchSize, args.maxReadLen)
                 if args.numThreads >= 2:
                     it = fastx.prefetch(it, depth=max(2, args.pipelineDepth))
-                bi = 0
+                bi = my_bi = 0
                 while True:
                     with timers.stage("parse"):
                         pair = next(it, None)
                     if pair is None:
                         break
-                    if bi >= skip_batches:
-                        b1, b2 = pair
-                        with timers.stage("dispatch"):
-                            fut = mapper.map_pe_async(b1.codes, b1.lens, b2.codes, b2.lens, n_valid=b1.n)
-                        step(drain_pe, ((b1, b2), fut))
+                    if bi % world == rank:
+                        if my_bi >= skip_batches:
+                            b1, b2 = pair
+                            with timers.stage("dispatch"):
+                                fut = mapper.map_pe_async(b1.codes, b1.lens, b2.codes, b2.lens, n_valid=b1.n)
+                            step(drain_pe, ((b1, b2), fut))
+                        my_bi += 1
                     bi += 1
                 flush_all(drain_pe)
             else:
@@ -270,6 +296,10 @@ def run_map(args, pseudo: bool) -> int:
 
     dt = time.time() - t0
     totals["wall_s"] = round(dt, 3)
+    if world > 1:
+        from rapmap_tpu.parallel import multihost
+
+        totals = multihost.global_counter_sum(totals)  # also a barrier
     if totals.get("out_truncated"):
         log.warning(
             "%d reads had mapping records dropped by the per-read output cap "

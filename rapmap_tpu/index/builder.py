@@ -95,7 +95,11 @@ def build_quasi_index(
     prefix_bases: int | None = None,
     seed: int = 0,
     dedup: bool = True,
+    big_sa: bool | None = None,
 ) -> QuasiIndex:
+    """big_sa: force the int64 SA layout (upstream divsufsort64 dispatch,
+    SURVEY.md §3.1). Default None = automatic by text size; True lets tests
+    exercise the bigSA device path on small texts."""
     if not (1 <= k <= 32):
         raise ValueError("k must be in [1, 32]")
     t0 = time.time()
@@ -103,6 +107,8 @@ def build_quasi_index(
     log.info("concat %d transcripts, %d bases (%.1fs)", len(names), n_text, time.time() - t0)
     t0 = time.time()
     sa = _build_sa(text, n_text)
+    if big_sa:
+        sa = sa.astype(np.int64)
     log.info("suffix array built (%.1fs)", time.time() - t0)
     t0 = time.time()
     khi, klo, kb, ke = build_kmer_table(text[:n_text], sa, k)

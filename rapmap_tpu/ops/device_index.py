@@ -25,19 +25,26 @@ from rapmap_tpu.index.format import QuasiIndex
 
 
 class DeviceQuasiIndex(NamedTuple):
-    """Pytree of HBM arrays (everything the mapping kernels touch)."""
+    """Pytree of HBM arrays (everything the mapping kernels touch).
 
-    text: jnp.ndarray       # int8 codes (charwise fallback extension path)
+    bigSA design (upstream:src/RapMapSAIndexer.cpp divsufsort64 dispatch,
+    SURVEY.md §3.1): device kernels never hold a global text position. The
+    extension probe needs only (word index, sub-word offset, transcript
+    chars remaining) of SA[i]+k — all int32 for texts up to 2^35 chars —
+    precomputed into sa_ext at upload from the (possibly int64) SA; collate
+    resolves occurrences via the int32 (txp, tpos) sa_meta rows. `sa`/`text`
+    exist only for the charwise debug path and are dropped in bigSA mode.
+    """
+
     text2q: jnp.ndarray     # uint32 (nw, 4): packed words i..i+3
-    sa: jnp.ndarray         # int32 (charwise fallback)
-    sa_ext: jnp.ndarray     # int32 (n, 2): [SA[i], transcript end of SA[i]]
+    sa_ext: jnp.ndarray     # int32 (n, 3): [(SA[i]+k) >> 4, (SA[i]+k) & 15,
+    #                                        txp_end - (SA[i]+k)]
     sa_meta: jnp.ndarray    # int32 (n, 2): [sa_txp, sa_tpos]
-    sa_txp: jnp.ndarray     # int32 (collate fallback / sharding)
-    sa_tpos: jnp.ndarray    # int32
     kmer_rows: jnp.ndarray  # int32 (K, 4): [hi, lo, b, e] (hi/lo bitcast)
     lut_rows: jnp.ndarray   # int32 (4^p, 2): [lut[v], lut[v+1]]
-    txp_off: jnp.ndarray    # int32
-    txp_len: jnp.ndarray    # int32
+    # charwise-fallback arrays; None in bigSA mode (packed path only)
+    text: jnp.ndarray | None = None  # int8 codes
+    sa: jnp.ndarray | None = None    # int32
     # CHD perfect hash (2-gather k-mer probe); None = binary-search path
     chd_dir: jnp.ndarray | None = None   # int32 (2^m_bits,)
     chd_rows: jnp.ndarray | None = None  # int32 (2^t_bits, 4): slot -> kmer row
@@ -79,16 +86,27 @@ class EngineStatic:
         )
 
 
+def sa_ext_cols(sa, tend, k: int) -> np.ndarray:
+    """(n, 3) int32 [(SA+k) >> 4, (SA+k) & 15, tend - (SA+k)]; int64-safe."""
+    gpk = np.asarray(sa, dtype=np.int64) + k
+    return np.stack(
+        [
+            (gpk >> 4).astype(np.int32),
+            (gpk & 15).astype(np.int32),
+            (np.asarray(tend, dtype=np.int64) - gpk).astype(np.int32),
+        ],
+        axis=1,
+    )
+
+
 def upload_index(idx: QuasiIndex) -> tuple[DeviceQuasiIndex, EngineStatic]:
-    if np.asarray(idx.sa).dtype == np.int64:
-        raise NotImplementedError("bigSA (int64) device path not yet supported")
-    sa = np.asarray(idx.sa, dtype=np.int32)
+    big_sa = np.asarray(idx.sa).dtype == np.int64
     sa_txp = np.asarray(idx.sa_txp, dtype=np.int32)
     sa_tpos = np.asarray(idx.sa_tpos, dtype=np.int32)
     off = np.asarray(idx.txp_offsets, dtype=np.int64)
     tl = np.asarray(idx.txp_lens, dtype=np.int32)
-    tend = (off[sa_txp] + tl[sa_txp]).astype(np.int32)
-    sa_ext = np.stack([sa, tend], axis=1)
+    tend = off[sa_txp] + tl[sa_txp]
+    sa_ext = sa_ext_cols(idx.sa, tend, idx.k)
     sa_meta = np.stack([sa_txp, sa_tpos], axis=1)
     kmer_rows = np.stack(
         [
@@ -119,17 +137,13 @@ def upload_index(idx: QuasiIndex) -> tuple[DeviceQuasiIndex, EngineStatic]:
         chd_dir = jnp.asarray(np.asarray(idx.chd_dir, dtype=np.int32))
         chd_rows = jnp.asarray(rows)
     dev = DeviceQuasiIndex(
-        text=jnp.asarray(np.asarray(idx.text), dtype=jnp.int8),
         text2q=jnp.asarray(text2q),
-        sa=jnp.asarray(sa),
         sa_ext=jnp.asarray(sa_ext),
         sa_meta=jnp.asarray(sa_meta),
-        sa_txp=jnp.asarray(sa_txp),
-        sa_tpos=jnp.asarray(sa_tpos),
         kmer_rows=jnp.asarray(kmer_rows),
         lut_rows=jnp.asarray(lut_rows),
-        txp_off=jnp.asarray(off.astype(np.int32)),
-        txp_len=jnp.asarray(tl),
+        text=None if big_sa else jnp.asarray(np.asarray(idx.text), dtype=jnp.int8),
+        sa=None if big_sa else jnp.asarray(np.asarray(idx.sa, dtype=np.int32)),
         chd_dir=chd_dir,
         chd_rows=chd_rows,
     )

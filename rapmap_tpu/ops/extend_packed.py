@@ -13,9 +13,10 @@ scheme (SURVEY.md §7.3 "gather-bound kernel"):
 Op-count engineering (this runtime charges a high fixed cost per device op):
   - the two equal_range searches and the two lcp probes each run as ONE
     stacked (2R,) lane computation instead of two (R,) ones;
-  - suffix end-of-transcript limits come from sa_txp/txp_off/txp_len
-    arithmetic (one extra gather chain) instead of two sentinel-mask gathers
-    per word, so a W-word compare costs ~W+3 big gathers instead of 4W+1.
+  - suffix end-of-transcript limits ride in the sa_ext row itself (tleft
+    column) instead of sentinel-mask gathers per word, so a W-word compare
+    costs ~W/4+1 row-gathers total — and the row stores (word, sub, tleft)
+    so no global text position ever exists on device (bigSA-safe).
 """
 
 from __future__ import annotations
@@ -45,17 +46,21 @@ def pack_reads(reads: jnp.ndarray) -> jnp.ndarray:
     return w
 
 
-def _text_words(didx: DeviceQuasiIndex, gp: jnp.ndarray, W: int) -> list[jnp.ndarray]:
-    """Packed 16-base text windows at gp, gp+16, ..., gp+16(W-1).
+def _text_words(
+    didx: DeviceQuasiIndex, wi: jnp.ndarray, sub: jnp.ndarray, W: int
+) -> list[jnp.ndarray]:
+    """Packed 16-base text windows at word index wi + sub chars, advancing by
+    16 chars per output word.
 
     text2q rows hold words i..i+3, so ceil((W+1)/4) row-gathers cover all
-    W+1 raw words needed after the sub-word shift."""
+    W+1 raw words needed after the sub-word shift. Taking (wi, sub) instead of
+    a flat char position keeps all device arithmetic int32 even for bigSA
+    texts (word indices fit int32 up to 2^35 chars)."""
     from rapmap_tpu.ops.gather import row_gather_nd
 
     nw = didx.text2q.shape[0]
-    sh = ((gp & 15) << 1).astype(jnp.uint32)
+    sh = (sub << 1).astype(jnp.uint32)
     lo_shift = U32(32) - sh
-    wi = gp >> 4
     n_quads = -(-(W + 1) // 4)
     raw: list[jnp.ndarray] = []
     for m in range(n_quads):
@@ -74,7 +79,6 @@ def suffix_cmp(
     qwords: list[jnp.ndarray],  # W arrays, per-lane query words
     qlen: jnp.ndarray,          # valid query chars beyond depth k
     slot: jnp.ndarray,          # SA slot of the candidate suffix (pre-clipped)
-    k: int,
     W: int,
 ):
     """Compare the suffix at SA[slot] (depth-k based) against the query suffix.
@@ -84,12 +88,9 @@ def suffix_cmp(
     """
     from rapmap_tpu.ops.gather import row_gather_nd
 
-    row = row_gather_nd(didx.sa_ext, slot)  # [SA[i], transcript end]
-    g = row[..., 0]
-    tend = row[..., 1]
-    gp = g + k
-    tleft = tend - gp  # chars before this suffix's transcript-terminating '$'
-    twords = _text_words(didx, gp, W)
+    row = row_gather_nd(didx.sa_ext, slot)  # [(SA+k) >> 4, (SA+k) & 15, tleft]
+    tleft = row[..., 2]  # chars before this suffix's transcript-terminating '$'
+    twords = _text_words(didx, row[..., 0], row[..., 1], W)
     cmp = qlen * 0
     lcp = qlen * 0
     decided = qlen < 0
@@ -119,15 +120,15 @@ def suffix_cmp(
     return cmp, lcp
 
 
-def _bound_stacked(didx, qwords, qlen, b, e, upper, k: int, W: int, steps: int):
+def _bound_stacked(didx, qwords, qlen, b, e, upper, W: int, steps: int):
     """Batched binary search; `upper` is a per-lane bool vector (False: first
     S_p >= Q; True: first S_p > Q). Works for any lane count (used stacked)."""
-    n_sa = didx.sa.shape[0]
+    n_sa = didx.sa_ext.shape[0]
 
     def step(_, iv):
         lo, hi = iv
         mid = (lo + hi) >> 1
-        cmp, _ = suffix_cmp(didx, qwords, qlen, jnp.clip(mid, 0, n_sa - 1), k, W)
+        cmp, _ = suffix_cmp(didx, qwords, qlen, jnp.clip(mid, 0, n_sa - 1), W)
         less = (cmp < 0) | (upper & (cmp == 0))
         cont = lo < hi
         lo2 = jnp.where(less, mid + 1, lo)
@@ -170,9 +171,9 @@ def extend_packed(
         for j in range(W)
     ]
 
-    n_sa = didx.sa.shape[0]
+    n_sa = didx.sa_ext.shape[0]
     no_up = qlen < 0  # all-False
-    lb = _bound_stacked(didx, qwords, qlen, b0, e0, no_up, k, W, ext_steps)
+    lb = _bound_stacked(didx, qwords, qlen, b0, e0, no_up, W, ext_steps)
 
     # neighbour lcp probes, one stacked call
     R = lb.shape[0]
@@ -180,7 +181,7 @@ def extend_packed(
     valid2 = jnp.concatenate([lb - 1 >= b0, lb < e0])
     q2 = [jnp.concatenate([q, q]) for q in qwords]
     qlen2 = jnp.concatenate([qlen, qlen])
-    _, l2 = suffix_cmp(didx, q2, qlen2, jnp.clip(p2, 0, n_sa - 1), k, W)
+    _, l2 = suffix_cmp(didx, q2, qlen2, jnp.clip(p2, 0, n_sa - 1), W)
     l2 = jnp.where(valid2, l2, 0)
     ext = jnp.minimum(jnp.maximum(l2[:R], l2[R:]), qlen)
     mlen = k + ext
@@ -190,7 +191,7 @@ def extend_packed(
     b_st = jnp.concatenate([b0, b0])
     e_st = jnp.concatenate([e0, e0])
     upper = jnp.concatenate([ext < 0, ext >= 0])  # [False..., True...]
-    bounds = _bound_stacked(didx, q2, ext2, b_st, e_st, upper, k, W, ext_steps)
+    bounds = _bound_stacked(didx, q2, ext2, b_st, e_st, upper, W, ext_steps)
     lb2, ub2 = bounds[:R], bounds[R:]
     ok = active & (ub2 > lb2)
     b = jnp.where(ok, lb2, b0)

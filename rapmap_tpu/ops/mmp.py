@@ -48,7 +48,12 @@ class ScanHits(NamedTuple):
 
 def _col_lower_bound(didx: DeviceQuasiIndex, b, e, d, c, steps: int):
     """Per-lane lower bound of char c in the depth-d text column over SA[b:e).
-    (Reference per-depth extension; kept as the packed path's cross-check.)"""
+    (Reference per-depth extension; kept as the packed path's cross-check.
+    Needs the flat sa/text arrays, so unavailable for bigSA indexes.)"""
+    assert didx.sa is not None and didx.text is not None, (
+        "charwise extension needs the flat sa/text arrays; bigSA indexes "
+        "support only packed_extension=True"
+    )
     n_sa = didx.sa.shape[0]
 
     def step(_, iv):

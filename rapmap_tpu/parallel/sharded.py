@@ -41,15 +41,11 @@ from rapmap_tpu.ops.mmp import ScanHits
 class ShardedIndexArrays(NamedTuple):
     """Stacked per-shard arrays; leading axis = idx shard (padded equal sizes)."""
 
-    text: jnp.ndarray      # (P, n_text_pad) int8 — replicated content
-    text2q: jnp.ndarray    # (P, nw, 4)
-    sa: jnp.ndarray        # (P, S_pad)
-    sa_ext: jnp.ndarray    # (P, S_pad, 2)
+    text2q: jnp.ndarray    # (P, nw, 4) — replicated content
+    sa_ext: jnp.ndarray    # (P, S_pad, 3) — device_index.sa_ext_cols layout
     sa_meta: jnp.ndarray   # (P, S_pad, 2)
     kmer_rows: jnp.ndarray # (P, K_pad, 4) — b/e rebased to shard-local slots
     lut_rows: jnp.ndarray  # (P, 4^p, 2) — rows outside shard range are empty
-    txp_off: jnp.ndarray   # (P, T)
-    txp_len: jnp.ndarray   # (P, T)
     slot_base: jnp.ndarray # (P, 2) int32 [global slot offset, true slot count]
     # (true count matters: shards are padded to S_pad, and ownership tests must
     # use the real count or a short shard also claims the next shard's slots)
@@ -79,12 +75,13 @@ def shard_quasi_index(idx: QuasiIndex, n_shards: int):
 
     S_pad = max(slot_cuts[i + 1] - slot_cuts[i] for i in range(n_shards)) or 1
     K_pad = max(row_cuts[i + 1] - row_cuts[i] for i in range(n_shards)) or 1
-    sa = np.asarray(idx.sa, dtype=np.int32)
+    from rapmap_tpu.ops.device_index import sa_ext_cols
+
     sa_txp = np.asarray(idx.sa_txp, dtype=np.int32)
     sa_tpos = np.asarray(idx.sa_tpos, dtype=np.int32)
     off = np.asarray(idx.txp_offsets, dtype=np.int64)
     tl = np.asarray(idx.txp_lens, dtype=np.int32)
-    tend_all = (off[sa_txp] + tl[sa_txp]).astype(np.int32)
+    ext_all = sa_ext_cols(idx.sa, off[sa_txp] + tl[sa_txp], idx.k)
     khi = np.asarray(idx.kmer_hi, dtype=np.uint32).view(np.int32)
     klo = np.asarray(idx.kmer_lo, dtype=np.uint32).view(np.int32)
 
@@ -94,10 +91,8 @@ def shard_quasi_index(idx: QuasiIndex, n_shards: int):
     text2q1 = np.stack([t2p[i : i + nw] for i in range(4)], axis=1)
 
     P_ = n_shards
-    text = np.broadcast_to(np.asarray(idx.text, np.int8), (P_, len(idx.text))).copy()
     text2q = np.broadcast_to(text2q1, (P_, nw, 4)).copy()
-    sa_s = np.zeros((P_, S_pad), np.int32)
-    sa_ext = np.zeros((P_, S_pad, 2), np.int32)
+    sa_ext = np.zeros((P_, S_pad, 3), np.int32)
     sa_meta = np.zeros((P_, S_pad, 2), np.int32)
     kmer_rows = np.zeros((P_, K_pad, 4), np.int32)
     lut_rows = np.zeros((P_, len(lut) - 1, 2), np.int32)
@@ -108,9 +103,7 @@ def shard_quasi_index(idx: QuasiIndex, n_shards: int):
         ns, nr = s1 - s0, r1 - r0
         bases[p, 0] = s0
         bases[p, 1] = ns
-        sa_s[p, :ns] = sa[s0:s1]
-        sa_ext[p, :ns, 0] = sa[s0:s1]
-        sa_ext[p, :ns, 1] = tend_all[s0:s1]
+        sa_ext[p, :ns] = ext_all[s0:s1]
         sa_meta[p, :ns, 0] = sa_txp[s0:s1]
         sa_meta[p, :ns, 1] = sa_tpos[s0:s1]
         kmer_rows[p, :nr, 0] = khi[r0:r1]
@@ -122,10 +115,8 @@ def shard_quasi_index(idx: QuasiIndex, n_shards: int):
         lut_rows[p, :, 0] = lr[:-1]
         lut_rows[p, :, 1] = lr[1:]
     arrays = ShardedIndexArrays(
-        text=text, text2q=text2q, sa=sa_s, sa_ext=sa_ext, sa_meta=sa_meta,
+        text2q=text2q, sa_ext=sa_ext, sa_meta=sa_meta,
         kmer_rows=kmer_rows, lut_rows=lut_rows,
-        txp_off=np.broadcast_to(off.astype(np.int32), (P_, len(off))).copy(),
-        txp_len=np.broadcast_to(tl, (P_, len(tl))).copy(),
         slot_base=bases,
     )
     st = EngineStatic.for_index(idx)
@@ -135,10 +126,8 @@ def shard_quasi_index(idx: QuasiIndex, n_shards: int):
 def _local_didx(sh) -> DeviceQuasiIndex:
     """View one shard's slice (inside shard_map, leading axis already split)."""
     return DeviceQuasiIndex(
-        text=sh.text[0], text2q=sh.text2q[0], sa=sh.sa[0], sa_ext=sh.sa_ext[0],
-        sa_meta=sh.sa_meta[0], sa_txp=sh.sa_meta[0][:, 0], sa_tpos=sh.sa_meta[0][:, 1],
+        text2q=sh.text2q[0], sa_ext=sh.sa_ext[0], sa_meta=sh.sa_meta[0],
         kmer_rows=sh.kmer_rows[0], lut_rows=sh.lut_rows[0],
-        txp_off=sh.txp_off[0], txp_len=sh.txp_len[0],
     )
 
 

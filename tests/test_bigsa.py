@@ -1,0 +1,68 @@
+"""bigSA (int64 suffix array) device path.
+
+The reference dispatches to divsufsort64 + 64-bit index structures for texts
+>= 2^31 chars (upstream:src/RapMapSAIndexer.cpp, SURVEY.md §3.1). Here the
+device never materializes a 64-bit position at all: upload precomputes int32
+(word, sub-word, chars-left) sa_ext columns from the int64 SA. These tests
+force the int64 layout on small texts (builder big_sa=True) and require
+bit-exact agreement with the oracle and the int32 engine.
+"""
+
+import numpy as np
+
+from rapmap_tpu.index.builder import build_quasi_index
+from rapmap_tpu.index.format import load_index, save_index
+from rapmap_tpu.models.quasi import QuasiMapper
+from rapmap_tpu.ops.device_index import upload_index
+from tests.test_device_parity import assert_se_parity, batch_of, parity_cfg
+from tests.util import random_transcriptome, sample_reads, write_fasta
+
+
+def _bigsa_index(tmp_path, rng, **kw):
+    txps = random_transcriptome(rng, **kw)
+    fa = write_fasta(str(tmp_path / "txome.fa"), txps)
+    idx = build_quasi_index(fa, k=11, big_sa=True)
+    assert np.asarray(idx.sa).dtype == np.int64
+    return idx, txps
+
+
+def test_bigsa_upload_drops_flat_arrays(tmp_path, rng):
+    idx, _ = _bigsa_index(tmp_path, rng, n_txps=4, min_len=100, max_len=200)
+    didx, st = upload_index(idx)
+    assert didx.sa is None and didx.text is None
+    assert didx.sa_ext.shape == (len(idx.sa), 3)
+
+
+def test_bigsa_se_parity_vs_oracle(tmp_path, rng):
+    idx, txps = _bigsa_index(tmp_path, rng, n_txps=6, min_len=120, max_len=300)
+    reads = sample_reads(rng, txps, 32, read_len=48, error_rate=0.03, rc_frac=0.5)
+    assert_se_parity(idx, [r[1] for r in reads], parity_cfg(idx, 48))
+
+
+def test_bigsa_matches_int32_engine(tmp_path, rng):
+    txps = random_transcriptome(rng, n_txps=5, min_len=150, max_len=250)
+    fa = write_fasta(str(tmp_path / "t.fa"), txps)
+    small = build_quasi_index(fa, k=11)
+    big = build_quasi_index(fa, k=11, big_sa=True)
+    reads = sample_reads(rng, txps, 40, read_len=50, error_rate=0.02)
+    L = 50
+    codes, lens = batch_of([r[1] for r in reads], L)
+    cfg = parity_cfg(small, L)
+    o_small, c_small = QuasiMapper(small, cfg).map_se(codes, lens)
+    o_big, c_big = QuasiMapper(big, cfg).map_se(codes, lens)
+    for f in o_small._fields:
+        assert np.array_equal(
+            np.asarray(getattr(o_small, f)), np.asarray(getattr(o_big, f))
+        ), f
+    assert c_small == c_big
+
+
+def test_bigsa_header_roundtrip(tmp_path, rng):
+    idx, _ = _bigsa_index(tmp_path, rng, n_txps=3, min_len=90, max_len=150)
+    out = str(tmp_path / "saved")
+    save_index(idx, out)
+    idx2 = load_index(out)
+    assert np.asarray(idx2.sa).dtype == np.int64
+    assert np.array_equal(np.asarray(idx.sa), np.asarray(idx2.sa))
+    didx, _ = upload_index(idx2)
+    assert didx.sa is None
