@@ -33,8 +33,9 @@ CACHE = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".bench_cache")
 N_TXPS = 10_000
 TXP_LEN = (500, 3500)
 READ_LEN = 76
-N_READS = 400_000
-BATCH = 16384  # sweet spot: amortizes per-batch tunnel overhead (69.7k reads/s vs 24.5k at 8192); compile ~5 min
+N_READS = 786_432
+BATCH = 65536  # dispatch batch; the compiled program is a lax.scan over CHUNK
+CHUNK = 8192   # -read chunks, so compile cost tracks CHUNK (B-independent)
 
 
 def build_world():
@@ -60,7 +61,7 @@ def build_world():
         idx = load_index(idx_dir, mmap=False)
         attach_chd(idx, save_dir=idx_dir)
 
-    reads_npz = os.path.join(CACHE, "reads_v2.npz")
+    reads_npz = os.path.join(CACHE, "reads_v3.npz")
     if not os.path.exists(reads_npz):
         rng = np.random.default_rng(1)
         text = np.asarray(idx.text[: idx.n_text])
@@ -93,7 +94,7 @@ def run_bench(batch: int) -> dict:
     from rapmap_tpu.config import MapConfig
     from rapmap_tpu.models.quasi import QuasiMapper
 
-    cfg = MapConfig(k=idx.k)
+    cfg = MapConfig(k=idx.k, chunk=CHUNK if batch > CHUNK else 0)
     mapper = QuasiMapper(idx, cfg)
     BATCH = batch
     lens = np.full(BATCH, READ_LEN, dtype=np.int32)

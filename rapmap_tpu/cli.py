@@ -38,8 +38,25 @@ def _add_map_flags(p: argparse.ArgumentParser) -> None:
     p.add_argument("-c", "--consistentHits", action="store_true")
     p.add_argument("-z", "--quasiCoverage", type=float, default=0.0)
     p.add_argument("--noOrphans", action="store_true")
+    p.add_argument(
+        "--maxFragLen", type=int, default=0,
+        help="[REF-VERIFY] concordant pairs must have |pos1-pos2| <= this (0 = off)",
+    )
+    p.add_argument(
+        "--pairOrder", action="store_true",
+        help="[REF-VERIFY] concordant pairs need the fwd mate at/before the rc mate",
+    )
     p.add_argument("-n", "--noOutput", action="store_true", help="map but emit no SAM")
     p.add_argument("--maxInterval", type=int, default=1000)
+    p.add_argument(
+        "--expandBudget", type=int, default=0,
+        help="average device SA-expansion slots per read; 0 = auto-size from "
+        "index repetitiveness stats",
+    )
+    p.add_argument(
+        "--noFallback", action="store_true",
+        help="disable the host oracle remap of budget-degraded reads",
+    )
     p.add_argument("--batchSize", type=int, default=4096)
     p.add_argument(
         "--chunkSize", type=int, default=0,
@@ -110,6 +127,9 @@ def _cfg_from_args(args, k: int) -> MapConfig:
         strict_check=args.strictCheck,
         quasi_coverage=args.quasiCoverage,
         no_orphans=args.noOrphans,
+        max_frag_len=args.maxFragLen,
+        pair_order=args.pairOrder,
+        expand_budget=args.expandBudget,
         chunk=args.chunkSize,
     )
 
@@ -203,10 +223,24 @@ def run_map(args, pseudo: bool) -> int:
 
         timers = StageTimers()
 
+        from rapmap_tpu.models import fallback as fb
+
+        if pseudo:
+            from rapmap_tpu.oracle import pseudomap as oracle_mod
+        else:
+            from rapmap_tpu.oracle import quasimap as oracle_mod
+        use_fallback = not args.noFallback
+
         def drain_se(pending):
             batch, fut = pending
             with timers.stage("fetch"):
                 recsd = mapper.fetch(fut)
+            if use_fallback:
+                with timers.stage("fallback"):
+                    recsd = fb.remap_se(
+                        recsd, batch.codes, batch.lens, batch.n,
+                        mapper.host_index, mapper.cfg, oracle_mod,
+                    )
             acc(recsd.counters)
             if recsd.overflowed:
                 log.warning("record buffer overflow in a batch; tail records dropped")
@@ -221,6 +255,12 @@ def run_map(args, pseudo: bool) -> int:
             (b1, b2), fut = pending
             with timers.stage("fetch"):
                 recsd = mapper.fetch(fut)
+            if use_fallback:
+                with timers.stage("fallback"):
+                    recsd = fb.remap_pe(
+                        recsd, b1.codes, b1.lens, b2.codes, b2.lens, b1.n,
+                        mapper.host_index, mapper.cfg, oracle_mod,
+                    )
             acc(recsd.counters)
             if recsd.overflowed:
                 log.warning("record buffer overflow in a batch; tail records dropped")

@@ -19,12 +19,19 @@ class MapConfig:
     # oracle implement it; covered by the config-sweep parity tests)
     quasi_coverage: float = 0.0    # -z: min fraction of read covered by MMPs
     no_orphans: bool = False       # suppress orphan output for pairs
+    # [REF-VERIFY] PE-merge fidelity constraints (upstream:src/RapMapUtils.cpp
+    # mergeLeftRightHits applies orientation + fragment-length checks, SURVEY
+    # §2.1 #8). Defaults OFF to preserve SEMANTICS.md §5 (join on same-txp +
+    # opposite-strand only); flip once the reference mount pins the behavior.
+    max_frag_len: int = 0          # >0: require |pos1 - pos2| <= this
+    pair_order: bool = False       # require fwd mate to start at/before rc mate
     # device-engine static shape knobs (no effect on semantics when not exceeded;
     # exceeding them sets the over_budget counter)
     max_hits_per_strand: int = 16  # MMP hits recorded per read-strand
     expand_budget: int = 8         # AVERAGE SA-expansion slots per read: the
     # global pool holds expand_budget * batch slots (ops.collate); typical
-    # reads use 2-6, so 8 leaves ample headroom before over_budget flags
+    # reads use 2-6, so 8 leaves ample headroom before over_budget flags.
+    # 0 = auto-size from index stats at mapper init (auto_expand_budget)
     max_out: int = 0               # mapping records retained per read on device;
     # 0 (default) derives max_num_hits so -m's full record count is never
     # silently truncated; explicit smaller values trip the out_truncated counter
@@ -39,3 +46,17 @@ class MapConfig:
     def out_slots(self) -> int:
         """Per-read device output slots (MAX_OUT); derived from -m unless set."""
         return self.max_out if self.max_out > 0 else self.max_num_hits
+
+
+def auto_expand_budget(widths) -> int:
+    """expand_budget sized from the index's k-mer interval widths: average
+    slots/read ~ (MMPs per read, 2-6) x mean interval width. Uniform texts
+    (mean ~1) keep the historical 8; repetitive transcriptomes grow it so
+    over_budget (and the host oracle fallback) stays rare."""
+    import math
+
+    import numpy as np
+
+    w = np.asarray(widths, dtype=np.int64)
+    mean_w = float(w.mean()) if len(w) else 1.0
+    return int(min(64, max(8, math.ceil(8 * mean_w))))

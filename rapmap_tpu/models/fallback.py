@@ -1,0 +1,99 @@
+"""Host-side oracle remap of budget-degraded reads (VERDICT r1 item 3).
+
+Static device budgets (expansion pool, hit buffers, record caps) can truncate
+results for pathological reads — heavy multimappers on repetitive
+transcriptomes. Instead of silently degrading, the driver remaps EXACTLY the
+reads whose wire flags carry FLAG_DEGRADED with the numpy oracle (the
+executable spec, SEMANTICS.md) and splices the corrected records into the
+dense batch output. Budgets auto-size from index stats so this stays rare;
+correctness never depends on the budget. Works for both the quasi and pseudo
+engines (same oracle interface).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from rapmap_tpu.ops.wire import FLAG_DEGRADED, FLAG_MAPPED, WireResult
+
+
+def _splice(recsd: WireResult, n: int, new_rows: dict[int, np.ndarray]) -> WireResult:
+    """Replace flagged reads' record runs inside the dense row-major buffer."""
+    counts = np.asarray(recsd.counts).astype(np.int64)
+    offsets = np.zeros(len(counts) + 1, np.int64)
+    np.cumsum(counts, out=offsets[1:])
+    recs = np.asarray(recsd.recs)
+    parts = []
+    new_counts = counts.copy()
+    prev = 0
+    for i in sorted(new_rows):
+        parts.append(recs[prev : offsets[i]])
+        parts.append(new_rows[i])
+        new_counts[i] = len(new_rows[i])
+        prev = offsets[i + 1]
+    parts.append(recs[prev:])
+    out = np.concatenate(parts, axis=0) if parts else recs
+    return recsd._replace(recs=out, counts=new_counts.astype(np.int32),
+                          total=int(new_counts.sum()))
+
+
+def _update_counters(recsd: WireResult, n: int, bad, mapped_after) -> None:
+    ctr = recsd.counters
+    mapped_before = (np.asarray(recsd.flags)[bad] & FLAG_MAPPED) != 0
+    ctr["reads_mapped"] += int(mapped_after.sum()) - int(mapped_before.sum())
+    ctr["records"] = int(np.asarray(recsd.counts)[:n].sum())
+    ctr["host_fallback"] = ctr.get("host_fallback", 0) + len(bad)
+
+
+def remap_se(recsd: WireResult, codes, lens, n: int, idx, cfg, oracle) -> WireResult:
+    """Re-resolve FLAG_DEGRADED single-end reads with oracle.map_read."""
+    flags = np.asarray(recsd.flags)
+    bad = np.flatnonzero((flags[:n] & FLAG_DEGRADED) != 0)
+    if bad.size == 0:
+        return recsd
+    new_rows: dict[int, np.ndarray] = {}
+    mapped_after = np.zeros(len(bad), bool)
+    for j, i in enumerate(bad):
+        ms = oracle.map_read(idx, np.asarray(codes[i][: lens[i]]), cfg)
+        if len(ms) > cfg.max_num_hits:
+            ms = []
+        new_rows[int(i)] = np.array(
+            [[m.txp, m.pos, 0 if m.fwd else 1, m.score] for m in ms], np.int32
+        ).reshape(-1, 4)
+        mapped_after[j] = bool(ms)
+    recsd = _splice(recsd, n, new_rows)
+    _update_counters(recsd, n, bad, mapped_after)
+    return recsd
+
+
+def remap_pe(recsd: WireResult, c1, l1, c2, l2, n: int, idx, cfg, oracle) -> WireResult:
+    """Re-resolve FLAG_DEGRADED pairs with oracle.map_pair."""
+    flags = np.asarray(recsd.flags)
+    bad = np.flatnonzero((flags[:n] & FLAG_DEGRADED) != 0)
+    if bad.size == 0:
+        return recsd
+    new_rows: dict[int, np.ndarray] = {}
+    mapped_after = np.zeros(len(bad), bool)
+    for j, i in enumerate(bad):
+        ms, _ = oracle.map_pair(
+            idx, np.asarray(c1[i][: l1[i]]), np.asarray(c2[i][: l2[i]]), cfg
+        )
+        new_rows[int(i)] = np.array(
+            [
+                [
+                    m.txp,
+                    m.pos1 if m.pos1 is not None else 0,
+                    0 if m.fwd1 else 1,
+                    int(m.pos1 is not None),
+                    m.pos2 if m.pos2 is not None else 0,
+                    0 if m.fwd2 else 1,
+                    int(m.pos2 is not None),
+                ]
+                for m in ms
+            ],
+            np.int32,
+        ).reshape(-1, 7)
+        mapped_after[j] = bool(ms)
+    recsd = _splice(recsd, n, new_rows)
+    _update_counters(recsd, n, bad, mapped_after)
+    return recsd

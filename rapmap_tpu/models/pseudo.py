@@ -184,21 +184,27 @@ def pseudo_map_batch_pe(
 @partial(jax.jit, static_argnames=("st", "cfg", "cap", "B", "L"))
 def pseudo_map_batch_se_wire(didx, st, wire_in, cfg: MapConfig, cap: int, B: int, L: int):
     from rapmap_tpu.ops.compact import compact_se
-    from rapmap_tpu.ops.wire import pack_out, unpack_in_se
+    from rapmap_tpu.ops.wire import encode_read_flags, pack_out, unpack_in_se
 
     reads, lens, n_valid = unpack_in_se(wire_in, B, L)
     out, ctr = pseudo_map_batch_se(didx, st, reads, lens, n_valid, cfg)
-    return pack_out(compact_se(out, cap), ctr)
+    flags = encode_read_flags(out.over_budget, out.out_truncated, out.too_ambiguous, out.mapped)
+    return pack_out(compact_se(out, cap), ctr, flags)
 
 
 @partial(jax.jit, static_argnames=("st", "cfg", "cap", "B", "L"))
 def pseudo_map_batch_pe_wire(didx, st, wire_in, cfg: MapConfig, cap: int, B: int, L: int):
     from rapmap_tpu.ops.compact import compact_pe
-    from rapmap_tpu.ops.wire import pack_out, unpack_in_pe
+    from rapmap_tpu.ops.wire import encode_read_flags, pack_out, unpack_in_pe
 
     r1, l1, r2, l2, n_valid = unpack_in_pe(wire_in, B, L)
-    _, _, pairs, ctr = pseudo_map_batch_pe(didx, st, r1, l1, r2, l2, n_valid, cfg)
-    return pack_out(compact_pe(pairs, cap), ctr)
+    o1, o2, pairs, ctr = pseudo_map_batch_pe(didx, st, r1, l1, r2, l2, n_valid, cfg)
+    flags = encode_read_flags(
+        o1.over_budget | o2.over_budget,
+        o1.out_truncated | o2.out_truncated | pairs.out_truncated,
+        pairs.too_ambiguous, pairs.any_record,
+    )
+    return pack_out(compact_pe(pairs, cap), ctr, flags)
 
 
 class PseudoMapper:
@@ -209,8 +215,18 @@ class PseudoMapper:
             cfg = MapConfig(k=idx.k)
         if cfg.k != idx.k:
             raise ValueError(f"config k={cfg.k} != index k={idx.k}")
+        if cfg.expand_budget == 0:
+            from dataclasses import replace
+
+            from rapmap_tpu.config import auto_expand_budget
+
+            cfg = replace(
+                cfg,
+                expand_budget=auto_expand_budget(np.diff(np.asarray(idx.kmer_off))),
+            )
         self.cfg = cfg
         self.didx, self.st = upload_pseudo_index(idx)
+        self.host_index = idx  # oracle fallback for budget-degraded reads
         self.txp_names = idx.txp_names
         self.txp_lens = np.asarray(idx.txp_lens)
 

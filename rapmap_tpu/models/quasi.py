@@ -95,11 +95,12 @@ def map_batch_pe(
 def map_batch_se_wire(didx, st, wire_in, cfg: MapConfig, cap: int, B: int, L: int):
     """Single-buffer in/out SE mapping step (ops.wire format)."""
     from rapmap_tpu.ops.compact import compact_se
-    from rapmap_tpu.ops.wire import pack_out, unpack_in_se
+    from rapmap_tpu.ops.wire import encode_read_flags, pack_out, unpack_in_se
 
     reads, lens, n_valid = unpack_in_se(wire_in, B, L)
     out, ctr = map_batch_se(didx, st, reads, lens, n_valid, cfg)
-    return pack_out(compact_se(out, cap), ctr)
+    flags = encode_read_flags(out.over_budget, out.out_truncated, out.too_ambiguous, out.mapped)
+    return pack_out(compact_se(out, cap), ctr, flags)
 
 
 def _se_counters(flags, n_valid, C):
@@ -145,30 +146,41 @@ def map_batch_se_wire_chunked(
         hits = scan_batch(didx, st, lanes, lens2, cfg)
         se, flags = collate_records_se(didx, st, hits, l, cfg, capc)
         ctr = _se_counters(flags, nv, C)
+        from rapmap_tpu.ops.wire import encode_read_flags
+
+        fbits = encode_read_flags(
+            flags.over_budget, flags.out_truncated, flags.too_ambiguous, flags.mapped
+        )
         hdr = jnp.stack([
             se.total, se.overflowed.astype(jnp.int32),
             ctr.reads_total, ctr.reads_mapped, ctr.too_ambiguous,
             ctr.over_budget, ctr.records, ctr.out_truncated,
         ])
-        wout = jnp.concatenate([hdr, se.counts, se.recs.reshape(-1)])
+        wout = jnp.concatenate([hdr, se.counts, fbits, se.recs.reshape(-1)])
         return rows_done + C, wout
 
-    _, outs = lax.scan(body, n_valid * 0, (r3, l2))  # (nch, HDR + C + capc*4)
+    _, outs = lax.scan(body, n_valid * 0, (r3, l2))  # (nch, HDR + 2C + capc*4)
     hdrs = outs[:, :HDR]
     hdr = hdrs.sum(axis=0).at[1].set(hdrs[:, 1].max())
     counts = outs[:, HDR : HDR + C].reshape(B)
-    recs = outs[:, HDR + C :].reshape(-1)
-    return jnp.concatenate([hdr, counts, recs])
+    fbits = outs[:, HDR + C : HDR + 2 * C].reshape(B)
+    recs = outs[:, HDR + 2 * C :].reshape(-1)
+    return jnp.concatenate([hdr, counts, fbits, recs])
 
 
 @partial(jax.jit, static_argnames=("st", "cfg", "cap", "B", "L"))
 def map_batch_pe_wire(didx, st, wire_in, cfg: MapConfig, cap: int, B: int, L: int):
     from rapmap_tpu.ops.compact import compact_pe
-    from rapmap_tpu.ops.wire import pack_out, unpack_in_pe
+    from rapmap_tpu.ops.wire import encode_read_flags, pack_out, unpack_in_pe
 
     r1, l1, r2, l2, n_valid = unpack_in_pe(wire_in, B, L)
-    _, _, pairs, ctr = map_batch_pe(didx, st, r1, l1, r2, l2, n_valid, cfg)
-    return pack_out(compact_pe(pairs, cap), ctr)
+    out1, out2, pairs, ctr = map_batch_pe(didx, st, r1, l1, r2, l2, n_valid, cfg)
+    flags = encode_read_flags(
+        out1.over_budget | out2.over_budget,
+        out1.out_truncated | out2.out_truncated | pairs.out_truncated,
+        pairs.too_ambiguous, pairs.any_record,
+    )
+    return pack_out(compact_pe(pairs, cap), ctr, flags)
 
 
 @partial(jax.jit, static_argnames=("st", "cfg", "capc", "B", "L", "C"))
@@ -191,22 +203,30 @@ def map_batch_pe_wire_chunked(
     def body(rows_done, xs):
         a, la, b, lb = xs
         nv = jnp.clip(n_valid - rows_done, 0, C)
-        _, _, pairs, ctr = map_batch_pe(didx, st, a, la, b, lb, nv, cfg)
+        out1, out2, pairs, ctr = map_batch_pe(didx, st, a, la, b, lb, nv, cfg)
         pe = compact_pe(pairs, capc)
+        from rapmap_tpu.ops.wire import encode_read_flags
+
+        fbits = encode_read_flags(
+            out1.over_budget | out2.over_budget,
+            out1.out_truncated | out2.out_truncated | pairs.out_truncated,
+            pairs.too_ambiguous, pairs.any_record,
+        )
         hdr = jnp.stack([
             pe.total, pe.overflowed.astype(jnp.int32),
             ctr.reads_total, ctr.reads_mapped, ctr.too_ambiguous,
             ctr.over_budget, ctr.records, ctr.out_truncated,
         ])
-        wout = jnp.concatenate([hdr, pe.counts, pe.recs.reshape(-1)])
+        wout = jnp.concatenate([hdr, pe.counts, fbits, pe.recs.reshape(-1)])
         return rows_done + C, wout
 
     _, outs = lax.scan(body, n_valid * 0, xs)
     hdrs = outs[:, :HDR]
     hdr = hdrs.sum(axis=0).at[1].set(hdrs[:, 1].max())
     counts = outs[:, HDR : HDR + C].reshape(B)
-    recs = outs[:, HDR + C :].reshape(-1)
-    return jnp.concatenate([hdr, counts, recs])
+    fbits = outs[:, HDR + C : HDR + 2 * C].reshape(B)
+    recs = outs[:, HDR + 2 * C :].reshape(-1)
+    return jnp.concatenate([hdr, counts, fbits, recs])
 
 
 class QuasiMapper:
@@ -217,8 +237,20 @@ class QuasiMapper:
             cfg = MapConfig(k=idx.k)
         if cfg.k != idx.k:
             raise ValueError(f"config k={cfg.k} != index k={idx.k}")
+        if cfg.expand_budget == 0:
+            from dataclasses import replace
+
+            from rapmap_tpu.config import auto_expand_budget
+
+            cfg = replace(
+                cfg,
+                expand_budget=auto_expand_budget(
+                    np.asarray(idx.kmer_e) - np.asarray(idx.kmer_b)
+                ),
+            )
         self.cfg = cfg
         self.didx, self.st = upload_index(idx)
+        self.host_index = idx  # oracle fallback for budget-degraded reads
         self.txp_names = idx.txp_names
         self.txp_lens = np.asarray(idx.txp_lens)
 

@@ -75,6 +75,18 @@ def merge_pairs_batch(out1: MapOut, out2: MapOut, cfg: MapConfig) -> PairOut:
     def g2(x):
         return row_gather(x, loc_c)
 
+    # [REF-VERIFY] optional PE fidelity constraints (config.py notes); each
+    # left row has at most one opposite-strand candidate, so filtering the
+    # join predicate matches the oracle exactly
+    if cfg.max_frag_len or cfg.pair_order:
+        cand_p2 = g2(out2.pos)
+        if cfg.max_frag_len:
+            hit = hit & (jnp.abs(out1.pos - cand_p2) <= cfg.max_frag_len)
+        if cfg.pair_order:
+            fwd_pos = jnp.where(out1.strand == 0, out1.pos, cand_p2)
+            rc_pos = jnp.where(out1.strand == 0, cand_p2, out1.pos)
+            hit = hit & (fwd_pos <= rc_pos)
+
     pair_t = jnp.where(hit, out1.t, -1)
     pair_p2 = jnp.where(hit, g2(out2.pos), 0)
     pair_s2 = jnp.where(hit, g2(out2.strand), 0)

@@ -10,7 +10,12 @@ wire_in  (uint8): codes1 [B*L] | (codes2 [B*L] if PE) | lens1 int32 LE [4B]
 wire_out (int32): [0] total records | [1] overflowed | [2:8] counters
                   (reads_total, reads_mapped, too_ambiguous, over_budget,
                   records, out_truncated) | [8:8+B] per-read record counts
-                  | [8+B:] records row-major, F fields each.
+                  | [8+B:8+2B] per-read outcome flag bits (FLAG_*)
+                  | [8+2B:] records row-major, F fields each.
+
+The per-read flags let the host apply a targeted oracle remap to exactly the
+reads whose device results were degraded by a static budget (over_budget /
+out_truncated) — see models.fallback.
 """
 
 from __future__ import annotations
@@ -22,6 +27,22 @@ import numpy as np
 from jax import lax
 
 HDR = 8
+
+FLAG_OVER_BUDGET = 1
+FLAG_OUT_TRUNCATED = 2
+FLAG_TOO_AMBIGUOUS = 4
+FLAG_MAPPED = 8
+FLAG_DEGRADED = FLAG_OVER_BUDGET | FLAG_OUT_TRUNCATED  # host fallback trigger
+
+
+def encode_read_flags(over_budget, out_truncated, too_ambiguous, mapped) -> jnp.ndarray:
+    """(B,) bool each -> (B,) int32 flag bits (see FLAG_* constants)."""
+    return (
+        over_budget.astype(jnp.int32)
+        | (out_truncated.astype(jnp.int32) << 1)
+        | (too_ambiguous.astype(jnp.int32) << 2)
+        | (mapped.astype(jnp.int32) << 3)
+    )
 
 
 def pack_in_se(codes: np.ndarray, lens: np.ndarray, n_valid: int) -> np.ndarray:
@@ -61,21 +82,21 @@ def unpack_in_pe(wire: jnp.ndarray, B: int, L: int):
     return c1, l1, c2, l2, nv
 
 
-def pack_out(recsd, ctr) -> jnp.ndarray:
-    """SERecords/PERecords + Counters -> one int32 vector."""
-    B = recsd.counts.shape[0]
+def pack_out(recsd, ctr, flags: jnp.ndarray) -> jnp.ndarray:
+    """SERecords/PERecords + Counters + per-read flags -> one int32 vector."""
     hdr = jnp.stack([
         recsd.total,
         recsd.overflowed.astype(jnp.int32),
         ctr.reads_total, ctr.reads_mapped, ctr.too_ambiguous,
         ctr.over_budget, ctr.records, ctr.out_truncated,
     ])
-    return jnp.concatenate([hdr, recsd.counts, recsd.recs.reshape(-1)])
+    return jnp.concatenate([hdr, recsd.counts, flags, recsd.recs.reshape(-1)])
 
 
 class WireResult(NamedTuple):
     recs: np.ndarray     # (n_records, F)
     counts: np.ndarray   # (B,)
+    flags: np.ndarray    # (B,) int32 FLAG_* bits
     total: int
     overflowed: bool
     counters: dict
@@ -87,18 +108,20 @@ def unpack_out(wire: np.ndarray, B: int, fields: int, chunk: int = 0, capc: int 
     written prefix (per-read counts are already clamped per chunk)."""
     hdr = wire[:HDR]
     counts = wire[HDR : HDR + B]
+    flags = wire[HDR + B : HDR + 2 * B]
     total = int(hdr[0])
     if chunk:
         nch = B // chunk
-        blocks = wire[HDR + B :].reshape(nch, capc, fields)
+        blocks = wire[HDR + 2 * B :].reshape(nch, capc, fields)
         tc = counts.reshape(nch, chunk).sum(axis=1)
         recs = np.concatenate([blocks[c, : tc[c]] for c in range(nch)], axis=0)
     else:
-        recs = wire[HDR + B :].reshape(-1, fields)
+        recs = wire[HDR + 2 * B :].reshape(-1, fields)
         recs = recs[: min(total, recs.shape[0])]
     return WireResult(
         recs=recs,
         counts=counts,
+        flags=flags,
         total=total,
         overflowed=bool(hdr[1]),
         counters=dict(

@@ -160,8 +160,16 @@ def merge_pairs(
         by_t_right.setdefault(m.txp, []).append(m)
     for ml in left:
         for mr in by_t_right.get(ml.txp, []):
-            if ml.fwd != mr.fwd:
-                pairs.append(PairMapping(ml.txp, ml.pos, ml.fwd, mr.pos, mr.fwd))
+            if ml.fwd == mr.fwd:
+                continue
+            # [REF-VERIFY] optional fidelity constraints (config.py notes)
+            if cfg.max_frag_len and abs(ml.pos - mr.pos) > cfg.max_frag_len:
+                continue
+            if cfg.pair_order:
+                fwd_pos, rc_pos = (ml.pos, mr.pos) if ml.fwd else (mr.pos, ml.pos)
+                if fwd_pos > rc_pos:
+                    continue
+            pairs.append(PairMapping(ml.txp, ml.pos, ml.fwd, mr.pos, mr.fwd))
     if pairs:
         pairs.sort(key=lambda p: (p.txp, not p.fwd1))
         return pairs, True

@@ -170,3 +170,53 @@ def test_pe_no_orphans(tmp_path):
     c2, l2 = batch_of([BASES[rng.integers(0, 4, L)].tobytes()], L)
     _, _, po, ctr = mapper.map_pe(c1, l1, c2, l2)
     assert not po.any_record[0] and int(ctr.records) == 0
+
+
+@pytest.mark.parametrize(
+    "kw",
+    [dict(max_frag_len=120), dict(pair_order=True), dict(max_frag_len=100, pair_order=True)],
+)
+def test_pe_parity_fidelity_constraints(tmp_path, kw):
+    """[REF-VERIFY] fragment-length / orientation-order constrained merge:
+    device == oracle, including pairs the constraints reject (which must fall
+    back to orphan records)."""
+    rng = np.random.default_rng(17)
+    idx, txps = toy_index(tmp_path, rng, n_txps=5, min_len=300, max_len=500, k=11)
+    comp = bytes.maketrans(b"ACGT", b"TGCA")
+    L = 40
+    pairs = []
+    for _ in range(24):
+        t = int(rng.integers(0, len(txps)))
+        seq = txps[t][1]
+        p1 = int(rng.integers(0, len(seq) - 260))
+        frag = int(rng.integers(60, 260))  # some beyond max_frag_len
+        left = seq[p1 : p1 + L]
+        right = seq[p1 + frag - L : p1 + frag].translate(comp)[::-1]
+        if rng.random() < 0.3:  # swapped order: rc mate before fwd mate
+            left, right = right.translate(comp)[::-1], left.translate(comp)[::-1]
+        pairs.append((left, right))
+
+    cfg = parity_cfg(idx, L, **kw)
+    mapper = QuasiMapper(idx, cfg)
+    c1, l1 = batch_of([p[0] for p in pairs], L)
+    c2, l2 = batch_of([p[1] for p in pairs], L)
+    _, _, po, _ = mapper.map_pe(c1, l1, c2, l2)
+    n_conc = 0
+    for i in range(len(pairs)):
+        want, conc = qm.map_pair(idx, c1[i][: l1[i]], c2[i][: l2[i]], cfg)
+        assert bool(po.concordant[i]) == conc, f"pair {i} concordance"
+        n_conc += bool(conc)
+        got = []
+        for j in range(po.t.shape[1]):
+            if po.t[i, j] == -1:
+                continue
+            got.append(
+                (
+                    int(po.t[i, j]),
+                    int(po.p1[i, j]) if po.has1[i, j] else None,
+                    int(po.p2[i, j]) if po.has2[i, j] else None,
+                )
+            )
+        exp = [(m.txp, m.pos1, m.pos2) for m in want]
+        assert got == exp, f"pair {i}: device {got} != oracle {exp}"
+    assert 0 < n_conc < len(pairs), "constraints should reject some pairs only"
