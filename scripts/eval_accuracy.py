@@ -62,6 +62,11 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("-t", "--transcripts")
     ap.add_argument("--synthetic", action="store_true")
+    ap.add_argument(
+        "--isoform", action="store_true",
+        help="isoform-style synthetic txome (shared exons + paralogs) — real "
+        "multimapping pressure; see scripts/txome_sim.py",
+    )
     ap.add_argument("-n", "--numReads", type=int, default=20000)
     ap.add_argument("-l", "--readLen", type=int, default=76)
     ap.add_argument("-e", "--errorRate", type=float, default=0.01)
@@ -73,7 +78,13 @@ def main() -> None:
 
     rng = np.random.default_rng(args.seed)
     tmp = tempfile.mkdtemp(prefix="tqm_eval_")
-    if args.synthetic or not args.transcripts:
+    if args.isoform:
+        from txome_sim import gen_isoform_txome, write_fasta
+
+        fa = os.path.join(tmp, "txome_isoform.fa")
+        write_fasta(gen_isoform_txome(rng), fa)
+        args.transcripts = fa
+    elif args.synthetic or not args.transcripts:
         fa = os.path.join(tmp, "txome.fa")
         with open(fa, "w") as f:
             for i in range(2000):
@@ -93,11 +104,14 @@ def main() -> None:
     reads, truth = simulate(txps, args.numReads, args.readLen, args.errorRate, args.nRate, rng)
 
     mapper = QuasiMapper(idx, MapConfig(k=idx.k))
+    id_to_seq = {name_to_id[n]: s for n, s in txps}
     B = args.batchSize
     L = args.readLen
     tp = fn = 0
     reported = 0
     correct_reported = 0
+    equivalent_reported = 0
+    ctr_tot: dict[str, int] = {}
     for s in range(0, len(reads), B):
         chunk = reads[s : s + B]
         codes = np.full((B, L), 5, dtype=np.int8)
@@ -105,6 +119,8 @@ def main() -> None:
             codes[i] = encode_reads(np.frombuffer(r, dtype=np.uint8))
         lens = np.full(B, L, np.int32)
         wr = mapper.fetch(mapper.map_se_async(codes, lens, n_valid=len(chunk)))
+        for key, val in wr.counters.items():
+            ctr_tot[key] = ctr_tot.get(key, 0) + int(val)
         off = 0
         for i in range(len(chunk)):
             c = int(wr.counts[i])
@@ -114,8 +130,16 @@ def main() -> None:
             }
             off += c
             t, p, rc = truth[s + i]
-            want = (name_to_id[txps[t][0]], p, 1 if rc else 0)
+            s_true = 1 if rc else 0
+            want = (name_to_id[txps[t][0]], p, s_true)
+            true_w = txps[t][1][p : p + L]
+            true_w_rc = true_w.translate(COMP)[::-1]
             reported += len(locs)
+            for t2, p2, s2 in locs:
+                w2 = id_to_seq.get(t2, b"")[p2 : p2 + L]
+                if w2 == (true_w if s2 == s_true else true_w_rc):
+                    equivalent_reported += 1  # sequence-identical locus:
+                    # a correct mapping under real multimapping
             if want in locs:
                 tp += 1
                 correct_reported += 1
@@ -125,9 +149,14 @@ def main() -> None:
     precision = correct_reported / max(reported, 1)
     print(json.dumps({
         "reads": len(reads), "read_len": args.readLen, "error_rate": args.errorRate,
+        "txome": "isoform" if args.isoform else os.path.basename(args.transcripts),
+        "expand_budget": mapper.cfg.expand_budget,
         "recall_true_locus": round(recall, 4),
         "precision_reported_loci": round(precision, 4),
+        "precision_equivalent_loci": round(equivalent_reported / max(reported, 1), 4),
         "mean_loci_per_read": round(reported / len(reads), 3),
+        "over_budget_reads": ctr_tot.get("over_budget", 0),
+        "too_ambiguous_reads": ctr_tot.get("too_ambiguous", 0),
     }))
 
 

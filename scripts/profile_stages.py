@@ -1,0 +1,144 @@
+"""Device-stage profiler: where does the per-read time go?
+
+Times the SE hot path's stages in isolation on the real chip, each as a
+lax.scan over NCH fresh 8192-read chunks inside ONE dispatch, so the axon
+tunnel RTT (~0.1 s/call) is amortized and the numbers are device compute:
+
+  lookup : lane build + k-mer keys + CHD table probe (ops.lookup)
+  scan   : lookup + anchor walk w/ packed extension (ops.mmp.scan_batch)
+  full   : scan + collate + compact (the production chunked wire program)
+
+walk = scan - lookup; collate = full - scan (approx; compact/wire is tiny).
+Fresh input buffers per rep (server memoizes identical executions).
+"""
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np  # noqa: E402
+
+from bench import CHUNK, READ_LEN, build_world  # noqa: E402
+
+NCH = 8
+REPS = 3
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    from jax import lax
+
+    from rapmap_tpu.config import MapConfig
+    from rapmap_tpu.models.quasi import QuasiMapper, map_batch_se_wire_chunked
+    from rapmap_tpu.ops import encode as denc
+    from rapmap_tpu.ops.collate import collate_batch
+    from rapmap_tpu.ops.lookup import kmer_lookup
+    from rapmap_tpu.ops.mmp import scan_batch
+
+    idx, codes = build_world()
+    cfg = MapConfig(k=idx.k, chunk=CHUNK)
+    mapper = QuasiMapper(idx, cfg)
+    didx, st = mapper.didx, mapper.st
+    C, L = CHUNK, READ_LEN
+    B = NCH * C
+    lens_np = np.full(C, L, dtype=np.int32)
+    k = st.k
+
+    def lanes_of(reads, lens):
+        lanes = jnp.concatenate([reads, denc.revcomp_batch(reads, lens)], axis=0)
+        return lanes, jnp.concatenate([lens, lens])
+
+    def stage_lookup(reads, lens):
+        lanes, lens2 = lanes_of(reads, lens)
+        key_hi, key_lo, kvalid = denc.kmer_keys_batch(lanes, k)
+        found, db, de = kmer_lookup(didx, st, key_hi, key_lo)
+        return (
+            jnp.sum(found & kvalid, dtype=jnp.int32)
+            + jnp.sum(db, dtype=jnp.int32)
+            + jnp.sum(de, dtype=jnp.int32)
+        )
+
+    def stage_scan(reads, lens):
+        lanes, lens2 = lanes_of(reads, lens)
+        h = scan_batch(didx, st, lanes, lens2, cfg)
+        return (
+            jnp.sum(h.n, dtype=jnp.int32)
+            + jnp.sum(h.b, dtype=jnp.int32)
+            + jnp.sum(h.l, dtype=jnp.int32)
+        )
+
+    def stage_collate(reads, lens):
+        lanes, lens2 = lanes_of(reads, lens)
+        h = scan_batch(didx, st, lanes, lens2, cfg)
+        out = collate_batch(didx, st, h, lens, cfg)
+        return (
+            jnp.sum(out.t, dtype=jnp.int32)
+            + jnp.sum(out.pos, dtype=jnp.int32)
+            + jnp.sum(out.mapped, dtype=jnp.int32)
+        )
+
+    def chunked(fn):
+        def run(all_reads):  # (NCH, C, L) int8
+            def body(acc, chunk_reads):
+                return acc + fn(chunk_reads, jnp.asarray(lens_np)), 0
+
+            acc, _ = lax.scan(body, jnp.int32(0), all_reads)
+            return acc
+
+        return jax.jit(run)
+
+    def timeit(name, jfn, feed):
+        t0 = time.time()
+        r0 = np.asarray(jfn(feed(0)))
+        print(f"# {name}: compile+first {time.time()-t0:.1f}s chk={int(r0)}",
+              file=sys.stderr, flush=True)
+        best = []
+        for rep in range(1, REPS + 1):
+            x = feed(rep)
+            t0 = time.time()
+            np.asarray(jfn(x))
+            best.append(time.time() - t0)
+        dt = min(best)
+        per_read = dt / B * 1e6
+        print(f"{name:8s} {dt*1e3:8.1f} ms/{B} reads  {per_read:6.2f} us/read  "
+              f"({B/dt:,.0f} reads/s)", flush=True)
+        return dt
+
+    def feed(rep):
+        lo = (rep * B) % (len(codes) - B)
+        return jnp.asarray(codes[lo : lo + B].reshape(NCH, C, L))
+
+    t_lookup = timeit("lookup", chunked(stage_lookup), feed)
+    t_scan = timeit("scan", chunked(stage_scan), feed)
+    t_coll = timeit("collate", chunked(stage_collate), feed)
+
+    # the production program (adds compact + wire pack + counters)
+    from rapmap_tpu.ops.wire import pack_in_se
+
+    capc = mapper._cap(C)
+
+    def run_full(w):
+        return map_batch_se_wire_chunked(didx, st, w, cfg, capc, B, L, C)
+
+    jw = jax.jit(lambda w: jnp.sum(run_full(w)[:8], dtype=jnp.int32))
+
+    def feed_w(rep):
+        lo = (rep * B) % (len(codes) - B)
+        return jnp.asarray(pack_in_se(
+            codes[lo : lo + B],
+            np.full(B, L, dtype=np.int32), B))
+
+    t_full = timeit("full", jw, feed_w)
+
+    print("# breakdown (device-compute approximations):", flush=True)
+    print(f"#   lookup        {t_lookup/B*1e6:6.2f} us/read", flush=True)
+    print(f"#   anchor walk   {(t_scan-t_lookup)/B*1e6:6.2f} us/read", flush=True)
+    print(f"#   collate       {(t_coll-t_scan)/B*1e6:6.2f} us/read", flush=True)
+    print(f"#   compact+wire  {(t_full-t_coll)/B*1e6:6.2f} us/read", flush=True)
+
+
+if __name__ == "__main__":
+    main()
