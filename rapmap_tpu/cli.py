@@ -216,6 +216,7 @@ def run_map(args, pseudo: bool) -> int:
         if out is not None and not skip_batches:
             out.write(sam.sam_header(idx.txp_names, np.asarray(idx.txp_lens), __version__, cl))
         write_unmapped = not args.noUnmapped
+        sam_fmt = sam.get_native_formatter(idx.txp_names) if out is not None else None
 
         # one-deep pipeline: dispatch batch i+1 before fetching batch i's
         # results so the device computes while the host renders SAM
@@ -249,6 +250,7 @@ def run_map(args, pseudo: bool) -> int:
                     sam.write_se_records_dense(
                         out, batch.names[: batch.n], batch.seqs, batch.quals,
                         recsd.recs, recsd.counts, idx.txp_names, write_unmapped,
+                        formatter=sam_fmt,
                     )
 
         def drain_pe(pending):
@@ -269,6 +271,7 @@ def run_map(args, pseudo: bool) -> int:
                     sam.write_pe_records_dense(
                         out, b1.names[: b1.n], b1.seqs, b1.quals, b2.seqs, b2.quals,
                         recsd.recs, recsd.counts, idx.txp_names, write_unmapped,
+                        formatter=sam_fmt,
                     )
 
         from collections import deque

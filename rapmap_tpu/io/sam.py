@@ -83,6 +83,22 @@ def write_se_records(
     return n
 
 
+def get_native_formatter(txp_names: list[str]):
+    """Native C++ SAM renderer (native/sam.cpp) or None when unavailable.
+    Pass the result as `formatter=` to the dense writers; the Python loops
+    below remain the executable spec and the byte-parity oracle."""
+    try:
+        from rapmap_tpu.native.bindings import SamFormatter, available
+
+        if available():
+            return SamFormatter(txp_names)
+    except Exception as exc:  # toolchain-less hosts: fall back silently
+        import logging
+
+        logging.getLogger("tqm.sam").debug("native SAM formatter unavailable: %s", exc)
+    return None
+
+
 def write_se_records_dense(
     out: IO[str],
     names: list[str],
@@ -92,8 +108,13 @@ def write_se_records_dense(
     counts: np.ndarray,  # (B,)
     txp_names: list[str],
     write_unmapped: bool = True,
+    formatter=None,
 ) -> int:
     """SAM from device-compacted SERecords (production path)."""
+    if formatter is not None:
+        out.write(formatter.se(names, seqs, quals, recs, counts, write_unmapped)
+                  .decode("ascii"))
+        return formatter.last_n_records
     n = 0
     off = 0
     for i, name in enumerate(names):
@@ -134,8 +155,13 @@ def write_pe_records_dense(
     counts: np.ndarray,
     txp_names: list[str],
     write_unmapped: bool = True,
+    formatter=None,
 ) -> int:
     """SAM from device-compacted PERecords (production path)."""
+    if formatter is not None:
+        out.write(formatter.pe(names, seqs1, quals1, seqs2, quals2,
+                               recs, counts, write_unmapped).decode("ascii"))
+        return formatter.last_n_records
     n = 0
     off = 0
     for i, name in enumerate(names):

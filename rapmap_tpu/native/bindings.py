@@ -56,6 +56,22 @@ def _load() -> ctypes.CDLL | None:
             ctypes.c_int32, ctypes.c_int32, ctypes.c_uint32, ctypes.c_int32,
             ctypes.c_void_p, ctypes.c_void_p,
         ]
+        P, I64, I32 = ctypes.c_void_p, ctypes.c_int64, ctypes.c_int32
+        lib.tqm_sam_se.restype = I64
+        lib.tqm_sam_se.argtypes = [
+            P, P, I64,          # recs, counts, B
+            P, P, P, P, P, P,   # names/off, seqs/off, quals/off
+            P, P, I64,          # tnames/off, n_txps
+            I32, P, I64, P,     # write_unmapped, out, out_cap, n_records
+        ]
+        lib.tqm_sam_pe.restype = I64
+        lib.tqm_sam_pe.argtypes = [
+            P, P, I64,                 # recs, counts, B
+            P, P,                      # names/off
+            P, P, P, P, P, P, P, P,    # seqs1/off quals1/off seqs2/off quals2/off
+            P, P, I64,                 # tnames/off, n_txps
+            I32, P, I64, P,            # write_unmapped, out, out_cap, n_records
+        ]
         lib.tqm_fastq_parse.restype = ctypes.c_int64
         lib.tqm_fastq_parse.argtypes = [
             ctypes.c_char_p, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
@@ -136,3 +152,91 @@ def fastq_parse(buf: bytes, max_reads: int, pad_len: int):
     if n < 0:
         raise ValueError(f"malformed FASTQ at byte {consumed.value}")
     return codes, lens, name_off, name_len, seq_off, seq_len, qual_off, int(consumed.value), int(n)
+
+
+def _max_len(off: np.ndarray) -> int:
+    return int(np.diff(off).max()) if len(off) > 1 else 0
+
+
+def _flat(items: list[bytes]) -> tuple[np.ndarray, np.ndarray]:
+    """list of bytes -> (flat uint8 buffer, (n+1,) int64 offsets)."""
+    off = np.zeros(len(items) + 1, dtype=np.int64)
+    np.cumsum([len(b) for b in items], out=off[1:])
+    buf = np.frombuffer(b"".join(items), dtype=np.uint8) if items else np.empty(0, np.uint8)
+    return buf, off
+
+
+class SamFormatter:
+    """Reusable native SAM renderer; caches the transcript-name buffer and
+    grows the output buffer geometrically across batches."""
+
+    def __init__(self, txp_names: list[str]):
+        lib = _load()
+        if lib is None:
+            raise RuntimeError("native library unavailable")
+        self._lib = lib
+        self._tbuf, self._toff = _flat([n.encode() for n in txp_names])
+        self._n_txps = len(txp_names)
+        self._out = np.empty(1 << 22, dtype=np.uint8)
+
+    def _call(self, fn, cap_hint: int, write_unmapped: bool, *args) -> bytes:
+        if len(self._out) < cap_hint:
+            self._out = np.empty(int(cap_hint * 1.5), dtype=np.uint8)
+        while True:
+            nrec = ctypes.c_int64(0)
+            n = fn(*args, self._tbuf.ctypes.data, self._toff.ctypes.data,
+                   self._n_txps, 1 if write_unmapped else 0,
+                   self._out.ctypes.data, len(self._out),
+                   ctypes.byref(nrec))
+            if n == -1:  # buffer too small: grow and retry
+                self._out = np.empty(len(self._out) * 2, dtype=np.uint8)
+                continue
+            if n < 0:
+                raise ValueError(f"native SAM formatter failed with code {n}")
+            self.last_n_records = int(nrec.value)
+            return self._out[:n].tobytes()
+
+    def se(self, names, seqs, quals, recs: np.ndarray, counts: np.ndarray,
+           write_unmapped: bool = True) -> bytes:
+        B = len(names)
+        nbuf, noff = _flat([n.encode() if isinstance(n, str) else n for n in names])
+        sbuf, soff = _flat(seqs)
+        qbuf, qoff = _flat(quals)
+        c = np.ascontiguousarray(counts, dtype=np.int32)
+        total = int(c.sum())
+        r = np.ascontiguousarray(recs[:total], dtype=np.int32)
+        line = (_max_len(noff) + 2 * _max_len(soff)
+                + _max_len(self._toff) + 64)
+        cap = (total + B) * line
+        return self._call(
+            self._lib.tqm_sam_se, cap, write_unmapped,
+            r.ctypes.data, c.ctypes.data, B,
+            nbuf.ctypes.data, noff.ctypes.data,
+            sbuf.ctypes.data, soff.ctypes.data,
+            qbuf.ctypes.data, qoff.ctypes.data,
+        )
+
+    def pe(self, names, seqs1, quals1, seqs2, quals2,
+           recs: np.ndarray, counts: np.ndarray,
+           write_unmapped: bool = True) -> bytes:
+        B = len(names)
+        nbuf, noff = _flat([n.encode() if isinstance(n, str) else n for n in names])
+        s1b, s1o = _flat(seqs1)
+        q1b, q1o = _flat(quals1)
+        s2b, s2o = _flat(seqs2)
+        q2b, q2o = _flat(quals2)
+        c = np.ascontiguousarray(counts, dtype=np.int32)
+        total = int(c.sum())
+        r = np.ascontiguousarray(recs[:total], dtype=np.int32)
+        line = (_max_len(noff) + 2 * max(_max_len(s1o), _max_len(s2o))
+                + _max_len(self._toff) + 64)
+        cap = (2 * total + 2 * B) * line
+        return self._call(
+            self._lib.tqm_sam_pe, cap, write_unmapped,
+            r.ctypes.data, c.ctypes.data, B,
+            nbuf.ctypes.data, noff.ctypes.data,
+            s1b.ctypes.data, s1o.ctypes.data,
+            q1b.ctypes.data, q1o.ctypes.data,
+            s2b.ctypes.data, s2o.ctypes.data,
+            q2b.ctypes.data, q2o.ctypes.data,
+        )

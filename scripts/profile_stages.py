@@ -51,7 +51,7 @@ def main():
         lanes = jnp.concatenate([reads, denc.revcomp_batch(reads, lens)], axis=0)
         return lanes, jnp.concatenate([lens, lens])
 
-    def stage_lookup(reads, lens):
+    def stage_lookup(didx, reads, lens):
         lanes, lens2 = lanes_of(reads, lens)
         key_hi, key_lo, kvalid = denc.kmer_keys_batch(lanes, k)
         found, db, de = kmer_lookup(didx, st, key_hi, key_lo)
@@ -61,7 +61,7 @@ def main():
             + jnp.sum(de, dtype=jnp.int32)
         )
 
-    def stage_scan(reads, lens):
+    def stage_scan(didx, reads, lens):
         lanes, lens2 = lanes_of(reads, lens)
         h = scan_batch(didx, st, lanes, lens2, cfg)
         return (
@@ -70,7 +70,7 @@ def main():
             + jnp.sum(h.l, dtype=jnp.int32)
         )
 
-    def stage_collate(reads, lens):
+    def stage_collate(didx, reads, lens):
         lanes, lens2 = lanes_of(reads, lens)
         h = scan_batch(didx, st, lanes, lens2, cfg)
         out = collate_batch(didx, st, h, lens, cfg)
@@ -81,14 +81,18 @@ def main():
         )
 
     def chunked(fn):
-        def run(all_reads):  # (NCH, C, L) int8
+        # didx must be an ARGUMENT (not a closure capture): captured device
+        # arrays become compile-request constants and the axon remote-compile
+        # rejects the multi-hundred-MB body with HTTP 413
+        def run(didx_arg, all_reads):  # (NCH, C, L) int8
             def body(acc, chunk_reads):
-                return acc + fn(chunk_reads, jnp.asarray(lens_np)), 0
+                return acc + fn(didx_arg, chunk_reads, jnp.asarray(lens_np)), 0
 
             acc, _ = lax.scan(body, jnp.int32(0), all_reads)
             return acc
 
-        return jax.jit(run)
+        jfn = jax.jit(run)
+        return lambda x: jfn(didx, x)
 
     def timeit(name, jfn, feed):
         t0 = time.time()
@@ -120,10 +124,11 @@ def main():
 
     capc = mapper._cap(C)
 
-    def run_full(w):
-        return map_batch_se_wire_chunked(didx, st, w, cfg, capc, B, L, C)
+    def run_full(dx, w):
+        return map_batch_se_wire_chunked(dx, st, w, cfg, capc, B, L, C)
 
-    jw = jax.jit(lambda w: jnp.sum(run_full(w)[:8], dtype=jnp.int32))
+    _jw = jax.jit(lambda dx, w: jnp.sum(run_full(dx, w)[:8], dtype=jnp.int32))
+    jw = lambda w: _jw(didx, w)
 
     def feed_w(rep):
         lo = (rep * B) % (len(codes) - B)
