@@ -124,24 +124,25 @@ def build_quasi_index(
     sa_txp = _sa_txp_of(sa, offsets, lens)
     sa_tpos = (np.asarray(sa, dtype=np.int64) - offsets[sa_txp]).astype(np.int32)
     log.info("k-mer table: %d distinct %d-mers (%.1fs)", len(kb), k, time.time() - t0)
-    # CHD perfect hash (BooPHF role): device probes become 2 gathers flat
+    # canonical-class CHD perfect hash (BooPHF role): the device resolves
+    # BOTH strands of a window with one 2-gather probe (ops/lookup.py)
     t0 = time.time()
-    from rapmap_tpu.index.chd import build_chd
+    from rapmap_tpu.index.chd import build_canonical_chd
 
-    chd = build_chd(khi, klo, seed0=seed + 1)
+    chd = build_canonical_chd(khi, klo, k, seed0=seed + 1)
     meta = {}
-    chd_dir = chd_perm = None
+    chd_dir = chd_perm = chd_cls = None
     if chd is not None:
-        chd_dir, chd_perm = chd["dir"], chd["perm"]
-        meta["chd"] = {k_: chd[k_] for k_ in ("seed", "m_bits", "t_bits")}
-        log.info("CHD perfect hash built (%.1fs)", time.time() - t0)
+        chd_dir, chd_perm, chd_cls = chd["dir"], chd["perm"], chd["cls"]
+        meta["chd"] = {k_: chd[k_] for k_ in ("seed", "m_bits", "t_bits", "canonical")}
+        log.info("canonical CHD perfect hash built (%.1fs)", time.time() - t0)
     idx = QuasiIndex(
         k=k, text=text, text2b=text2b, sa=sa, sa_txp=sa_txp,
         sa_tpos=sa_tpos,
         kmer_hi=khi, kmer_lo=klo, kmer_b=kb, kmer_e=ke, prefix_lut=lut,
         txp_offsets=offsets, txp_lens=lens, txp_names=names,
         n_text=n_text, prefix_bases=prefix_bases, seed=seed,
-        chd_dir=chd_dir, chd_perm=chd_perm, meta=meta,
+        chd_dir=chd_dir, chd_perm=chd_perm, chd_cls=chd_cls, meta=meta,
     )
     if outdir:
         save_index(idx, outdir)

@@ -63,20 +63,24 @@ def build_chd(khi: np.ndarray, klo: np.ndarray, seed0: int = 1):
 
 
 def attach_chd(idx, save_dir: str | None = None) -> bool:
-    """Build + attach a CHD section to an existing index (upgrades indexes
-    built before CHD existed). Returns True when attached. The caller must
-    have loaded the index with mmap=False if save_dir rewrites in place."""
-    if getattr(idx, "chd_dir", None) is not None:
+    """Build + attach a canonical-class CHD section to an existing index
+    (upgrades pre-CHD and legacy per-strand-CHD indexes). Returns True when a
+    canonical CHD is present afterwards. The caller must have loaded the
+    index with mmap=False if save_dir rewrites in place."""
+    if getattr(idx, "chd_dir", None) is not None and idx.meta.get("chd", {}).get(
+        "canonical"
+    ):
         return True
-    chd = build_chd(
+    chd = build_canonical_chd(
         np.asarray(idx.kmer_hi, np.uint32),
         np.asarray(idx.kmer_lo, np.uint32),
+        idx.k,
         seed0=idx.seed + 1,
     )
     if chd is None:
         return False
-    idx.chd_dir, idx.chd_perm = chd["dir"], chd["perm"]
-    idx.meta["chd"] = {k: chd[k] for k in ("seed", "m_bits", "t_bits")}
+    idx.chd_dir, idx.chd_perm, idx.chd_cls = chd["dir"], chd["perm"], chd["cls"]
+    idx.meta["chd"] = {k: chd[k] for k in ("seed", "m_bits", "t_bits", "canonical")}
     if save_dir:
         from rapmap_tpu.index.format import save_index
 
@@ -99,3 +103,70 @@ def chd_query_np(khi, klo, dirv, perm, seed: int, m_bits: int, t_bits: int):
     d = dirv[g].astype(np.uint32)
     slot = mix32_np(hb + d) & np.uint32((1 << t_bits) - 1)
     return perm[slot]
+
+
+# ---------------------------------------------------------------------------
+# Canonical-class CHD: one probe serves BOTH strands
+# ---------------------------------------------------------------------------
+
+def rc_key64_np(key64: np.ndarray, k: int) -> np.ndarray:
+    """Reverse-complement of big-endian 2-bit packed k-mers (uint64, low-
+    aligned): complement = bitwise NOT of the 2k bits, then reverse the 2-bit
+    groups. Must match ops.encode.rc_keys_batch exactly."""
+    x = np.asarray(key64, dtype=np.uint64)
+    nb = 2 * k
+    mask = np.uint64(0xFFFFFFFFFFFFFFFF) if nb == 64 else np.uint64((1 << nb) - 1)
+    x = (~x) & mask
+    m2 = np.uint64(0x3333333333333333)
+    m4 = np.uint64(0x0F0F0F0F0F0F0F0F)
+    m8 = np.uint64(0x00FF00FF00FF00FF)
+    m16 = np.uint64(0x0000FFFF0000FFFF)
+    x = ((x & m2) << np.uint64(2)) | ((x >> np.uint64(2)) & m2)
+    x = ((x & m4) << np.uint64(4)) | ((x >> np.uint64(4)) & m4)
+    x = ((x & m8) << np.uint64(8)) | ((x >> np.uint64(8)) & m8)
+    x = ((x & m16) << np.uint64(16)) | ((x >> np.uint64(16)) & m16)
+    x = (x << np.uint64(32)) | (x >> np.uint64(32))
+    return x >> np.uint64(64 - nb) if nb < 64 else x
+
+
+def key64_of(khi: np.ndarray, klo: np.ndarray) -> np.ndarray:
+    return (np.asarray(khi, np.uint32).astype(np.uint64) << np.uint64(32)) | np.asarray(
+        klo, np.uint32
+    ).astype(np.uint64)
+
+
+def build_canonical_chd(khi, klo, k: int, seed0: int = 1):
+    """CHD over canonical k-mer classes (class key = min(kmer, rc(kmer))).
+
+    The device probes ONE class per window and reads both strands' SA
+    intervals from the class row, halving lookup gathers vs per-strand
+    probing (ops/lookup.py). Requires the k-mer table sorted by (hi, lo) —
+    the on-disk invariant.
+
+    -> dict(dir, perm, cls (n_cls, 2) int32 [fwd_row, rc_row] (-1 = absent),
+            seed, m_bits, t_bits, canonical=True) or None (no native lib /
+    placement failure -> caller keeps per-strand probing or binary search)."""
+    key64 = key64_of(khi, klo)
+    n = len(key64)
+    if n == 0:
+        return None
+    can64 = np.minimum(key64, rc_key64_np(key64, k))
+    classes = np.unique(can64)
+
+    def row_of(vals: np.ndarray) -> np.ndarray:
+        i = np.searchsorted(key64, vals)
+        i_c = np.minimum(i, n - 1)
+        return np.where(key64[i_c] == vals, i_c, -1).astype(np.int32)
+
+    fwd_row = row_of(classes)                     # row of the class k-mer itself
+    rc_row = row_of(rc_key64_np(classes, k))      # row of its reverse complement
+    chd = build_chd(
+        (classes >> np.uint64(32)).astype(np.uint32),
+        (classes & np.uint64(0xFFFFFFFF)).astype(np.uint32),
+        seed0=seed0,
+    )
+    if chd is None:
+        return None
+    chd["cls"] = np.stack([fwd_row, rc_row], axis=1)
+    chd["canonical"] = True
+    return chd

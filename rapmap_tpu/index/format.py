@@ -49,9 +49,11 @@ class QuasiIndex:
     prefix_bases: int = 10
     seed: int = 0
     meta: dict = field(default_factory=dict)
-    # optional CHD perfect hash (meta["chd"] holds seed/m_bits/t_bits)
+    # optional CHD perfect hash (meta["chd"] holds seed/m_bits/t_bits and,
+    # for canonical-class tables, canonical=True)
     chd_dir: np.ndarray | None = None   # int32 (2^m_bits,)
-    chd_perm: np.ndarray | None = None  # int32 (2^t_bits,) kmer row or -1
+    chd_perm: np.ndarray | None = None  # int32 (2^t_bits,) kmer row / class id, -1
+    chd_cls: np.ndarray | None = None   # int32 (n_cls, 2) [fwd_row, rc_row], -1
 
     @property
     def n_txps(self) -> int:
@@ -81,7 +83,7 @@ def _sha(arr: np.ndarray) -> str:
     return hashlib.sha256(np.ascontiguousarray(arr).tobytes()).hexdigest()[:16]
 
 
-_QUASI_OPTIONAL = ["chd_dir", "chd_perm"]
+_QUASI_OPTIONAL = ["chd_dir", "chd_perm", "chd_cls"]
 
 
 def save_index(idx, outdir: str) -> None:

@@ -45,9 +45,12 @@ class DeviceQuasiIndex(NamedTuple):
     # charwise-fallback arrays; None in bigSA mode (packed path only)
     text: jnp.ndarray | None = None  # int8 codes
     sa: jnp.ndarray | None = None    # int32
-    # CHD perfect hash (2-gather k-mer probe); None = binary-search path
+    # CHD perfect hash (2-gather k-mer probe); None = binary-search path.
+    # Canonical tables (st.chd_canonical) widen rows to 6 columns
+    # [chi, clo, b_fwd, e_fwd, b_rc, e_rc]: ONE probe answers both strands
+    # (gather cost is per-index; width <= 32 B measured free on this chip)
     chd_dir: jnp.ndarray | None = None   # int32 (2^m_bits,)
-    chd_rows: jnp.ndarray | None = None  # int32 (2^t_bits, 4): slot -> kmer row
+    chd_rows: jnp.ndarray | None = None  # int32 (2^t_bits, 4 or 6)
 
 
 @dataclass(frozen=True)
@@ -64,6 +67,7 @@ class EngineStatic:
     chd_seed: int = 0
     chd_m_bits: int = 0
     chd_t_bits: int = 0
+    chd_canonical: bool = False  # rows carry both strands' intervals
 
     @staticmethod
     def for_index(idx: QuasiIndex, use_chd: bool | None = None) -> "EngineStatic":
@@ -83,6 +87,7 @@ class EngineStatic:
             chd_seed=int(chd["seed"]) if chd else 0,
             chd_m_bits=int(chd["m_bits"]) if chd else 0,
             chd_t_bits=int(chd["t_bits"]) if chd else 0,
+            chd_canonical=bool(chd.get("canonical")) if chd else False,
         )
 
 
@@ -127,13 +132,55 @@ def upload_index(idx: QuasiIndex) -> tuple[DeviceQuasiIndex, EngineStatic]:
     chd_dir = chd_rows = None
     if st.use_chd:
         perm = np.asarray(idx.chd_perm, dtype=np.int64)
-        # empty slots -> a row no query can match: hi=lo=0xFFFFFFFF, b=e=0
-        # (queries are verified by key compare; b==e also yields no anchor)
-        sentinel = np.array([-1, -1, 0, 0], dtype=np.int32)
-        rows = np.where(
-            (perm >= 0)[:, None], kmer_rows[np.clip(perm, 0, len(kmer_rows) - 1)],
-            sentinel[None, :],
-        ).astype(np.int32)
+        pc = np.clip(perm, 0, None)
+        if st.chd_canonical:
+            # class rows [chi, clo, b_fwd, e_fwd, b_rc, e_rc]; the class key
+            # is the canonical (min of kmer, rc) orientation. An orientation
+            # absent from the text gets b=e=0 (empty interval -> not found).
+            from rapmap_tpu.index.chd import key64_of, rc_key64_np
+
+            cls = np.asarray(idx.chd_cls, dtype=np.int64)  # (n_cls, 2)
+            fwd_r, rc_r = cls[:, 0], cls[:, 1]
+            key64 = key64_of(idx.kmer_hi, idx.kmer_lo)
+            ck = np.where(
+                fwd_r >= 0,
+                key64[np.clip(fwd_r, 0, None)],
+                rc_key64_np(key64[np.clip(rc_r, 0, None)], idx.k),
+            )
+            kb = np.asarray(idx.kmer_b, dtype=np.int32)
+            ke = np.asarray(idx.kmer_e, dtype=np.int32)
+
+            def iv(rowsel):
+                ok = rowsel >= 0
+                r = np.clip(rowsel, 0, None)
+                return (
+                    np.where(ok, kb[r], 0).astype(np.int32),
+                    np.where(ok, ke[r], 0).astype(np.int32),
+                )
+
+            bf, ef = iv(fwd_r)
+            br, er = iv(rc_r)
+            cls_rows = np.stack(
+                [
+                    (ck >> np.uint64(32)).astype(np.uint32).view(np.int32),
+                    (ck & np.uint64(0xFFFFFFFF)).astype(np.uint32).view(np.int32),
+                    bf, ef, br, er,
+                ],
+                axis=1,
+            )
+            sentinel = np.array([-1, -1, 0, 0, 0, 0], dtype=np.int32)
+            rows = np.where(
+                (perm >= 0)[:, None],
+                cls_rows[np.clip(pc, 0, len(cls_rows) - 1)],
+                sentinel[None, :],
+            ).astype(np.int32)
+        else:
+            # legacy per-strand rows: empty slots -> a row no query matches
+            sentinel = np.array([-1, -1, 0, 0], dtype=np.int32)
+            rows = np.where(
+                (perm >= 0)[:, None], kmer_rows[np.clip(pc, 0, len(kmer_rows) - 1)],
+                sentinel[None, :],
+            ).astype(np.int32)
         chd_dir = jnp.asarray(np.asarray(idx.chd_dir, dtype=np.int32))
         chd_rows = jnp.asarray(rows)
     dev = DeviceQuasiIndex(

@@ -52,3 +52,41 @@ def next_bad_batch(reads: jnp.ndarray, L_sentinel: int) -> jnp.ndarray:
     rev = jnp.flip(bad_at, axis=1)
     run = lax.associative_scan(jnp.minimum, rev, axis=1)
     return jnp.flip(run, axis=1)
+
+
+def _rev2_32(w: jnp.ndarray) -> jnp.ndarray:
+    """Reverse the 16 2-bit groups within each uint32."""
+    m2 = np.uint32(0x33333333)
+    m4 = np.uint32(0x0F0F0F0F)
+    m8 = np.uint32(0x00FF00FF)
+    w = ((w & m2) << np.uint32(2)) | ((w >> np.uint32(2)) & m2)
+    w = ((w & m4) << np.uint32(4)) | ((w >> np.uint32(4)) & m4)
+    w = ((w & m8) << np.uint32(8)) | ((w >> np.uint32(8)) & m8)
+    return (w << np.uint32(16)) | (w >> np.uint32(16))
+
+
+def rc_keys_batch(hi: jnp.ndarray, lo: jnp.ndarray, k: int) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Reverse-complement keys from (hi, lo) uint32 pairs without touching
+    the reads: complement the 2k bits, reverse the 2-bit groups, re-align.
+    Pure VPU bit ops (64-bit ints are unavailable on device); must match
+    index.chd.rc_key64_np exactly (tested in test_canonical_chd)."""
+    nb = 2 * k
+    # complement of the low-aligned 2k-bit field
+    ch = (~hi) & (np.uint32(0xFFFFFFFF) if nb >= 64 else np.uint32((1 << max(nb - 32, 0)) - 1))
+    cl = (~lo) & (np.uint32(0xFFFFFFFF) if nb >= 32 else np.uint32((1 << nb) - 1))
+    # reverse all 32 groups of the 64-bit pair: words swap and self-reverse
+    rhi = _rev2_32(cl)
+    rlo = _rev2_32(ch)
+    # shift right by s = 64 - 2k to re-align low
+    s = 64 - nb
+    if s == 0:
+        return rhi, rlo
+    if s < 32:
+        out_lo = (rlo >> np.uint32(s)) | (rhi << np.uint32(32 - s))
+        out_hi = rhi >> np.uint32(s)
+    elif s == 32:
+        out_lo, out_hi = rhi, jnp.zeros_like(rhi)
+    else:
+        out_lo = rhi >> np.uint32(s - 32)
+        out_hi = jnp.zeros_like(rhi)
+    return out_hi, out_lo

@@ -66,10 +66,64 @@ def _chd_lookup(
     return found, b, e
 
 
+def _chd_probe_canonical(
+    didx: DeviceQuasiIndex, st: EngineStatic, can_hi: jnp.ndarray, can_lo: jnp.ndarray
+) -> jnp.ndarray:
+    """Canonical-key probe -> the 6-column class row (unverified)."""
+    sa_ = np.uint32((st.chd_seed * 0x9E3779B9 + 1) & 0xFFFFFFFF)
+    sb_ = np.uint32((st.chd_seed * 0x85EBCA6B + 2) & 0xFFFFFFFF)
+    g = (_mix32(can_hi ^ _mix32(can_lo ^ sa_)) & np.uint32((1 << st.chd_m_bits) - 1)).astype(jnp.int32)
+    hb = _mix32(can_hi ^ _mix32(can_lo ^ sb_))
+    d = _as_u32(flat_gather(didx.chd_dir, g))
+    slot = (_mix32(hb + d) & np.uint32((1 << st.chd_t_bits) - 1)).astype(jnp.int32)
+    return row_gather_nd(didx.chd_rows, slot)
+
+
+def kmer_lookup_2str(
+    didx: DeviceQuasiIndex, st: EngineStatic, key_hi: jnp.ndarray, key_lo: jnp.ndarray
+):
+    """One canonical probe -> BOTH strands of each window.
+
+    key arrays are the FORWARD window keys; returns
+    (found_f, b_f, e_f, found_r, b_r, e_r) where the *_r triple describes the
+    reverse-complement k-mer of the same window. Requires st.chd_canonical.
+    Halves lookup gathers vs probing each strand separately — the single
+    hottest saving in the engine (lookup was 67% of device time)."""
+    from rapmap_tpu.ops.encode import rc_keys_batch
+
+    rhi, rlo = rc_keys_batch(key_hi, key_lo, st.k)
+    is_can = (key_hi < rhi) | ((key_hi == rhi) & (key_lo <= rlo))
+    can_hi = jnp.where(is_can, key_hi, rhi)
+    can_lo = jnp.where(is_can, key_lo, rlo)
+    row = _chd_probe_canonical(didx, st, can_hi, can_lo)
+    hit = (_as_u32(row[..., 0]) == can_hi) & (_as_u32(row[..., 1]) == can_lo)
+    # row cols 2,3 = canonical orientation's interval; 4,5 = its rc
+    b_can, e_can = row[..., 2], row[..., 3]
+    b_alt, e_alt = row[..., 4], row[..., 5]
+    b_f = jnp.where(is_can, b_can, b_alt)
+    e_f = jnp.where(is_can, e_can, e_alt)
+    b_r = jnp.where(is_can, b_alt, b_can)
+    e_r = jnp.where(is_can, e_alt, e_can)
+    found_f = hit & (e_f > b_f)
+    found_r = hit & (e_r > b_r)
+    z = b_f * 0
+    return (
+        found_f, jnp.where(found_f, b_f, z), jnp.where(found_f, e_f, z),
+        found_r, jnp.where(found_r, b_r, z), jnp.where(found_r, e_r, z),
+    )
+
+
 def kmer_lookup(
     didx: DeviceQuasiIndex, st: EngineStatic, key_hi: jnp.ndarray, key_lo: jnp.ndarray
 ) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Any-shaped uint32 key arrays -> (found, b, e) int32/bool of same shape."""
+    if (
+        getattr(st, "use_chd", False)
+        and getattr(didx, "chd_dir", None) is not None
+        and getattr(st, "chd_canonical", False)
+    ):
+        f, b, e, _, _, _ = kmer_lookup_2str(didx, st, key_hi, key_lo)
+        return f, b, e
     if getattr(st, "use_chd", False) and getattr(didx, "chd_dir", None) is not None:
         return _chd_lookup(didx, st, key_hi, key_lo)
     K = didx.kmer_rows.shape[0]

@@ -98,6 +98,124 @@ def _extend(didx, reads, lens, b0, e0, pos, active, k: int, ext_steps: int):
     return b, e, d
 
 
+def scan_batch_paired(
+    didx: DeviceQuasiIndex,
+    st: EngineStatic,
+    reads: jnp.ndarray,  # (B, L) int8 — FORWARD reads only
+    lens: jnp.ndarray,   # (B,) int32
+    cfg: MapConfig,
+) -> ScanHits:
+    """SEMANTICS.md §3 scan over [fwd; rc] lanes with a SHARED dense lookup.
+
+    Identical hits to scan_batch over explicitly-built [fwd; rc] lanes
+    (tested bit-for-bit), but the dense phase probes the canonical-class CHD
+    once per forward window and reads BOTH strands' intervals from the class
+    row (ops.lookup.kmer_lookup_2str): the rc lane's window at position s'
+    is the reverse complement of the fwd window at lens-k-s', so its lookup
+    is answered by the same probe, halving lookup gathers — the dominant
+    device cost (67% in the round-2 stage profile). The rc lane's anchor
+    walk runs in its own coordinates; dense-array accesses map through
+    col = lens - k - pos, and its next-anchor table is a prev-anchor scan in
+    fwd coordinates. Requires st.chd_canonical."""
+    from rapmap_tpu.ops.lookup import kmer_lookup_2str
+
+    B, L = reads.shape
+    k = st.k
+    H = cfg.max_hits_per_strand
+    S = L - k + 1
+    assert L < st.pad_tail, "read length must stay below the text tail pad"
+    eff_w = min(cfg.max_interval, st.max_interval_idx)
+    ext_steps = max(1, math.ceil(math.log2(eff_w + 1)) + 1)
+
+    lanes = jnp.concatenate([reads, denc.revcomp_batch(reads, lens)], axis=0)
+    lens2 = jnp.concatenate([lens, lens])
+    R = 2 * B
+
+    # ---- dense phase: ONE canonical probe per forward window ---------------
+    key_hi, key_lo, kvalid = denc.kmer_keys_batch(reads, k)  # (B, S)
+    ff, bf, ef, fr, br, er = kmer_lookup_2str(didx, st, key_hi, key_lo)
+    in_len = (np.arange(S, dtype=np.int32)[None, :] + k) <= lens[:, None]
+    ok = kvalid & in_len
+    anch_f = ff & ok & ((ef - bf) <= cfg.max_interval)
+    anch_rF = fr & ok & ((er - br) <= cfg.max_interval)  # rc anchors, fwd coords
+
+    s_ix = np.arange(S, dtype=np.int32)[None, :]
+    nf = jnp.where(anch_f, s_ix, np.int32(S))  # next anchor >= s (fwd lanes)
+    next_f = jnp.flip(lax.associative_scan(jnp.minimum, jnp.flip(nf, axis=1), axis=1), axis=1)
+    pv = jnp.where(anch_rF, s_ix, np.int32(-1))  # prev anchor <= s (rc lanes)
+    prev_rF = lax.associative_scan(jnp.maximum, pv, axis=1)
+
+    # lane-aligned stacks: row r < B = fwd arrays, row r >= B = rc arrays
+    db2 = jnp.concatenate([bf, br], axis=0)
+    de2 = jnp.concatenate([ef, er], axis=0)
+    anc2 = jnp.concatenate([next_f, prev_rF], axis=0)
+    is_rc = np.arange(R, dtype=np.int32) >= B
+
+    if cfg.packed_extension:
+        from rapmap_tpu.ops.extend_packed import extend_packed, pack_reads
+
+        next_bad = denc.next_bad_batch(lanes, L)
+        preads = pack_reads(lanes)
+
+    rows = np.arange(R, dtype=np.int32)
+
+    def at2(arr2d, col):
+        return row_gather(arr2d, jnp.clip(col, 0, S - 1)[:, None])[:, 0]
+
+    def next_anchor_pos(nxt):
+        """Smallest lane-local anchor position >= nxt, else S."""
+        col = jnp.where(is_rc, lens2 - k - nxt, nxt)
+        v = at2(anc2, col)
+        fwd_next = jnp.where(nxt < S, v, np.int32(S))
+        rc_next = jnp.where((col >= 0) & (v >= 0), lens2 - k - v, np.int32(S))
+        return jnp.where(is_rc, rc_next, fwd_next)
+
+    zR_H = np.zeros((R, H), np.int32)
+    hits0 = ScanHits(q=zR_H, l=zR_H, b=zR_H, e=zR_H, n=lens2 * 0, truncated=lens2 < 0)
+    pos0 = next_anchor_pos(lens2 * 0)
+
+    def cond(state):
+        pos, hits = state
+        return jnp.any((pos < S) & ~hits.truncated)
+
+    def body(state):
+        pos, hits = state
+        act = (pos < S) & ~hits.truncated
+        posc = jnp.clip(pos, 0, S - 1)
+        col = jnp.where(is_rc, lens2 - k - posc, posc)
+        b0 = at2(db2, col)
+        e0 = at2(de2, col)
+        if cfg.packed_extension:
+            b1, e1, mlen = extend_packed(
+                didx, preads, next_bad, lens2, b0, e0, posc, act, k, ext_steps, L
+            )
+        else:
+            b1, e1, mlen = _extend(didx, lanes, lens2, b0, e0, posc, act, k, ext_steps)
+
+        slot = jnp.clip(hits.n, 0, H - 1)
+        overflow = act & (hits.n >= H)
+        write = act & ~overflow
+
+        def put(buf, val):
+            old = buf[rows, slot]
+            return buf.at[rows, slot].set(jnp.where(write, val, old))
+
+        hits = ScanHits(
+            q=put(hits.q, posc),
+            l=put(hits.l, mlen),
+            b=put(hits.b, b1),
+            e=put(hits.e, e1),
+            n=hits.n + write.astype(jnp.int32),
+            truncated=hits.truncated | overflow,
+        )
+        nxt = posc + jnp.maximum(1, mlen - k + 1)
+        pos_next = next_anchor_pos(nxt)
+        return jnp.where(act, pos_next, pos), hits
+
+    _, hits = lax.while_loop(cond, body, (pos0, hits0))
+    return hits
+
+
 def scan_batch(
     didx: DeviceQuasiIndex,
     st: EngineStatic,

@@ -35,21 +35,31 @@ def _key_space(idx, rng, n):
 
 @requires_native
 def test_chd_build_is_perfect(tmp_path, rng):
+    """Canonical-class CHD: every table k-mer's canonical key resolves to a
+    class whose (fwd_row, rc_row) points back at that k-mer's row."""
+    from rapmap_tpu.index.chd import key64_of, rc_key64_np
+
     idx, _ = toy_index(tmp_path / "i", rng, n_txps=16, min_len=120, max_len=500)
     assert idx.chd_dir is not None, "builder should attach a CHD section"
     chd = idx.meta["chd"]
-    khi = np.asarray(idx.kmer_hi, np.uint32)
-    klo = np.asarray(idx.kmer_lo, np.uint32)
-    rows = chd_query_np(
-        khi, klo, np.asarray(idx.chd_dir), np.asarray(idx.chd_perm),
+    assert chd.get("canonical")
+    key64 = key64_of(idx.kmer_hi, idx.kmer_lo)
+    can64 = np.minimum(key64, rc_key64_np(key64, idx.k))
+    cls_ids = chd_query_np(
+        (can64 >> np.uint64(32)).astype(np.uint32),
+        (can64 & np.uint64(0xFFFFFFFF)).astype(np.uint32),
+        np.asarray(idx.chd_dir), np.asarray(idx.chd_perm),
         chd["seed"], chd["m_bits"], chd["t_bits"],
     )
-    # minimal perfectness: every key resolves to its own table row
-    assert np.array_equal(rows, np.arange(len(khi)))
-    # perm is injective over occupied slots
+    assert (cls_ids >= 0).all()
+    cls = np.asarray(idx.chd_cls)
+    is_can = key64 == can64
+    back = np.where(is_can, cls[cls_ids, 0], cls[cls_ids, 1])
+    assert np.array_equal(back, np.arange(len(key64)))
+    # perm is injective over occupied slots and covers every class
     occ = np.asarray(idx.chd_perm)
     occ = occ[occ >= 0]
-    assert len(np.unique(occ)) == len(occ) == len(khi)
+    assert len(np.unique(occ)) == len(occ) == len(cls)
 
 
 @requires_native
