@@ -54,8 +54,11 @@ def build_world():
                 f.write(f">t{i}\n{bases[rng.integers(0, 4, L)].tobytes().decode()}\n")
         build_quasi_index(fa, outdir=idx_dir, k=31)
     idx = load_index(idx_dir)
-    if getattr(idx, "chd_dir", None) is None:
-        # upgrade pre-CHD cached indexes: 2-gather perfect-hash probe
+    if getattr(idx, "chd_dir", None) is None or not idx.meta.get("chd", {}).get(
+        "canonical"
+    ):
+        # upgrade pre-CHD / legacy per-strand-CHD cached indexes to the
+        # canonical-class 2-gather perfect-hash probe
         from rapmap_tpu.index.chd import attach_chd
 
         idx = load_index(idx_dir, mmap=False)

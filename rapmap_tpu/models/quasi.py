@@ -17,10 +17,9 @@ from jax import lax
 
 from rapmap_tpu.config import MapConfig
 from rapmap_tpu.index.format import QuasiIndex
-from rapmap_tpu.ops import encode as denc
 from rapmap_tpu.ops.collate import MapOut, collate_batch
 from rapmap_tpu.ops.device_index import DeviceQuasiIndex, EngineStatic, upload_index
-from rapmap_tpu.ops.mmp import scan_batch
+from rapmap_tpu.ops.mmp import scan_dispatch
 from rapmap_tpu.ops.pairs import PairOut, merge_pairs_batch
 
 
@@ -44,16 +43,7 @@ def map_batch_se(
     n_valid: jnp.ndarray,  # scalar int32: non-pad rows
     cfg: MapConfig,
 ) -> tuple[MapOut, Counters]:
-    if getattr(st, "chd_canonical", False):
-        # canonical-class CHD: one dense probe serves both strands (the
-        # scan builds its own [fwd; rc] lanes for the extension phase)
-        from rapmap_tpu.ops.mmp import scan_batch_paired
-
-        hits = scan_batch_paired(didx, st, reads, lens, cfg)
-    else:
-        lanes = jnp.concatenate([reads, denc.revcomp_batch(reads, lens)], axis=0)
-        lens2 = jnp.concatenate([lens, lens])
-        hits = scan_batch(didx, st, lanes, lens2, cfg)
+    hits = scan_dispatch(didx, st, reads, lens, cfg)
     out = collate_batch(didx, st, hits, lens, cfg)
     B = reads.shape[0]
     real = np.arange(B, dtype=np.int32) < n_valid
@@ -148,14 +138,7 @@ def map_batch_se_wire_chunked(
     def body(rows_done, xs):
         r, l = xs
         nv = jnp.clip(n_valid - rows_done, 0, C)
-        if getattr(st, "chd_canonical", False):
-            from rapmap_tpu.ops.mmp import scan_batch_paired
-
-            hits = scan_batch_paired(didx, st, r, l, cfg)
-        else:
-            lanes = jnp.concatenate([r, denc.revcomp_batch(r, l)], axis=0)
-            lens2 = jnp.concatenate([l, l])
-            hits = scan_batch(didx, st, lanes, lens2, cfg)
+        hits = scan_dispatch(didx, st, r, l, cfg)
         se, flags = collate_records_se(didx, st, hits, l, cfg, capc)
         ctr = _se_counters(flags, nv, C)
         from rapmap_tpu.ops.wire import encode_read_flags

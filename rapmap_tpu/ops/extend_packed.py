@@ -149,8 +149,8 @@ def extend_packed(
 ):
     """Drop-in for ops.mmp._extend. Returns (b, e, mlen).
 
-    With `lane` given, anchors may outnumber read rows (anchor-parallel mode,
-    used by the SA-sharded engine): anchor i reads lane[i]'s data at pos[i].
+    With `lane` given, anchors may outnumber read rows (anchor-parallel
+    mode): anchor i reads lane[i]'s data at pos[i].
     """
     W = max(1, -(-(L - k) // 16))
     base = pos + k

@@ -216,6 +216,25 @@ def scan_batch_paired(
     return hits
 
 
+def scan_dispatch(
+    didx: DeviceQuasiIndex,
+    st: EngineStatic,
+    reads: jnp.ndarray,  # (B, L) int8 — FORWARD reads
+    lens: jnp.ndarray,   # (B,) int32
+    cfg: MapConfig,
+) -> ScanHits:
+    """Strand-paired scan of forward reads -> (2B, H) lane hits.
+
+    Picks the canonical-CHD paired scan (one dense probe per k-mer class)
+    when the index carries one, else builds [fwd; rc] lanes explicitly and
+    runs the per-lane scan. Rows [0, B) are forward lanes, [B, 2B) rc."""
+    if getattr(st, "chd_canonical", False):
+        return scan_batch_paired(didx, st, reads, lens, cfg)
+    lanes = jnp.concatenate([reads, denc.revcomp_batch(reads, lens)], axis=0)
+    lens2 = jnp.concatenate([lens, lens])
+    return scan_batch(didx, st, lanes, lens2, cfg)
+
+
 def scan_batch(
     didx: DeviceQuasiIndex,
     st: EngineStatic,

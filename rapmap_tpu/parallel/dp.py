@@ -17,10 +17,9 @@ from jax.sharding import Mesh, PartitionSpec as P
 
 from rapmap_tpu.config import MapConfig
 from rapmap_tpu.models.quasi import Counters
-from rapmap_tpu.ops import encode as denc
 from rapmap_tpu.ops.collate import collate_batch
 from rapmap_tpu.ops.device_index import DeviceQuasiIndex, EngineStatic
-from rapmap_tpu.ops.mmp import scan_batch
+from rapmap_tpu.ops.mmp import scan_dispatch
 from rapmap_tpu.ops.pairs import merge_pairs_batch
 
 
@@ -31,9 +30,7 @@ def make_mesh(n_data: int | None = None, devices=None) -> Mesh:
 
 
 def _se_shard(didx, st, reads, lens, n_valid_local, cfg):
-    lanes = jnp.concatenate([reads, denc.revcomp_batch(reads, lens)], axis=0)
-    lens2 = jnp.concatenate([lens, lens])
-    hits = scan_batch(didx, st, lanes, lens2, cfg)
+    hits = scan_dispatch(didx, st, reads, lens, cfg)
     out = collate_batch(didx, st, hits, lens, cfg)
     B = reads.shape[0]
     real = np.arange(B, dtype=np.int32) < n_valid_local

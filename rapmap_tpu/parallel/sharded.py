@@ -132,8 +132,20 @@ def _local_didx(sh) -> DeviceQuasiIndex:
 
 
 def _sharded_scan(didx, st, reads, lens, cfg):
-    """Anchor-parallel scan: extend every anchor owned by this shard, union
-    across 'idx', then reconstruct the NIP-visited subset (SEMANTICS.md §3)."""
+    """Lockstep NIP walk across the 'idx' axis (SEMANTICS.md §3, exact).
+
+    Dense phase: each shard answers lookups for its own k-mer range; the
+    (R, S) interval maps psum-union across 'idx' into GLOBAL slot coords
+    (every k-mer's interval lives wholly inside one shard — the SA is cut at
+    prefix-bucket boundaries, docs/DESIGN_SA_SHARDING.md).
+
+    Walk phase: the serial anchor walk runs replicated — pos/hits advance
+    identically on every shard — and each step's extension executes only on
+    the anchor's owning shard (whose slots narrowing can never leave), with
+    a 3-vector (R,)-psum unioning the step's (b, e, mlen). Extension work is
+    therefore the NIP-visited anchors only (~2-6/lane), not all S window
+    positions: ~S× less compute than the previous anchor-parallel design for
+    a few tiny latency-bound ICI collectives per walk step."""
     R, L = reads.shape
     k = st.k
     S = L - k + 1
@@ -142,40 +154,27 @@ def _sharded_scan(didx, st, reads, lens, cfg):
     # actually occur: min(configured cap, widest k-mer interval in the index)
     eff_w = min(cfg.max_interval, st.max_interval_idx)
     ext_steps = max(1, math.ceil(math.log2(eff_w + 1)) + 1)
+    base = didx_base_holder[0]
+    n_local = didx_nlocal_holder[0]
 
     key_hi, key_lo, kvalid = denc.kmer_keys_batch(reads, k)
     found, db, de = kmer_lookup(didx, st, key_hi, key_lo)
     in_len = (np.arange(S, dtype=np.int32)[None, :] + k) <= lens[:, None]
-    anchor = found & kvalid & in_len & ((de - db) <= cfg.max_interval)
-
-    # extend ALL owned anchors, anchor-parallel and shard-local
-    next_bad = denc.next_bad_batch(reads, L)
-    preads = pack_reads(reads)
-    lane = np.repeat(np.arange(R, dtype=np.int32), S)
-    pos_flat = np.tile(np.arange(S, dtype=np.int32), R)
-    af = anchor.reshape(-1)
-    b1, e1, mlen = extend_packed(
-        didx, preads, next_bad, lens,
-        db.reshape(-1), de.reshape(-1), af.astype(jnp.int32) * 0 + pos_flat,
-        af, k, ext_steps, L, lane=lane,
+    found = found & kvalid & in_len
+    # union dense maps across 'idx' into global slot coordinates
+    b2 = lax.psum(jnp.where(found, db + base, 0), "idx")
+    e2 = lax.psum(jnp.where(found, de + base, 0), "idx")
+    anch2 = (lax.psum(found.astype(jnp.int32), "idx") > 0) & (
+        (e2 - b2) <= cfg.max_interval
     )
 
-    # union anchors across the idx axis (each non-zero on exactly one shard)
-    base = didx_base_holder[0]
-    mlen_g = lax.psum(jnp.where(af, mlen, 0), "idx")
-    b_g = lax.psum(jnp.where(af, b1 + base, 0), "idx")
-    e_g = lax.psum(jnp.where(af, e1 + base, 0), "idx")
-    anchor_g = lax.psum(af.astype(jnp.int32), "idx") > 0
-    mlen2 = jnp.where(anchor_g, mlen_g, 0).reshape(R, S)
-    b2 = b_g.reshape(R, S)
-    e2 = e_g.reshape(R, S)
-    anch2 = anchor_g.reshape(R, S)
-
-    # NIP walk reconstruction: visit anchors in SEMANTICS order, gather-free
     s_or_big = jnp.where(anch2, np.arange(S, dtype=np.int32)[None, :], np.int32(S))
     next_anchor = jnp.flip(
         lax.associative_scan(jnp.minimum, jnp.flip(s_or_big, axis=1), axis=1), axis=1
     )
+
+    next_bad = denc.next_bad_batch(reads, L)
+    preads = pack_reads(reads)
 
     def at(arr2d, pos, fill):
         v = row_gather(arr2d, jnp.clip(pos, 0, arr2d.shape[1] - 1)[:, None])[:, 0]
@@ -194,9 +193,20 @@ def _sharded_scan(didx, st, reads, lens, cfg):
         pos, hits = state
         act = (pos < S) & ~hits.truncated
         posc = jnp.clip(pos, 0, S - 1)
-        bb = at(b2, posc, np.int32(0))
-        ee = at(e2, posc, np.int32(0))
-        ml = at(mlen2, posc, np.int32(0))
+        b0 = at(b2, posc, np.int32(0))  # global slots
+        e0 = at(e2, posc, np.int32(0))
+        # this shard extends only the anchors whose interval it owns
+        lb = b0 - base
+        mine = act & (lb >= 0) & (lb < n_local)
+        b1l, e1l, mlenl = extend_packed(
+            didx, preads, next_bad, lens,
+            jnp.clip(lb, 0, n_local), jnp.clip(e0 - base, 0, n_local),
+            posc, mine, k, ext_steps, L,
+        )
+        b1 = lax.psum(jnp.where(mine, b1l + base, 0), "idx")
+        e1 = lax.psum(jnp.where(mine, e1l + base, 0), "idx")
+        mlen = lax.psum(jnp.where(mine, mlenl, 0), "idx")
+
         slot = jnp.clip(hits.n, 0, H - 1)
         overflow = act & (hits.n >= H)
         write = act & ~overflow
@@ -206,10 +216,10 @@ def _sharded_scan(didx, st, reads, lens, cfg):
             return buf.at[rows, slot].set(jnp.where(write, val, old))
 
         hits = ScanHits(
-            q=put(hits.q, posc), l=put(hits.l, ml), b=put(hits.b, bb), e=put(hits.e, ee),
+            q=put(hits.q, posc), l=put(hits.l, mlen), b=put(hits.b, b1), e=put(hits.e, e1),
             n=hits.n + write.astype(jnp.int32), truncated=hits.truncated | overflow,
         )
-        nxt = posc + jnp.maximum(1, ml - k + 1)
+        nxt = posc + jnp.maximum(1, mlen - k + 1)
         pos_next = jnp.where(nxt >= S, np.int32(S), at(next_anchor, nxt, np.int32(S)))
         return jnp.where(act, pos_next, pos), hits
 
@@ -217,20 +227,23 @@ def _sharded_scan(didx, st, reads, lens, cfg):
     return hits
 
 
-# thread-local-ish holder for the shard base inside shard_map bodies
+# thread-local-ish holders for the shard base / true slot count inside
+# shard_map bodies (traced scalars; set before _sharded_scan runs)
 didx_base_holder = [None]
+didx_nlocal_holder = [None]
 
 
 def _se_shard2d(sh: ShardedIndexArrays, st, reads, lens, nv, cfg):
     didx = _local_didx(sh)
     base = sh.slot_base[0, 0]
+    n_local = sh.slot_base[0, 1]  # true slot count, not the padded S_pad
     didx_base_holder[0] = base
+    didx_nlocal_holder[0] = n_local
     lanes = jnp.concatenate([reads, denc.revcomp_batch(reads, lens)], axis=0)
     lens2 = jnp.concatenate([lens, lens])
     hits = _sharded_scan(didx, st, lanes, lens2, cfg)
 
     n_pad = didx.sa_meta.shape[0]
-    n_local = sh.slot_base[0, 1]  # true slot count, not the padded S_pad
 
     def expand_fn(p, q):
         local = p - base

@@ -4,8 +4,9 @@ Times the SE hot path's stages in isolation on the real chip, each as a
 lax.scan over NCH fresh 8192-read chunks inside ONE dispatch, so the axon
 tunnel RTT (~0.1 s/call) is amortized and the numbers are device compute:
 
-  lookup : lane build + k-mer keys + CHD table probe (ops.lookup)
-  scan   : lookup + anchor walk w/ packed extension (ops.mmp.scan_batch)
+  lookup : k-mer keys + one canonical-class CHD probe per fwd window
+  scan   : lookup + both strands' anchor walks w/ packed extension
+           (ops.mmp.scan_dispatch -> scan_batch_paired)
   full   : scan + collate + compact (the production chunked wire program)
 
 walk = scan - lookup; collate = full - scan (approx; compact/wire is tiny).
@@ -35,8 +36,8 @@ def main():
     from rapmap_tpu.models.quasi import QuasiMapper, map_batch_se_wire_chunked
     from rapmap_tpu.ops import encode as denc
     from rapmap_tpu.ops.collate import collate_batch
-    from rapmap_tpu.ops.lookup import kmer_lookup
-    from rapmap_tpu.ops.mmp import scan_batch
+    from rapmap_tpu.ops.lookup import kmer_lookup_2str
+    from rapmap_tpu.ops.mmp import scan_dispatch
 
     idx, codes = build_world()
     cfg = MapConfig(k=idx.k, chunk=CHUNK)
@@ -47,23 +48,18 @@ def main():
     lens_np = np.full(C, L, dtype=np.int32)
     k = st.k
 
-    def lanes_of(reads, lens):
-        lanes = jnp.concatenate([reads, denc.revcomp_batch(reads, lens)], axis=0)
-        return lanes, jnp.concatenate([lens, lens])
-
     def stage_lookup(didx, reads, lens):
-        lanes, lens2 = lanes_of(reads, lens)
-        key_hi, key_lo, kvalid = denc.kmer_keys_batch(lanes, k)
-        found, db, de = kmer_lookup(didx, st, key_hi, key_lo)
+        # canonical dense phase: keys on fwd windows, ONE probe per class
+        key_hi, key_lo, kvalid = denc.kmer_keys_batch(reads, k)
+        ff, bf, ef, fr, br, er = kmer_lookup_2str(didx, st, key_hi, key_lo)
         return (
-            jnp.sum(found & kvalid, dtype=jnp.int32)
-            + jnp.sum(db, dtype=jnp.int32)
-            + jnp.sum(de, dtype=jnp.int32)
+            jnp.sum(ff & kvalid, dtype=jnp.int32)
+            + jnp.sum(bf + br, dtype=jnp.int32)
+            + jnp.sum(ef + er, dtype=jnp.int32)
         )
 
     def stage_scan(didx, reads, lens):
-        lanes, lens2 = lanes_of(reads, lens)
-        h = scan_batch(didx, st, lanes, lens2, cfg)
+        h = scan_dispatch(didx, st, reads, lens, cfg)
         return (
             jnp.sum(h.n, dtype=jnp.int32)
             + jnp.sum(h.b, dtype=jnp.int32)
@@ -71,8 +67,7 @@ def main():
         )
 
     def stage_collate(didx, reads, lens):
-        lanes, lens2 = lanes_of(reads, lens)
-        h = scan_batch(didx, st, lanes, lens2, cfg)
+        h = scan_dispatch(didx, st, reads, lens, cfg)
         out = collate_batch(didx, st, h, lens, cfg)
         return (
             jnp.sum(out.t, dtype=jnp.int32)
