@@ -36,6 +36,47 @@ from rapmap_tpu.ops.gather import flat_gather, row_gather_nd
 from rapmap_tpu.ops.mmp import ScanHits
 
 BIG = np.int32(2**31 - 1)
+FULLW = np.uint32(0xFFFFFFFF)
+
+
+def _pack2(fields):
+    """MSB-first [(nonneg int32 val, nbits), ...] -> (hi, lo) uint32 words of
+    the 64-bit concatenation. Static shift tree; total bits must be <= 64.
+
+    Packing the voting sort's 3-4 int32 keys into one 2-word key halves the
+    sort operand count — the collate stage's cost is dominated by its two
+    global lax.sorts, and TPU sort cost scales with operands compared/moved.
+    """
+    hi = None
+    lo = None
+    off = 0
+    for val, nb in reversed(fields):
+        v = val.astype(jnp.uint32)
+        if off < 32:
+            c = v << np.uint32(off) if off else v
+            lo = c if lo is None else lo | c
+            if off + nb > 32:
+                c2 = v >> np.uint32(32 - off)
+                hi = c2 if hi is None else hi | c2
+        else:
+            c2 = v << np.uint32(off - 32)
+            hi = c2 if hi is None else hi | c2
+        off += nb
+    assert off <= 64, "packed sort key exceeds 64 bits"
+    zero = fields[0][0].astype(jnp.uint32) * np.uint32(0)
+    return (zero if hi is None else hi), (zero if lo is None else lo)
+
+
+def _unpack2(hi, lo, off: int, nb: int) -> jnp.ndarray:
+    """Bits [off, off+nb) of the 64-bit (hi, lo) word pair -> int32."""
+    mask = np.uint32((1 << nb) - 1) if nb < 32 else FULLW
+    if off >= 32:
+        v = (hi >> np.uint32(off - 32)) & mask
+    elif off + nb <= 32:
+        v = ((lo >> np.uint32(off)) if off else lo) & mask
+    else:
+        v = ((lo >> np.uint32(off)) | (hi << np.uint32(32 - off))) & mask
+    return v.astype(jnp.int32)
 
 
 class MapOut(NamedTuple):
@@ -144,13 +185,35 @@ def _collate_core(
     else:
         t, tpos = expand_fn(p, hq_slot)
 
-    key1 = jnp.where(slot_valid, read, BIG)
-    key2 = jnp.where(slot_valid, t * 2 + strand, BIG)  # needs n_txps < 2^30
+    # sort-key packing: (read, t*2+strand, [negsup,] tpos) fit one 2-word
+    # uint32 key pair whenever the index's static stats bound the fields
+    ts_val = t * 2 + strand
+    packed = False
+    if st is not None and getattr(st, "n_txps", 0) > 0:
+        rb = (B + 1).bit_length()
+        tb = (2 * st.n_txps + 1).bit_length()
+        sb = (2 * H + 1).bit_length()
+        bias = st.pad_tail  # tpos >= -(L-1) > -pad_tail (mmp asserts L < pad_tail)
+        pb = max(1, (st.max_tpos + bias + 1).bit_length())
+        packed = (rb + tb + sb + pb) <= 62 and expand_fn is None
 
     # ---- vote: sort by (read, t*2+strand, tpos), count equal runs -----------
-    k1, k2, p1 = lax.sort([key1, key2, tpos], dimension=0, num_keys=3)
-    prev_same = (k1[1:] == k1[:-1]) & (k2[1:] == k2[:-1]) & (p1[1:] == p1[:-1])
-    valid1 = k1 != BIG
+    if packed:
+        hi0, lo0 = _pack2([(read, rb), (ts_val, tb), (tpos + np.int32(bias), pb)])
+        hi0 = jnp.where(slot_valid, hi0, FULLW)
+        lo0 = jnp.where(slot_valid, lo0, FULLW)
+        khi, klo = lax.sort([hi0, lo0], dimension=0, num_keys=2)
+        valid1 = khi != FULLW  # valid keys keep hi's top bits clear
+        k1 = jnp.where(valid1, _unpack2(khi, klo, tb + pb, rb), BIG)
+        k2 = jnp.where(valid1, _unpack2(khi, klo, pb, tb), BIG)
+        p1 = _unpack2(khi, klo, 0, pb) - np.int32(bias)
+        prev_same = (khi[1:] == khi[:-1]) & (klo[1:] == klo[:-1])
+    else:
+        key1 = jnp.where(slot_valid, read, BIG)
+        key2 = jnp.where(slot_valid, ts_val, BIG)  # needs n_txps < 2^30
+        k1, k2, p1 = lax.sort([key1, key2, tpos], dimension=0, num_keys=3)
+        prev_same = (k1[1:] == k1[:-1]) & (k2[1:] == k2[:-1]) & (p1[1:] == p1[:-1])
+        valid1 = k1 != BIG
     run_start = valid1 & jnp.concatenate([np.ones(1, bool), ~prev_same])
     run_id = jnp.cumsum(run_start.astype(jnp.int32)) - 1
     seg = jax.ops.segment_sum(
@@ -159,11 +222,25 @@ def _collate_core(
     support = jnp.where(run_start, flat_gather(seg, jnp.clip(run_id, 0, CAPG - 1)), 0)
 
     # ---- per-(read,t,strand) best position: sort runs by (r, ts, -sup, tpos)
-    k1r = jnp.where(run_start, k1, BIG)
-    k2r = jnp.where(run_start, k2, BIG)
-    k1s, k2s, negsup, p2, sup2 = lax.sort(
-        [k1r, k2r, -support, p1, support], dimension=0, num_keys=4
-    )
+    if packed:
+        smax = np.int32((1 << sb) - 1)
+        hi1, lo1 = _pack2(
+            [(k1, rb), (k2, tb), (smax - support, sb), (p1 + np.int32(bias), pb)]
+        )  # support <= H < 2^sb, so smax - support sorts descending-support
+        hi1 = jnp.where(run_start, hi1, FULLW)
+        lo1 = jnp.where(run_start, lo1, FULLW)
+        shi, slo = lax.sort([hi1, lo1], dimension=0, num_keys=2)
+        vmask2 = shi != FULLW
+        k1s = jnp.where(vmask2, _unpack2(shi, slo, tb + sb + pb, rb), BIG)
+        k2s = jnp.where(vmask2, _unpack2(shi, slo, sb + pb, tb), BIG)
+        sup2 = smax - _unpack2(shi, slo, pb, sb)
+        p2 = _unpack2(shi, slo, 0, pb) - np.int32(bias)
+    else:
+        k1r = jnp.where(run_start, k1, BIG)
+        k2r = jnp.where(run_start, k2, BIG)
+        k1s, k2s, negsup, p2, sup2 = lax.sort(
+            [k1r, k2r, -support, p1, support], dimension=0, num_keys=4
+        )
     s2 = (k2s & 1).astype(jnp.int32)
     grp_start = (k1s != BIG) & jnp.concatenate(
         [np.ones(1, bool), (k1s[1:] != k1s[:-1]) | (k2s[1:] != k2s[:-1])]

@@ -62,6 +62,9 @@ class EngineStatic:
     lookup_steps: int   # binary-search trips covering the largest LUT bucket
     pad_tail: int       # trailing text zero-pad (bounds max read length)
     max_interval_idx: int = 1 << 30  # widest k-mer interval in the table
+    # collate sort-key packing stats (0 = unknown -> unpacked multi-key sorts)
+    n_txps: int = 0
+    max_tpos: int = 0   # longest transcript (bounds any mapping position)
     # CHD perfect-hash probe (2 gathers) when the index carries one
     use_chd: bool = False
     chd_seed: int = 0
@@ -80,9 +83,12 @@ class EngineStatic:
         chd = idx.meta.get("chd") if getattr(idx, "chd_dir", None) is not None else None
         if use_chd is None:
             use_chd = chd is not None
+        tl = np.asarray(idx.txp_lens)
         return EngineStatic(
             k=idx.k, prefix_bases=idx.prefix_bases, lookup_steps=steps,
             pad_tail=pad_tail, max_interval_idx=max_w,
+            n_txps=int(idx.n_txps),
+            max_tpos=int(tl.max()) if len(tl) else 0,
             use_chd=bool(use_chd and chd is not None),
             chd_seed=int(chd["seed"]) if chd else 0,
             chd_m_bits=int(chd["m_bits"]) if chd else 0,

@@ -122,10 +122,20 @@ def suffix_cmp(
 
 def _bound_stacked(didx, qwords, qlen, b, e, upper, W: int, steps: int):
     """Batched binary search; `upper` is a per-lane bool vector (False: first
-    S_p >= Q; True: first S_p > Q). Works for any lane count (used stacked)."""
+    S_p >= Q; True: first S_p > Q). Works for any lane count (used stacked).
+
+    Runs as a while_loop that exits once EVERY lane has converged (lo == hi):
+    trip count tracks the widest interval realized in this batch, not the
+    static worst case `steps` (which only bounds it) — on indexes where most
+    k-mers are near-unique the loop ends after 1-2 trips instead of
+    log2(max_interval)."""
     n_sa = didx.sa_ext.shape[0]
 
-    def step(_, iv):
+    def cond(iv):
+        lo, hi = iv
+        return jnp.any(lo < hi)
+
+    def step(iv):
         lo, hi = iv
         mid = (lo + hi) >> 1
         cmp, _ = suffix_cmp(didx, qwords, qlen, jnp.clip(mid, 0, n_sa - 1), W)
@@ -135,7 +145,7 @@ def _bound_stacked(didx, qwords, qlen, b, e, upper, W: int, steps: int):
         hi2 = jnp.where(less, hi, mid)
         return (jnp.where(cont, lo2, lo), jnp.where(cont, hi2, hi))
 
-    lo_f, _ = lax.fori_loop(0, steps, step, (b, e))
+    lo_f, _ = lax.while_loop(cond, step, (b, e))
     return lo_f
 
 
@@ -173,12 +183,16 @@ def extend_packed(
 
     n_sa = didx.sa_ext.shape[0]
     no_up = qlen < 0  # all-False
-    lb = _bound_stacked(didx, qwords, qlen, b0, e0, no_up, W, ext_steps)
+    # inactive lanes get empty search ranges so they never hold the
+    # early-exit while_loops open
+    b0a = jnp.where(active, b0, 0)
+    e0a = jnp.where(active, e0, 0)
+    lb = _bound_stacked(didx, qwords, qlen, b0a, e0a, no_up, W, ext_steps)
 
     # neighbour lcp probes, one stacked call
     R = lb.shape[0]
     p2 = jnp.concatenate([lb - 1, lb])
-    valid2 = jnp.concatenate([lb - 1 >= b0, lb < e0])
+    valid2 = jnp.concatenate([lb - 1 >= b0a, lb < e0a])
     q2 = [jnp.concatenate([q, q]) for q in qwords]
     qlen2 = jnp.concatenate([qlen, qlen])
     _, l2 = suffix_cmp(didx, q2, qlen2, jnp.clip(p2, 0, n_sa - 1), W)
@@ -186,10 +200,15 @@ def extend_packed(
     ext = jnp.minimum(jnp.maximum(l2[:R], l2[R:]), qlen)
     mlen = k + ext
 
-    # equal_range of Q truncated to ext chars: both bounds in one stacked call
+    # equal_range of Q truncated to ext chars, both bounds in one stacked call
+    # over NARROWED spans: lower_bound(Q[:ext]) <= lb (prefix sorts <= full Q)
+    # so it lies in [b0, lb]; upper_bound(Q[:ext]) >= lb (suffixes below lb are
+    # < Q and any sharing Q[:ext] still sort before its run's end) so it lies
+    # in [lb, e0). Halves the searched width and lets the early-exit loop
+    # close as soon as this batch's widest remaining span converges.
     ext2 = jnp.concatenate([ext, ext])
-    b_st = jnp.concatenate([b0, b0])
-    e_st = jnp.concatenate([e0, e0])
+    b_st = jnp.concatenate([b0a, lb])
+    e_st = jnp.concatenate([lb, e0a])
     upper = jnp.concatenate([ext < 0, ext >= 0])  # [False..., True...]
     bounds = _bound_stacked(didx, q2, ext2, b_st, e_st, upper, W, ext_steps)
     lb2, ub2 = bounds[:R], bounds[R:]
