@@ -51,6 +51,11 @@ class DeviceQuasiIndex(NamedTuple):
     # (gather cost is per-index; width <= 32 B measured free on this chip)
     chd_dir: jnp.ndarray | None = None   # int32 (2^m_bits,)
     chd_rows: jnp.ndarray | None = None  # int32 (2^t_bits, 4 or 6)
+    # fused extension rows [wi, sub, tleft, w0..w_{F-1}]: the first 16F text
+    # chars of suffix SA[i]+k PRE-SHIFTED into the row, so one 24 B gather
+    # answers a whole suffix compare (reads up to k+16F bases); (wi, sub)
+    # continue into text2q for longer reads. None = 2-gather legacy path.
+    sa_cmp: jnp.ndarray | None = None    # int32 (n, 3 + SA_CMP_WORDS)
 
 
 @dataclass(frozen=True)
@@ -110,6 +115,33 @@ def sa_ext_cols(sa, tend, k: int) -> np.ndarray:
     )
 
 
+SA_CMP_WORDS = 3  # fused text words per sa_cmp row (reads to k + 48 bases)
+
+
+def sa_cmp_rows(sa, tend, k: int, t2b: np.ndarray) -> np.ndarray:
+    """(n, 3 + SA_CMP_WORDS) int32 [wi, sub, tleft, w0..]: sa_ext_cols plus
+    the suffix's first SA_CMP_WORDS 16-char packed text windows pre-shifted
+    to start exactly at SA[i]+k — suffix_cmp then needs ONE row gather
+    instead of (sa_ext row + text2q quad); int64-safe."""
+    base = sa_ext_cols(sa, tend, k)
+    gpk = np.asarray(sa, dtype=np.int64) + k
+    wi = gpk >> 4
+    sub = (gpk & 15).astype(np.uint32)
+    t2p = np.concatenate(
+        [np.asarray(t2b, dtype=np.uint32), np.zeros(SA_CMP_WORDS + 2, np.uint32)]
+    )
+    sh = sub << 1
+    sh2 = (np.uint32(32) - sh) % np.uint32(32)
+    cols = [base[:, 0], base[:, 1], base[:, 2]]
+    top = len(t2p) - 1
+    for j in range(SA_CMP_WORDS):
+        w0 = t2p[np.clip(wi + j, 0, top)]
+        w1 = t2p[np.clip(wi + j + 1, 0, top)]
+        w = np.where(sub == 0, w0, (w0 << sh) | (w1 >> sh2))
+        cols.append(w.view(np.int32))
+    return np.stack(cols, axis=1)
+
+
 def upload_index(idx: QuasiIndex) -> tuple[DeviceQuasiIndex, EngineStatic]:
     big_sa = np.asarray(idx.sa).dtype == np.int64
     sa_txp = np.asarray(idx.sa_txp, dtype=np.int32)
@@ -134,6 +166,7 @@ def upload_index(idx: QuasiIndex) -> tuple[DeviceQuasiIndex, EngineStatic]:
     nw = len(t2b)
     t2p = np.concatenate([t2b, np.zeros(4, np.uint32)])
     text2q = np.stack([t2p[i : i + nw] for i in range(4)], axis=1)
+    sa_cmp = sa_cmp_rows(idx.sa, tend, idx.k, t2b)
     st = EngineStatic.for_index(idx)
     chd_dir = chd_rows = None
     if st.use_chd:
@@ -199,5 +232,6 @@ def upload_index(idx: QuasiIndex) -> tuple[DeviceQuasiIndex, EngineStatic]:
         sa=None if big_sa else jnp.asarray(np.asarray(idx.sa, dtype=np.int32)),
         chd_dir=chd_dir,
         chd_rows=chd_rows,
+        sa_cmp=jnp.asarray(sa_cmp),
     )
     return dev, st

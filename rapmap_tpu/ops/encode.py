@@ -44,6 +44,38 @@ def kmer_keys_batch(reads: jnp.ndarray, k: int) -> tuple[jnp.ndarray, jnp.ndarra
     return hi, lo, valid
 
 
+def kmer_keys_from_packed(
+    preads: jnp.ndarray,    # (R, L) uint32 packed words (extend_packed.pack_reads)
+    next_bad: jnp.ndarray,  # (R, L) int32 (next_bad_batch)
+    k: int,
+    S: int,
+) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """kmer_keys_batch equivalent derived from the packed-word arrays the
+    extension phase already computes: two shifts per window instead of a
+    k-iteration shift loop (the dense phase's dominant ALU cost).
+
+    word[p] holds bases p..p+15 big-endian, so the 2k-bit key at p is the
+    64-bit pair (word[p], word[p+16]) >> (64-2k). Non-ACGT bases contribute
+    arbitrary bits; validity comes from next_bad exactly as the charwise
+    builder's window-purity test (tested equal in test_encode)."""
+    w0 = preads[:, :S]
+    s = 64 - 2 * k
+    if s == 0:
+        hi, lo = w0, preads[:, 16 : 16 + S]
+    elif s < 32:
+        w1 = preads[:, 16 : 16 + S]
+        hi = w0 >> np.uint32(s)
+        lo = (w0 << np.uint32(32 - s)) | (w1 >> np.uint32(s))
+    elif s == 32:
+        hi, lo = jnp.zeros_like(w0), w0
+    else:
+        hi = jnp.zeros_like(w0)
+        lo = w0 >> np.uint32(s - 32)
+    pos = np.arange(S, dtype=np.int32)[None, :]
+    valid = next_bad[:, :S] >= pos + np.int32(k)
+    return hi, lo, valid
+
+
 def next_bad_batch(reads: jnp.ndarray, L_sentinel: int) -> jnp.ndarray:
     """next_bad[r, p] = smallest q >= p with code outside 1..4, else L_sentinel."""
     R, L = reads.shape

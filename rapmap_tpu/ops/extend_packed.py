@@ -88,9 +88,24 @@ def suffix_cmp(
     """
     from rapmap_tpu.ops.gather import row_gather_nd
 
-    row = row_gather_nd(didx.sa_ext, slot)  # [(SA+k) >> 4, (SA+k) & 15, tleft]
-    tleft = row[..., 2]  # chars before this suffix's transcript-terminating '$'
-    twords = _text_words(didx, row[..., 0], row[..., 1], W)
+    if didx.sa_cmp is not None:
+        # fused row [wi, sub, tleft, w0..w_{F-1}]: the first F suffix words
+        # are pre-shifted into the row at upload, so a whole compare of up
+        # to 16F chars is ONE 24 B gather; longer reads continue into
+        # text2q starting F words past (wi, sub).
+        row = row_gather_nd(didx.sa_cmp, slot)
+        tleft = row[..., 2]
+        F = didx.sa_cmp.shape[1] - 3
+        twords = [
+            lax.bitcast_convert_type(row[..., 3 + j], jnp.uint32)
+            for j in range(min(W, F))
+        ]
+        if W > F:
+            twords += _text_words(didx, row[..., 0] + F, row[..., 1], W - F)
+    else:
+        row = row_gather_nd(didx.sa_ext, slot)  # [(SA+k)>>4, (SA+k)&15, tleft]
+        tleft = row[..., 2]  # chars before the transcript-terminating '$'
+        twords = _text_words(didx, row[..., 0], row[..., 1], W)
     cmp = qlen * 0
     lcp = qlen * 0
     decided = qlen < 0

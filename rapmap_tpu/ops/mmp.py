@@ -131,8 +131,20 @@ def scan_batch_paired(
     lens2 = jnp.concatenate([lens, lens])
     R = 2 * B
 
+    if cfg.packed_extension:
+        from rapmap_tpu.ops.extend_packed import extend_packed, pack_reads
+
+        next_bad = denc.next_bad_batch(lanes, L)
+        preads = pack_reads(lanes)
+
     # ---- dense phase: ONE canonical probe per forward window ---------------
-    key_hi, key_lo, kvalid = denc.kmer_keys_batch(reads, k)  # (B, S)
+    if cfg.packed_extension:
+        # keys fall out of the packed words already built for extension
+        key_hi, key_lo, kvalid = denc.kmer_keys_from_packed(
+            preads[:B], next_bad[:B], k, S
+        )
+    else:
+        key_hi, key_lo, kvalid = denc.kmer_keys_batch(reads, k)  # (B, S)
     ff, bf, ef, fr, br, er = kmer_lookup_2str(didx, st, key_hi, key_lo)
     in_len = (np.arange(S, dtype=np.int32)[None, :] + k) <= lens[:, None]
     ok = kvalid & in_len
@@ -150,12 +162,6 @@ def scan_batch_paired(
     de2 = jnp.concatenate([ef, er], axis=0)
     anc2 = jnp.concatenate([next_f, prev_rF], axis=0)
     is_rc = np.arange(R, dtype=np.int32) >= B
-
-    if cfg.packed_extension:
-        from rapmap_tpu.ops.extend_packed import extend_packed, pack_reads
-
-        next_bad = denc.next_bad_batch(lanes, L)
-        preads = pack_reads(lanes)
 
     rows = np.arange(R, dtype=np.int32)
 
@@ -253,8 +259,17 @@ def scan_batch(
     eff_w = min(cfg.max_interval, st.max_interval_idx)
     ext_steps = max(1, math.ceil(math.log2(eff_w + 1)) + 1)
 
+    if cfg.packed_extension:
+        from rapmap_tpu.ops.extend_packed import extend_packed, pack_reads
+
+        next_bad = denc.next_bad_batch(reads, L)
+        preads = pack_reads(reads)
+
     # ---- phase 1: dense lookup over all window positions --------------------
-    key_hi, key_lo, kvalid = denc.kmer_keys_batch(reads, k)  # (R, S)
+    if cfg.packed_extension:
+        key_hi, key_lo, kvalid = denc.kmer_keys_from_packed(preads, next_bad, k, S)
+    else:
+        key_hi, key_lo, kvalid = denc.kmer_keys_batch(reads, k)  # (R, S)
     found, db, de = kmer_lookup(didx, st, key_hi, key_lo)
     in_len = (np.arange(S, dtype=np.int32)[None, :] + k) <= lens[:, None]
     found = found & kvalid & in_len
@@ -264,12 +279,6 @@ def scan_batch(
     next_anchor = jnp.flip(
         lax.associative_scan(jnp.minimum, jnp.flip(s_or_big, axis=1), axis=1), axis=1
     )
-
-    if cfg.packed_extension:
-        from rapmap_tpu.ops.extend_packed import extend_packed, pack_reads
-
-        next_bad = denc.next_bad_batch(reads, L)
-        preads = pack_reads(reads)
 
     def at(arr2d, pos, fill):
         v = row_gather(arr2d, jnp.clip(pos, 0, arr2d.shape[1] - 1)[:, None])[:, 0]

@@ -23,7 +23,7 @@ import numpy as np  # noqa: E402
 
 from bench import CHUNK, READ_LEN, build_world  # noqa: E402
 
-NCH = 8
+NCH = 16
 REPS = 3
 
 
@@ -90,13 +90,22 @@ def main():
         return lambda x: jfn(didx, x)
 
     def timeit(name, jfn, feed):
+        # pre-upload every rep's input and BLOCK before timing: a jnp.asarray
+        # inside the timed region hides a host->device transfer through the
+        # ~70 MB/s tunnel (5 MB batch ~ 70 ms — bigger than some stages).
+        # Each dispatch also carries a ~30 ms wall floor (tunnel RTT), so
+        # numbers approximate device compute + 30/B ms/read of overhead.
+        xs = []
+        for rep in range(REPS + 1):
+            x = feed(rep)
+            x.block_until_ready()
+            xs.append(x)
         t0 = time.time()
-        r0 = np.asarray(jfn(feed(0)))
+        r0 = np.asarray(jfn(xs[0]))
         print(f"# {name}: compile+first {time.time()-t0:.1f}s chk={int(r0)}",
               file=sys.stderr, flush=True)
         best = []
-        for rep in range(1, REPS + 1):
-            x = feed(rep)
+        for x in xs[1:]:
             t0 = time.time()
             np.asarray(jfn(x))
             best.append(time.time() - t0)

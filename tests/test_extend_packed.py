@@ -54,3 +54,61 @@ def test_packed_long_reads_cross_word_boundaries(tmp_path):
             for j in range(out.t.shape[1]) if out.t[i, j] != -1
         ]
         assert got == want, name
+
+
+def test_fused_sa_cmp_equals_legacy_two_gather(tmp_path):
+    """suffix_cmp via the fused sa_cmp row == the (sa_ext + text2q) path,
+    including reads long enough to spill past the row's SA_CMP_WORDS."""
+    import jax
+
+    from rapmap_tpu.ops.device_index import upload_index
+    from rapmap_tpu.ops import encode as denc
+    from rapmap_tpu.ops.extend_packed import extend_packed, pack_reads
+
+    rng = np.random.default_rng(79)
+    idx, txps = toy_index(tmp_path, rng, n_txps=6, min_len=200, max_len=420, k=11)
+    reads = sample_reads(rng, txps, 32, read_len=90, error_rate=0.02, n_frac=0.01)
+    L = 90
+    codes, lens = batch_of([r[1] for r in reads], L)
+    didx, st = upload_index(idx)
+    assert didx.sa_cmp is not None
+    import jax.numpy as jnp
+
+    rj = jnp.asarray(codes)
+    preads = pack_reads(rj)
+    nb = denc.next_bad_batch(rj, L)
+    n_sa = didx.sa_ext.shape[0]
+    R = len(reads)
+    pos = jnp.asarray(rng.integers(0, L - idx.k, R).astype(np.int32))
+    b0 = jnp.zeros(R, np.int32)
+    e0 = jnp.full(R, n_sa, np.int32)
+    act = jnp.asarray(rng.random(R) < 0.9)
+    args = (preads, nb, jnp.asarray(lens), b0, e0, pos, act, idx.k, 24, L)
+    out_f = jax.tree.map(np.asarray, extend_packed(didx, *args))
+    out_l = jax.tree.map(np.asarray, extend_packed(didx._replace(sa_cmp=None), *args))
+    for a, b, name in zip(out_f, out_l, ("b", "e", "mlen")):
+        assert np.array_equal(a, b), name
+
+
+@pytest.mark.parametrize("k", [5, 11, 16, 17, 31, 32])
+def test_keys_from_packed_equal_charwise(k):
+    """kmer_keys_from_packed (rolling-word fast path) == kmer_keys_batch."""
+    import jax.numpy as jnp
+
+    from rapmap_tpu.ops import encode as denc
+    from rapmap_tpu.ops.extend_packed import pack_reads
+
+    rng = np.random.default_rng(k)
+    R, L = 16, max(2 * k + 3, 48)
+    codes = rng.integers(1, 5, (R, L)).astype(np.int8)
+    codes[rng.random((R, L)) < 0.05] = 5  # sprinkle Ns
+    S = L - k + 1
+    reads = jnp.asarray(codes)
+    hi0, lo0, v0 = denc.kmer_keys_batch(reads, k)
+    preads = pack_reads(reads)
+    nb = denc.next_bad_batch(reads, L)
+    hi1, lo1, v1 = denc.kmer_keys_from_packed(preads, nb, k, S)
+    assert np.array_equal(np.asarray(v0), np.asarray(v1))
+    m = np.asarray(v0)
+    assert np.array_equal(np.asarray(hi0)[m], np.asarray(hi1)[m])
+    assert np.array_equal(np.asarray(lo0)[m], np.asarray(lo1)[m])
