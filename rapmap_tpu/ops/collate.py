@@ -221,30 +221,37 @@ def _collate_core(
     )
     support = jnp.where(run_start, flat_gather(seg, jnp.clip(run_id, 0, CAPG - 1)), 0)
 
-    # ---- per-(read,t,strand) best position: sort runs by (r, ts, -sup, tpos)
-    if packed:
-        smax = np.int32((1 << sb) - 1)
-        hi1, lo1 = _pack2(
-            [(k1, rb), (k2, tb), (smax - support, sb), (p1 + np.int32(bias), pb)]
-        )  # support <= H < 2^sb, so smax - support sorts descending-support
-        hi1 = jnp.where(run_start, hi1, FULLW)
-        lo1 = jnp.where(run_start, lo1, FULLW)
-        shi, slo = lax.sort([hi1, lo1], dimension=0, num_keys=2)
-        vmask2 = shi != FULLW
-        k1s = jnp.where(vmask2, _unpack2(shi, slo, tb + sb + pb, rb), BIG)
-        k2s = jnp.where(vmask2, _unpack2(shi, slo, sb + pb, tb), BIG)
-        sup2 = smax - _unpack2(shi, slo, pb, sb)
-        p2 = _unpack2(shi, slo, 0, pb) - np.int32(bias)
+    # ---- per-(read,t,strand) best position -----------------------------------
+    if packed and (sb + pb) <= 31:
+        # runs already sit in (read, ts, tpos) order after sort 1, so the
+        # per-group best (max support, ties -> smallest tpos) is a segment
+        # ARGMAX over consecutive (read, ts) groups — no second global sort.
+        # val packs (support, pmax - tpos) into one positive int32; tpos is
+        # unique within a group's runs, so the group max is unique.
+        k1s, k2s, p2, sup2 = k1, k2, p1, support
+        new_grp = run_start & jnp.concatenate(
+            [np.ones(1, bool), (k1[1:] != k1[:-1]) | (k2[1:] != k2[:-1])]
+        )
+        gid = jnp.cumsum(new_grp.astype(jnp.int32)) - 1
+        pmax = np.int32((1 << pb) - 1)
+        val = jnp.where(
+            run_start,
+            (support << np.int32(pb)) | (pmax - (p1 + np.int32(bias))),
+            0,
+        )
+        gidc = jnp.clip(gid, 0, CAPG - 1)
+        gmax = jax.ops.segment_max(val, gidc, num_segments=CAPG)
+        grp_start = run_start & (val == flat_gather(gmax, gidc))
     else:
         k1r = jnp.where(run_start, k1, BIG)
         k2r = jnp.where(run_start, k2, BIG)
         k1s, k2s, negsup, p2, sup2 = lax.sort(
             [k1r, k2r, -support, p1, support], dimension=0, num_keys=4
         )
+        grp_start = (k1s != BIG) & jnp.concatenate(
+            [np.ones(1, bool), (k1s[1:] != k1s[:-1]) | (k2s[1:] != k2s[:-1])]
+        )
     s2 = (k2s & 1).astype(jnp.int32)
-    grp_start = (k1s != BIG) & jnp.concatenate(
-        [np.ones(1, bool), (k1s[1:] != k1s[:-1]) | (k2s[1:] != k2s[:-1])]
-    )
     rclip = jnp.clip(k1s, 0, B - 1)
     # consistency filter (SEMANTICS.md §4)
     if cfg.consistent_hits:
