@@ -23,6 +23,17 @@ def revcomp_batch(reads: jnp.ndarray, lens: jnp.ndarray) -> jnp.ndarray:
     return jnp.where(src >= 0, comp, np.int8(NCODE))
 
 
+def comp_flip_batch(reads: jnp.ndarray) -> jnp.ndarray:
+    """(R, L) int8 -> RIGHT-ALIGNED reverse complement: jnp.flip of the
+    complemented full row (a static permutation — no per-row gather, unlike
+    revcomp_batch). A row of length `len` occupies columns [L-len, L); rc
+    position p lives at column p + (L - len). Pad/N codes flip to NCODE."""
+    comp = jnp.where(
+        (reads >= 1) & (reads <= 4), np.int8(5) - reads, np.int8(NCODE)
+    ).astype(jnp.int8)
+    return jnp.flip(comp, axis=1)
+
+
 def kmer_keys_batch(reads: jnp.ndarray, k: int) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """(R, L) -> (hi, lo, valid) each (R, S) with S = L - k + 1.
 

@@ -171,22 +171,27 @@ def extend_packed(
     lens: jnp.ndarray,      # (R,)
     b0, e0, pos, active, k: int, ext_steps: int, L: int,
     lane=None,              # per-anchor read-row indices; default: one per row
+    col_off=None,           # (R,) per-LANE column offset for right-aligned
+    #                         rows (ops.encode.comp_flip_batch rc lanes)
 ):
     """Drop-in for ops.mmp._extend. Returns (b, e, mlen).
 
     With `lane` given, anchors may outnumber read rows (anchor-parallel
-    mode): anchor i reads lane[i]'s data at pos[i].
+    mode): anchor i reads lane[i]'s data at pos[i]. With `col_off`, lane r's
+    data starts at column col_off[r] (position p -> column p + col_off[r])
+    and ends at column col_off[r] + lens[r].
     """
     W = max(1, -(-(L - k) // 16))
-    base = pos + k
-    base_c = jnp.clip(base, 0, L - 1)
     if lane is None:
         lane = np.arange(pos.shape[0], dtype=np.int32)
+    off = flat_gather(col_off, lane) if col_off is not None else np.int32(0)
+    base = pos + k + off
+    base_c = jnp.clip(base, 0, L - 1)
     pre_f = preads.reshape(-1)
     nb_f = next_bad.reshape(-1)
     # valid query chars beyond depth k: up to the next N and the read end
     nb = jnp.where(base < L, flat_gather(nb_f, lane * L + base_c), base)
-    qlen = jnp.clip(jnp.minimum(nb, flat_gather(lens, lane)) - base, 0, L - k)
+    qlen = jnp.clip(jnp.minimum(nb, flat_gather(lens, lane) + off) - base, 0, L - k)
     qwords = [
         jnp.where(
             base + 16 * j < L,

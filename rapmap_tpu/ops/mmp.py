@@ -33,7 +33,7 @@ from jax import lax
 from rapmap_tpu.config import MapConfig
 from rapmap_tpu.ops import encode as denc
 from rapmap_tpu.ops.device_index import DeviceQuasiIndex, EngineStatic
-from rapmap_tpu.ops.gather import row_gather
+from rapmap_tpu.ops.gather import flat_gather, row_gather
 from rapmap_tpu.ops.lookup import kmer_lookup
 
 
@@ -127,15 +127,22 @@ def scan_batch_paired(
     eff_w = min(cfg.max_interval, st.max_interval_idx)
     ext_steps = max(1, math.ceil(math.log2(eff_w + 1)) + 1)
 
-    lanes = jnp.concatenate([reads, denc.revcomp_batch(reads, lens)], axis=0)
     lens2 = jnp.concatenate([lens, lens])
     R = 2 * B
 
     if cfg.packed_extension:
         from rapmap_tpu.ops.extend_packed import extend_packed, pack_reads
 
+        # rc lanes RIGHT-ALIGNED by a static flip (comp_flip_batch) — no
+        # per-row take_along_axis gather (measured ~0.5 us/read); rc data
+        # position p lives at column p + (L - len), threaded into the
+        # extension as col_off. Dense keys only ever read the fwd rows.
+        lanes = jnp.concatenate([reads, denc.comp_flip_batch(reads)], axis=0)
+        col_off2 = jnp.concatenate([lens * 0, np.int32(L) - lens])
         next_bad = denc.next_bad_batch(lanes, L)
         preads = pack_reads(lanes)
+    else:
+        lanes = jnp.concatenate([reads, denc.revcomp_batch(reads, lens)], axis=0)
 
     # ---- dense phase: ONE canonical probe per forward window ---------------
     if cfg.packed_extension:
@@ -163,63 +170,116 @@ def scan_batch_paired(
     anc2 = jnp.concatenate([next_f, prev_rF], axis=0)
     is_rc = np.arange(R, dtype=np.int32) >= B
 
-    rows = np.arange(R, dtype=np.int32)
-
     def at2(arr2d, col):
         return row_gather(arr2d, jnp.clip(col, 0, S - 1)[:, None])[:, 0]
 
     def next_anchor_pos(nxt):
-        """Smallest lane-local anchor position >= nxt, else S."""
+        """Smallest lane-local anchor position >= nxt, else S (full width)."""
         col = jnp.where(is_rc, lens2 - k - nxt, nxt)
         v = at2(anc2, col)
         fwd_next = jnp.where(nxt < S, v, np.int32(S))
         rc_next = jnp.where((col >= 0) & (v >= 0), lens2 - k - v, np.int32(S))
         return jnp.where(is_rc, rc_next, fwd_next)
 
-    zR_H = np.zeros((R, H), np.int32)
-    hits0 = ScanHits(q=zR_H, l=zR_H, b=zR_H, e=zR_H, n=lens2 * 0, truncated=lens2 < 0)
-    pos0 = next_anchor_pos(lens2 * 0)
+    pos_init = next_anchor_pos(lens2 * 0)
+    db2f = db2.reshape(-1)
+    de2f = de2.reshape(-1)
+    anc2f = anc2.reshape(-1)
+    zscal = lens2[0] * 0
 
-    def cond(state):
-        pos, hits = state
-        return jnp.any((pos < S) & ~hits.truncated)
+    def walk(lane):
+        """Anchor walk over the given lane id set (width may be < R).
 
-    def body(state):
-        pos, hits = state
-        act = (pos < S) & ~hits.truncated
-        posc = jnp.clip(pos, 0, S - 1)
-        col = jnp.where(is_rc, lens2 - k - posc, posc)
-        b0 = at2(db2, col)
-        e0 = at2(de2, col)
-        if cfg.packed_extension:
-            b1, e1, mlen = extend_packed(
-                didx, preads, next_bad, lens2, b0, e0, posc, act, k, ext_steps, L
+        Per-lane results are bit-identical to the full-width lockstep walk:
+        positions visited and hit order depend only on the lane's own data.
+        Hit fields ride one fused (R, H, 4) buffer -> ONE scatter per trip.
+        Returns (n, truncated, hitbuf) merged back to full (R,) shape.
+        """
+        lane_is_rc = lane >= np.int32(B)
+        lens_l = flat_gather(lens2, lane)
+        pos_l = flat_gather(pos_init, lane)
+        n0 = jnp.broadcast_to(zscal, lane.shape)
+        buf0 = jnp.broadcast_to(zscal, (R + 1, H, 4))
+
+        def nap(nxt):
+            col = jnp.where(lane_is_rc, lens_l - k - nxt, nxt)
+            v = flat_gather(anc2f, lane * np.int32(S) + jnp.clip(col, 0, S - 1))
+            fwd_next = jnp.where(nxt < S, v, np.int32(S))
+            rc_next = jnp.where((col >= 0) & (v >= 0), lens_l - k - v, np.int32(S))
+            return jnp.where(lane_is_rc, rc_next, fwd_next)
+
+        def cond(state):
+            pos, n, trunc, buf = state
+            return jnp.any((pos < S) & ~trunc)
+
+        def body(state):
+            pos, n, trunc, buf = state
+            act = (pos < S) & ~trunc
+            posc = jnp.clip(pos, 0, S - 1)
+            col = jnp.where(lane_is_rc, lens_l - k - posc, posc)
+            fi = lane * np.int32(S) + jnp.clip(col, 0, S - 1)
+            b0 = flat_gather(db2f, fi)
+            e0 = flat_gather(de2f, fi)
+            if cfg.packed_extension:
+                b1, e1, mlen = extend_packed(
+                    didx, preads, next_bad, lens2, b0, e0, posc, act, k,
+                    ext_steps, L, lane=lane, col_off=col_off2,
+                )
+            else:
+                # charwise cross-check path: materialize the lane rows
+                b1, e1, mlen = _extend(
+                    didx, jnp.take(lanes, lane, axis=0), lens_l,
+                    b0, e0, posc, act, k, ext_steps,
+                )
+            slot = jnp.clip(n, 0, H - 1)
+            overflow = act & (n >= H)
+            write = act & ~overflow
+            rows4 = jnp.stack([posc, mlen, b1, e1], axis=-1)
+            buf = buf.at[jnp.where(write, lane, np.int32(R)), slot].set(
+                rows4, mode="drop"
             )
-        else:
-            b1, e1, mlen = _extend(didx, lanes, lens2, b0, e0, posc, act, k, ext_steps)
+            nxt = posc + jnp.maximum(1, mlen - k + 1)
+            pos2 = nap(nxt)
+            return (
+                jnp.where(act, pos2, pos),
+                n + write.astype(jnp.int32),
+                trunc | overflow,
+                buf,
+            )
 
-        slot = jnp.clip(hits.n, 0, H - 1)
-        overflow = act & (hits.n >= H)
-        write = act & ~overflow
-
-        def put(buf, val):
-            old = buf[rows, slot]
-            return buf.at[rows, slot].set(jnp.where(write, val, old))
-
-        hits = ScanHits(
-            q=put(hits.q, posc),
-            l=put(hits.l, mlen),
-            b=put(hits.b, b1),
-            e=put(hits.e, e1),
-            n=hits.n + write.astype(jnp.int32),
-            truncated=hits.truncated | overflow,
+        trunc0 = pos_l < 0
+        _, n_l, trunc_l, buf = lax.while_loop(cond, body, (pos_l, n0, trunc0, buf0))
+        n_full = jnp.broadcast_to(zscal, (R + 1,)).at[lane].set(n_l)[:R]
+        tr_full = (
+            jnp.broadcast_to(zscal, (R + 1,))
+            .at[lane].set(trunc_l.astype(jnp.int32))[:R]
         )
-        nxt = posc + jnp.maximum(1, mlen - k + 1)
-        pos_next = next_anchor_pos(nxt)
-        return jnp.where(act, pos_next, pos), hits
+        return n_full, tr_full.astype(bool), buf[:R]
 
-    _, hits = lax.while_loop(cond, body, (pos0, hits0))
-    return hits
+    # dead-lane compaction: lanes with no anchor at all (typically the whole
+    # wrong strand of every read) never enter the walk, halving both the
+    # gather width and the wasted lockstep trips. Stable partition active
+    # lanes first; if actual active count exceeds the static budget R_W
+    # (heavily both-strand data), fall back to the full-width walk.
+    active0 = pos_init < S
+    na = jnp.sum(active0.astype(jnp.int32))
+    ia = jnp.cumsum(active0.astype(jnp.int32)) - 1
+    ib = na + jnp.cumsum((~active0).astype(jnp.int32)) - 1
+    dest = jnp.where(active0, ia, ib)
+    perm = (
+        jnp.broadcast_to(zscal, (R,))
+        .at[dest].set(np.arange(R, dtype=np.int32) + zscal)
+    )
+    R_W = (R * 5) // 8
+    n_full, tr_full, buf = lax.cond(
+        na <= np.int32(R_W),
+        lambda: walk(perm[:R_W]),
+        lambda: walk(np.arange(R, dtype=np.int32) + zscal),
+    )
+    return ScanHits(
+        q=buf[..., 0], l=buf[..., 1], b=buf[..., 2], e=buf[..., 3],
+        n=n_full, truncated=tr_full,
+    )
 
 
 def scan_dispatch(

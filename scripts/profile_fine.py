@@ -1,6 +1,19 @@
-"""Fine-grained device profile: splits lookup into ALU vs gather and collate
-into expand / sort1 / sort2 sub-stages, same chunked-scan method as
-profile_stages.py (fresh buffers, one dispatch over NCH chunks)."""
+"""Fine-grained device profile of the CURRENT hot path.
+
+Cuts (each timed as a chunked lax.scan over NCH fresh 8192-read chunks in
+ONE dispatch; pre-uploaded feeds; fresh buffers per rep):
+
+  pack    : pack_reads + next_bad (shared prep for keys + extension)
+  keys    : pack + rolling-word keys + rc/canonical selection (pure ALU)
+  lookup  : keys + canonical-class CHD probe (2 gathers/window)
+  scan    : full scan_dispatch (adds the anchor walk w/ fused sa_cmp rows)
+  expand  : scan + slot-pool expansion (cumsum, scatter, 2 gathers/slot)
+  vote    : expand + sort 1 + run support counts
+  core    : full _collate_core (adds segment-argmax best + filters)
+
+Derived: probe = lookup-keys, walk = scan-lookup, sort1 = vote-expand,
+best+filters = core-vote.
+"""
 
 import os
 import sys
@@ -24,9 +37,8 @@ def main():
     from rapmap_tpu.config import MapConfig
     from rapmap_tpu.models.quasi import QuasiMapper
     from rapmap_tpu.ops import encode as denc
-    from rapmap_tpu.ops.collate import (
-        BIG, FULLW, _pack2, _unpack2,
-    )
+    from rapmap_tpu.ops.collate import _collate_core
+    from rapmap_tpu.ops.extend_packed import pack_reads
     from rapmap_tpu.ops.gather import flat_gather, row_gather_nd
     from rapmap_tpu.ops.lookup import kmer_lookup_2str
     from rapmap_tpu.ops.mmp import scan_dispatch
@@ -39,16 +51,33 @@ def main():
     B = NCH * C
     lens_np = np.full(C, L, dtype=np.int32)
     k = st.k
+    S = L - k + 1
 
-    def stage_keys(didx, reads, lens):
-        # dense-phase ALU only: fwd keys + canonical selection, no gathers
+    def prep(reads):
+        lanes = jnp.concatenate([reads, denc.revcomp_batch(reads, jnp.asarray(lens_np))], axis=0)
+        nb = denc.next_bad_batch(lanes, L)
+        pr = pack_reads(lanes)
+        return lanes, nb, pr
+
+    def stage_pack(didx, reads, lens):
+        _, nb, pr = prep(reads)
+        return jnp.sum(pr[:, 0].astype(jnp.int32)) + jnp.sum(nb[:, -1])
+
+    def keys_of(reads):
         from rapmap_tpu.ops.encode import rc_keys_batch
 
-        key_hi, key_lo, kvalid = denc.kmer_keys_batch(reads, k)
+        _, nb, pr = prep(reads)
+        key_hi, key_lo, kvalid = denc.kmer_keys_from_packed(
+            pr[: reads.shape[0]], nb[: reads.shape[0]], k, S
+        )
         rhi, rlo = rc_keys_batch(key_hi, key_lo, k)
         is_can = (key_hi < rhi) | ((key_hi == rhi) & (key_lo <= rlo))
         can_hi = jnp.where(is_can, key_hi, rhi)
         can_lo = jnp.where(is_can, key_lo, rlo)
+        return key_hi, key_lo, can_hi, can_lo, kvalid
+
+    def stage_keys(didx, reads, lens):
+        key_hi, key_lo, can_hi, can_lo, kvalid = keys_of(reads)
         return (
             jnp.sum(can_hi.astype(jnp.int32))
             + jnp.sum(can_lo.astype(jnp.int32))
@@ -56,7 +85,7 @@ def main():
         )
 
     def stage_lookup(didx, reads, lens):
-        key_hi, key_lo, kvalid = denc.kmer_keys_batch(reads, k)
+        key_hi, key_lo, _, _, kvalid = keys_of(reads)
         ff, bf, ef, fr, br, er = kmer_lookup_2str(didx, st, key_hi, key_lo)
         return (
             jnp.sum(ff & kvalid, dtype=jnp.int32)
@@ -64,8 +93,12 @@ def main():
             + jnp.sum(ef + er, dtype=jnp.int32)
         )
 
+    def stage_scan(didx, reads, lens):
+        h = scan_dispatch(didx, st, reads, lens, cfg)
+        return jnp.sum(h.n, dtype=jnp.int32) + jnp.sum(h.b, dtype=jnp.int32)
+
     def collate_sub(didx, reads, lens, upto: str):
-        """Re-implements _collate_core's pipeline up to a cut point."""
+        """_collate_core's pipeline re-cut at expand / vote boundaries."""
         hits = scan_dispatch(didx, st, reads, lens, cfg)
         R, H = hits.q.shape
         Bc = R // 2
@@ -121,6 +154,8 @@ def main():
                 + jnp.sum(slot_valid, dtype=jnp.int32)
             )
 
+        from rapmap_tpu.ops.collate import BIG, FULLW, _pack2, _unpack2
+
         rb = (Bc + 1).bit_length()
         tb = (2 * st.n_txps + 1).bit_length()
         bias = st.pad_tail
@@ -147,6 +182,15 @@ def main():
             )
         raise ValueError(upto)
 
+    def stage_core(didx, reads, lens):
+        hits = scan_dispatch(didx, st, reads, lens, cfg)
+        c = _collate_core(didx, st, hits, lens, cfg)
+        return (
+            jnp.sum(c.keep, dtype=jnp.int32)
+            + jnp.sum(c.counts, dtype=jnp.int32)
+            + jnp.sum(c.p2, dtype=jnp.int32)
+        )
+
     def chunked(fn):
         def run(didx_arg, all_reads):
             def body(acc, chunk_reads):
@@ -159,13 +203,17 @@ def main():
         return lambda x: jfn(didx, x)
 
     def timeit(name, jfn, feed):
+        xs = []
+        for rep in range(REPS + 1):
+            x = feed(rep)
+            x.block_until_ready()
+            xs.append(x)
         t0 = time.time()
-        r0 = np.asarray(jfn(feed(0)))
+        r0 = np.asarray(jfn(xs[0]))
         print(f"# {name}: compile+first {time.time()-t0:.1f}s chk={int(r0)}",
               file=sys.stderr, flush=True)
         best = []
-        for rep in range(1, REPS + 1):
-            x = feed(rep)
+        for x in xs[1:]:
             t0 = time.time()
             np.asarray(jfn(x))
             best.append(time.time() - t0)
@@ -178,21 +226,26 @@ def main():
         lo = (rep * B) % (len(codes) - B)
         return jnp.asarray(codes[lo : lo + B].reshape(NCH, C, L))
 
+    t_pack = timeit("pack", chunked(stage_pack), feed)
     t_keys = timeit("keys", chunked(stage_keys), feed)
     t_lookup = timeit("lookup", chunked(stage_lookup), feed)
-    t_scan = timeit("scan", chunked(
-        lambda dx, r, l: (lambda h: jnp.sum(h.n, dtype=jnp.int32)
-                          + jnp.sum(h.b, dtype=jnp.int32))(scan_dispatch(dx, st, r, l, cfg))
-    ), feed)
+    t_scan = timeit("scan", chunked(stage_scan), feed)
     t_exp = timeit("expand", chunked(lambda dx, r, l: collate_sub(dx, r, l, "expand")), feed)
     t_vote = timeit("vote", chunked(lambda dx, r, l: collate_sub(dx, r, l, "vote")), feed)
+    t_core = timeit("core", chunked(stage_core), feed)
 
     print("# fine breakdown:", flush=True)
-    print(f"#   key ALU          {t_keys/B*1e6:6.2f} us/read", flush=True)
-    print(f"#   probe gathers    {(t_lookup-t_keys)/B*1e6:6.2f} us/read", flush=True)
-    print(f"#   anchor walk      {(t_scan-t_lookup)/B*1e6:6.2f} us/read", flush=True)
-    print(f"#   expand           {(t_exp-t_scan)/B*1e6:6.2f} us/read", flush=True)
-    print(f"#   sort1+support    {(t_vote-t_exp)/B*1e6:6.2f} us/read", flush=True)
+    for nm, dt in (
+        ("pack+nb", t_pack),
+        ("key ALU", t_keys - t_pack),
+        ("probe gathers", t_lookup - t_keys),
+        ("anchor walk", t_scan - t_lookup),
+        ("expand", t_exp - t_scan),
+        ("sort1+support", t_vote - t_exp),
+        ("best+filters", t_core - t_vote),
+        ("TOTAL core", t_core),
+    ):
+        print(f"#   {nm:16s} {dt/B*1e6:6.2f} us/read", flush=True)
 
 
 if __name__ == "__main__":

@@ -78,6 +78,18 @@ def test_se_parity_messy_reads(tmp_path):
     assert_se_parity(idx, seqs, parity_cfg(idx, 52))
 
 
+def test_se_parity_mixed_lengths(tmp_path):
+    """Variable-length reads in ONE batch: rc lanes are right-aligned on
+    device (comp_flip_batch + col_off), so len < L exercises the offset."""
+    rng = np.random.default_rng(21)
+    idx, txps = toy_index(tmp_path, rng, n_txps=6, min_len=150, max_len=300, k=11)
+    seqs = []
+    for rl in (30, 41, 52, 64, 72):
+        seqs += [r[1] for r in sample_reads(rng, txps, 6, read_len=rl,
+                                            rc_frac=0.6, error_rate=0.03)]
+    assert_se_parity(idx, seqs, parity_cfg(idx, 72))
+
+
 def test_se_parity_multimapping(tmp_path):
     rng = np.random.default_rng(3)
     # duplicated segments across transcripts -> heavy multimapping
