@@ -91,7 +91,39 @@ def build_world():
     return idx, codes
 
 
-def run_bench(batch: int) -> dict:
+def build_pe_reads(idx):
+    """Mate pairs from ~250 bp fragments of the bench txome: mate1 = fragment
+    start (fwd), mate2 = rc of the fragment end — the reference's standard
+    inward-facing library orientation."""
+    pe_npz = os.path.join(CACHE, "reads_pe_v1.npz")
+    if not os.path.exists(pe_npz):
+        rng = np.random.default_rng(2)
+        text = np.asarray(idx.text[: idx.n_text])
+        FRAG = 250
+        n = N_READS // 2
+        c1 = np.empty((n, READ_LEN), dtype=np.int8)
+        c2 = np.empty((n, READ_LEN), dtype=np.int8)
+        starts = rng.integers(0, idx.n_text - FRAG, size=n)
+        for i, p in enumerate(starts):
+            frag = text[p : p + FRAG].copy()
+            bad = frag < 1
+            if bad.any():
+                frag[bad] = rng.integers(1, 5, int(bad.sum()))
+            m1 = frag[:READ_LEN].copy()
+            m2 = frag[FRAG - READ_LEN :].copy()
+            m2 = (5 - m2)[::-1].astype(np.int8)  # rc
+            for m in (m1, m2):
+                nerr = rng.binomial(READ_LEN, 0.01)
+                if nerr:
+                    pos = rng.integers(0, READ_LEN, nerr)
+                    m[pos] = rng.integers(1, 5, nerr)
+            c1[i], c2[i] = m1, m2
+        np.savez(pe_npz, c1=c1, c2=c2)
+    d = np.load(pe_npz)
+    return d["c1"], d["c2"]
+
+
+def run_bench(batch: int, pe: bool = False) -> dict:
     t_setup = time.time()
     idx, codes = build_world()
     from rapmap_tpu.config import MapConfig
@@ -101,11 +133,20 @@ def run_bench(batch: int) -> dict:
     mapper = QuasiMapper(idx, cfg)
     BATCH = batch
     lens = np.full(BATCH, READ_LEN, dtype=np.int32)
+    if pe:
+        c1, c2 = build_pe_reads(idx)
+        submit = lambda lo: mapper.map_pe_async(
+            c1[lo : lo + BATCH], lens, c2[lo : lo + BATCH], lens
+        )
+        n_src = len(c1)
+    else:
+        submit = lambda lo: mapper.map_se_async(codes[lo : lo + BATCH], lens)
+        n_src = len(codes)
     print(f"# setup {time.time()-t_setup:.1f}s", file=sys.stderr)
 
     # warmup / compile
     t0 = time.time()
-    wr = mapper.fetch(mapper.map_se_async(codes[:BATCH], lens))
+    wr = mapper.fetch(submit(0))
     print(f"# compile+first batch {time.time()-t0:.1f}s; "
           f"mapped {wr.counters['reads_mapped']}/{BATCH}", file=sys.stderr)
 
@@ -114,16 +155,15 @@ def run_bench(batch: int) -> dict:
     from collections import deque
 
     DEPTH = 6
-    n_batches = max(1, N_READS // BATCH)
+    n_batches = max(1, n_src // BATCH)
     t0 = time.time()
     total = 0
     mapped = 0
     q: deque = deque()
     for i in range(n_batches):
-        batch = codes[i * BATCH : (i + 1) * BATCH]
-        if len(batch) < BATCH:
+        if (i + 1) * BATCH > n_src:
             break
-        q.append(mapper.map_se_async(batch, lens))
+        q.append(submit(i * BATCH))
         if len(q) >= DEPTH:
             wr = mapper.fetch(q.popleft())
             mapped += wr.counters["reads_mapped"]
@@ -134,11 +174,14 @@ def run_bench(batch: int) -> dict:
         total += BATCH
     dt = time.time() - t0
     rps = total / dt
-    print(f"# {total} reads in {dt:.2f}s, map rate {100.0*mapped/total:.1f}%", file=sys.stderr)
+    unit_name = "pairs" if pe else "reads"
+    print(f"# {total} {unit_name} in {dt:.2f}s, map rate {100.0*mapped/total:.1f}%",
+          file=sys.stderr)
     return {
-        "metric": "quasimap_reads_per_s_per_chip",
+        "metric": ("quasimap_pairs_per_s_per_chip" if pe
+                   else "quasimap_reads_per_s_per_chip"),
         "value": round(rps, 1),
-        "unit": "reads/s",
+        "unit": f"{unit_name}/s",
         "vs_baseline": round(rps / PROVISIONAL_BASELINE_READS_PER_S, 3),
     }
 
@@ -149,13 +192,16 @@ def main() -> None:
     program); fall back to the smaller batch on timeout."""
     import subprocess
 
-    if len(sys.argv) > 1:  # child mode: bench.py <batch>
-        print(json.dumps(run_bench(int(sys.argv[1]))))
+    pe = "--pe" in sys.argv
+    argv = [a for a in sys.argv[1:] if a != "--pe"]
+    if argv:  # child mode: bench.py [--pe] <batch>
+        print(json.dumps(run_bench(int(argv[0]), pe=pe)))
         return
+    pe_flag = ["--pe"] if pe else []
     for batch, timeout_s in ((BATCH, 800), (BATCH // 2, 1200), (BATCH // 4, 1800)):
         try:
             res = subprocess.run(
-                [sys.executable, os.path.abspath(__file__), str(batch)],
+                [sys.executable, os.path.abspath(__file__), *pe_flag, str(batch)],
                 capture_output=True, text=True, timeout=timeout_s,
             )
             sys.stderr.write(res.stderr[-2000:])
