@@ -36,6 +36,9 @@ class MapConfig:
     # 0 (default) derives max_num_hits so -m's full record count is never
     # silently truncated; explicit smaller values trip the out_truncated counter
     packed_extension: bool = True  # word-compare extension (ops.extend_packed)
+    bitonic_sort: bool = False     # voting sort via the specialized bitonic
+    # network (ops.pallas.sort2) instead of lax.sort; identical output order
+    # (used only when the pool size is a power of two and keys pack to 2 words)
     chunk: int = 0                 # wire-path inner chunk size: the jitted
     # program processes the batch as a lax.scan over fixed (chunk)-read chunks,
     # so compile time is batch-size-independent and huge batches amortize the

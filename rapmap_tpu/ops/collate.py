@@ -202,7 +202,14 @@ def _collate_core(
         hi0, lo0 = _pack2([(read, rb), (ts_val, tb), (tpos + np.int32(bias), pb)])
         hi0 = jnp.where(slot_valid, hi0, FULLW)
         lo0 = jnp.where(slot_valid, lo0, FULLW)
-        khi, klo = lax.sort([hi0, lo0], dimension=0, num_keys=2)
+        if cfg.bitonic_sort and CAPG >= 2 and (CAPG & (CAPG - 1)) == 0:
+            # no payload operands ride this sort (both words are keys), so the
+            # unstable bitonic network is output-identical to lax.sort
+            from rapmap_tpu.ops.pallas.sort2 import bitonic_sort_pairs
+
+            khi, klo = bitonic_sort_pairs(hi0, lo0)
+        else:
+            khi, klo = lax.sort([hi0, lo0], dimension=0, num_keys=2)
         valid1 = khi != FULLW  # valid keys keep hi's top bits clear
         k1 = jnp.where(valid1, _unpack2(khi, klo, tb + pb, rb), BIG)
         k2 = jnp.where(valid1, _unpack2(khi, klo, pb, tb), BIG)

@@ -126,6 +126,22 @@ def test_se_parity_config_sweep(tmp_path, kw):
     assert_se_parity(idx, seqs, parity_cfg(idx, 50, **kw))
 
 
+def test_se_parity_bitonic_sort(tmp_path):
+    """cfg.bitonic_sort swaps the voting sort for the specialized network;
+    output must stay bit-identical to the oracle (pool sized a power of 2,
+    keys pack to 2 words, so the bitonic path actually engages)."""
+    rng = np.random.default_rng(17)
+    idx, txps = toy_index(tmp_path, rng, n_txps=4, min_len=150, max_len=250, k=11)
+    reads = sample_reads(rng, txps, 16, read_len=50, error_rate=0.03)
+    seqs = [r[1] for r in reads]
+    cfg = MapConfig(
+        k=idx.k, max_hits_per_strand=40, expand_budget=64, max_out=64,
+        bitonic_sort=True,
+    )
+    assert len(seqs) * cfg.expand_budget & (len(seqs) * cfg.expand_budget - 1) == 0
+    assert_se_parity(idx, seqs, cfg)
+
+
 def test_pe_parity(tmp_path):
     rng = np.random.default_rng(5)
     idx, txps = toy_index(tmp_path, rng, n_txps=6, min_len=250, max_len=400, k=11)
