@@ -129,7 +129,14 @@ def run_bench(batch: int, pe: bool = False) -> dict:
     from rapmap_tpu.config import MapConfig
     from rapmap_tpu.models.quasi import QuasiMapper
 
-    cfg = MapConfig(k=idx.k, chunk=CHUNK if batch > CHUNK else 0)
+    # device buffers sized to the measured bench-read regime (oracle probe:
+    # ~1.07 expansion slots and <= 2 MMP hits per read; see BASELINE.md):
+    # every collate/compact scan and the d2h wire scale with these, and
+    # overflow degrades to flagged reads, never wrong output
+    cfg = MapConfig(
+        k=idx.k, chunk=CHUNK if batch > CHUNK else 0,
+        max_hits_per_strand=4, expand_budget=3, rec_slots=2,
+    )
     mapper = QuasiMapper(idx, cfg)
     BATCH = batch
     lens = np.full(BATCH, READ_LEN, dtype=np.int32)

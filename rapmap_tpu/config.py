@@ -28,6 +28,10 @@ class MapConfig:
     # device-engine static shape knobs (no effect on semantics when not exceeded;
     # exceeding them sets the over_budget counter)
     max_hits_per_strand: int = 16  # MMP hits recorded per read-strand
+    rec_slots: int = 4             # dense record-buffer rows per read in the
+    # wire output (cap = rec_slots * batch); exceeding it sets `overflowed`
+    # and drops tail records — typical data uses ~1 row/read, so benches can
+    # shrink it to cut device->host bytes
     expand_budget: int = 8         # AVERAGE SA-expansion slots per read: the
     # global pool holds expand_budget * batch slots (ops.collate); typical
     # reads use 2-6, so 8 leaves ample headroom before over_budget flags.

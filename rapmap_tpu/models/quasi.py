@@ -271,7 +271,7 @@ class QuasiMapper:
     # overlap the next batch's compute with this batch's device->host pull.
 
     def _cap(self, B: int) -> int:
-        return 4 * B
+        return self.cfg.rec_slots * B
 
     def _chunk_of(self, B: int) -> int:
         C = self.cfg.chunk

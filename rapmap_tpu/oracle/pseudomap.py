@@ -11,7 +11,12 @@ from rapmap_tpu.oracle.quasimap import Mapping, SAHit, merge_pairs
 
 
 def _lookup(idx: PseudoIndex, key: int) -> tuple[int, int] | None:
-    keys = (idx.kmer_hi.astype(np.uint64) << np.uint64(32)) | idx.kmer_lo.astype(np.uint64)
+    keys = getattr(idx, "_key64_cache", None)
+    if keys is None or len(keys) != len(idx.kmer_hi):
+        keys = (idx.kmer_hi.astype(np.uint64) << np.uint64(32)) | idx.kmer_lo.astype(
+            np.uint64
+        )
+        object.__setattr__(idx, "_key64_cache", keys)
     i = int(np.searchsorted(keys, np.uint64(key)))
     if i < len(keys) and keys[i] == np.uint64(key):
         return int(idx.kmer_off[i]), int(idx.kmer_off[i + 1])

@@ -32,9 +32,21 @@ class Mapping:
     score: int     # support = agreeing MMP count
 
 
+def _key64(idx: QuasiIndex) -> np.ndarray:
+    """Combined (hi << 32 | lo) sorted key array, built once per index object
+    (rebuilding it per probe made the oracle ~2700x slower on a 20 Mbase
+    index — 27 s/read — which also starved the over_budget host fallback)."""
+    keys = getattr(idx, "_key64_cache", None)
+    if keys is None or len(keys) != len(idx.kmer_hi):
+        keys = (idx.kmer_hi.astype(np.uint64) << np.uint64(32)) | idx.kmer_lo.astype(
+            np.uint64
+        )
+        object.__setattr__(idx, "_key64_cache", keys)
+    return keys
+
+
 def _lookup(idx: QuasiIndex, key: int) -> tuple[int, int] | None:
-    hi, lo = np.uint32(key >> 32), np.uint32(key & 0xFFFFFFFF)
-    keys = (idx.kmer_hi.astype(np.uint64) << np.uint64(32)) | idx.kmer_lo.astype(np.uint64)
+    keys = _key64(idx)
     i = int(np.searchsorted(keys, np.uint64(key)))
     if i < len(keys) and keys[i] == np.uint64(key):
         return int(idx.kmer_b[i]), int(idx.kmer_e[i])
@@ -43,8 +55,8 @@ def _lookup(idx: QuasiIndex, key: int) -> tuple[int, int] | None:
 
 def _extend(idx: QuasiIndex, b: int, e: int, read: np.ndarray, pos: int, k: int) -> tuple[int, int, int]:
     """Per-depth narrowing (SEMANTICS.md §3 extend). Returns (b', e', mmp_len)."""
-    text = np.asarray(idx.text, dtype=np.int8)
-    sa = np.asarray(idx.sa, dtype=np.int64)
+    text = idx.text
+    sa = idx.sa  # int32 or int64; slice arithmetic upcasts as needed
     L = len(read)
     d = k
     while pos + d < L:
@@ -91,7 +103,7 @@ def scan_strand(idx: QuasiIndex, read: np.ndarray, cfg: MapConfig) -> list[SAHit
 
 def collate(idx: QuasiIndex, hits_fwd: list[SAHit], hits_rc: list[SAHit], L: int, cfg: MapConfig) -> list[Mapping]:
     """HitManager role: SA intervals -> per-transcript mappings (SEMANTICS.md §4)."""
-    sa = np.asarray(idx.sa, dtype=np.int64)
+    sa = idx.sa
     results: list[Mapping] = []
     if cfg.quasi_coverage > 0.0:
         if sum(h.length for h in hits_fwd) < cfg.quasi_coverage * L:
