@@ -16,6 +16,12 @@ Both sort ascending by the 64-bit value (hi, lo) and are exact drop-ins for
 in scripts/microbench_sort.py; adoption is gated on that measurement
 (SURVEY.md §7.1 planned Pallas for the irregular hot paths — this is the
 experiment resolving that plan).
+
+MEASURED VERDICT (2026-08-17, v5e via axon — see BASELINE.md): lax.sort wins.
+At N=65536: lax.sort 1.60 ms, jax bitonic 8.25 ms; the Pallas kernel OOM-kills
+the axon remote-compile helper (136-step unrolled Mosaic program). The
+cfg.bitonic_sort flag therefore stays off by default; this module is kept as
+the documented experiment + its parity/unit tests.
 """
 
 from __future__ import annotations
