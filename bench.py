@@ -123,20 +123,27 @@ def build_pe_reads(idx):
     return d["c1"], d["c2"]
 
 
+def bench_cfg(idx, chunk: int):
+    """Device buffers sized to the measured bench-read regime (oracle probe:
+    ~1.07 expansion slots and <= 2 MMP hits per read; see BASELINE.md):
+    every collate/compact scan and the d2h wire scale with these, and
+    overflow degrades to flagged reads, never wrong output. Shared with
+    scripts/profile_stages.py so stage numbers match the bench program."""
+    from rapmap_tpu.config import MapConfig
+
+    return MapConfig(
+        k=idx.k, chunk=chunk,
+        max_hits_per_strand=4, expand_budget=3, rec_slots=2,
+    )
+
+
 def run_bench(batch: int, pe: bool = False) -> dict:
     t_setup = time.time()
     idx, codes = build_world()
-    from rapmap_tpu.config import MapConfig
+    from rapmap_tpu.config import MapConfig  # noqa: F401 (re-export for callers)
     from rapmap_tpu.models.quasi import QuasiMapper
 
-    # device buffers sized to the measured bench-read regime (oracle probe:
-    # ~1.07 expansion slots and <= 2 MMP hits per read; see BASELINE.md):
-    # every collate/compact scan and the d2h wire scale with these, and
-    # overflow degrades to flagged reads, never wrong output
-    cfg = MapConfig(
-        k=idx.k, chunk=CHUNK if batch > CHUNK else 0,
-        max_hits_per_strand=4, expand_budget=3, rec_slots=2,
-    )
+    cfg = bench_cfg(idx, chunk=CHUNK if batch > CHUNK else 0)
     mapper = QuasiMapper(idx, cfg)
     BATCH = batch
     lens = np.full(BATCH, READ_LEN, dtype=np.int32)

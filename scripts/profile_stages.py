@@ -32,7 +32,6 @@ def main():
     import jax.numpy as jnp
     from jax import lax
 
-    from rapmap_tpu.config import MapConfig
     from rapmap_tpu.models.quasi import QuasiMapper, map_batch_se_wire_chunked
     from rapmap_tpu.ops import encode as denc
     from rapmap_tpu.ops.collate import collate_batch
@@ -40,7 +39,9 @@ def main():
     from rapmap_tpu.ops.mmp import scan_dispatch
 
     idx, codes = build_world()
-    cfg = MapConfig(k=idx.k, chunk=CHUNK)
+    from bench import bench_cfg
+
+    cfg = bench_cfg(idx, chunk=CHUNK)
     mapper = QuasiMapper(idx, cfg)
     didx, st = mapper.didx, mapper.st
     C, L = CHUNK, READ_LEN
