@@ -134,6 +134,8 @@ def bench_cfg(idx, chunk: int):
     return MapConfig(
         k=idx.k, chunk=chunk,
         max_hits_per_strand=4, expand_budget=3, rec_slots=2,
+        max_out=16,  # PE merge is O(max_out log max_out)/read; bench reads
+        # have <= ~2 mappings, and 17+ would flag out_truncated -> fallback
     )
 
 

@@ -129,7 +129,11 @@ def map_batch_se_wire_chunked(
     from rapmap_tpu.ops.collate import collate_records_se
     from rapmap_tpu.ops.wire import HDR, unpack_in_se
 
+    from rapmap_tpu.ops.wire import pack_counts_flags, rec_spec_se
+
     assert B % C == 0, "batch must be a multiple of the chunk size"
+    spec = rec_spec_se(st, cfg)
+    packed_cf = C % 8 == 0 and cfg.rec_slots * C < (1 << 16)
     reads, lens, n_valid = unpack_in_se(wire_in, B, L)
     nch = B // C
     r3 = reads.reshape(nch, C, L)
@@ -139,7 +143,7 @@ def map_batch_se_wire_chunked(
         r, l = xs
         nv = jnp.clip(n_valid - rows_done, 0, C)
         hits = scan_dispatch(didx, st, r, l, cfg)
-        se, flags = collate_records_se(didx, st, hits, l, cfg, capc)
+        se, flags = collate_records_se(didx, st, hits, l, cfg, capc, rec_spec=spec)
         ctr = _se_counters(flags, nv, C)
         from rapmap_tpu.ops.wire import encode_read_flags
 
@@ -151,16 +155,17 @@ def map_batch_se_wire_chunked(
             ctr.reads_total, ctr.reads_mapped, ctr.too_ambiguous,
             ctr.over_budget, ctr.records, ctr.out_truncated,
         ])
-        wout = jnp.concatenate([hdr, se.counts, fbits, se.recs.reshape(-1)])
+        if packed_cf:
+            cw, fw = pack_counts_flags(se.counts, fbits)
+            wout = jnp.concatenate([hdr, cw, fw, se.recs.reshape(-1)])
+        else:
+            wout = jnp.concatenate([hdr, se.counts, fbits, se.recs.reshape(-1)])
         return rows_done + C, wout
 
-    _, outs = lax.scan(body, n_valid * 0, (r3, l2))  # (nch, HDR + 2C + capc*4)
+    _, outs = lax.scan(body, n_valid * 0, (r3, l2))
     hdrs = outs[:, :HDR]
     hdr = hdrs.sum(axis=0).at[1].set(hdrs[:, 1].max())
-    counts = outs[:, HDR : HDR + C].reshape(B)
-    fbits = outs[:, HDR + C : HDR + 2 * C].reshape(B)
-    recs = outs[:, HDR + 2 * C :].reshape(-1)
-    return jnp.concatenate([hdr, counts, fbits, recs])
+    return jnp.concatenate([hdr, outs[:, HDR:].reshape(-1)])
 
 
 @partial(jax.jit, static_argnames=("st", "cfg", "cap", "B", "L"))
@@ -185,9 +190,11 @@ def map_batch_pe_wire_chunked(
     """PE wire step chunked like map_batch_se_wire_chunked (the pair merge
     still goes through the slotted (C, MAX_OUT) MapOut layout per mate)."""
     from rapmap_tpu.ops.compact import compact_pe
-    from rapmap_tpu.ops.wire import HDR, unpack_in_pe
+    from rapmap_tpu.ops.wire import HDR, pack_counts_flags, rec_spec_pe, unpack_in_pe
 
     assert B % C == 0, "batch must be a multiple of the chunk size"
+    spec = rec_spec_pe(st, cfg)
+    packed_cf = C % 8 == 0 and cfg.rec_slots * C < (1 << 16)
     r1, l1, r2, l2, n_valid = unpack_in_pe(wire_in, B, L)
     nch = B // C
     xs = (
@@ -199,7 +206,7 @@ def map_batch_pe_wire_chunked(
         a, la, b, lb = xs
         nv = jnp.clip(n_valid - rows_done, 0, C)
         out1, out2, pairs, ctr = map_batch_pe(didx, st, a, la, b, lb, nv, cfg)
-        pe = compact_pe(pairs, capc)
+        pe = compact_pe(pairs, capc, rec_spec=spec)
         from rapmap_tpu.ops.wire import encode_read_flags
 
         fbits = encode_read_flags(
@@ -212,16 +219,17 @@ def map_batch_pe_wire_chunked(
             ctr.reads_total, ctr.reads_mapped, ctr.too_ambiguous,
             ctr.over_budget, ctr.records, ctr.out_truncated,
         ])
-        wout = jnp.concatenate([hdr, pe.counts, fbits, pe.recs.reshape(-1)])
+        if packed_cf:
+            cw, fw = pack_counts_flags(pe.counts, fbits)
+            wout = jnp.concatenate([hdr, cw, fw, pe.recs.reshape(-1)])
+        else:
+            wout = jnp.concatenate([hdr, pe.counts, fbits, pe.recs.reshape(-1)])
         return rows_done + C, wout
 
     _, outs = lax.scan(body, n_valid * 0, xs)
     hdrs = outs[:, :HDR]
     hdr = hdrs.sum(axis=0).at[1].set(hdrs[:, 1].max())
-    counts = outs[:, HDR : HDR + C].reshape(B)
-    fbits = outs[:, HDR + C : HDR + 2 * C].reshape(B)
-    recs = outs[:, HDR + 2 * C :].reshape(-1)
-    return jnp.concatenate([hdr, counts, fbits, recs])
+    return jnp.concatenate([hdr, outs[:, HDR:].reshape(-1)])
 
 
 class QuasiMapper:
@@ -278,7 +286,7 @@ class QuasiMapper:
         return C if (C and C < B and B % C == 0) else 0
 
     def map_se_async(self, codes, lens, n_valid: int | None = None):
-        from rapmap_tpu.ops.wire import pack_in_se
+        from rapmap_tpu.ops.wire import pack_in_se, rec_spec_se
 
         B, L = codes.shape
         nv = n_valid if n_valid is not None else B
@@ -289,14 +297,14 @@ class QuasiMapper:
             fut = map_batch_se_wire_chunked(
                 self.didx, self.st, jnp.asarray(win), self.cfg, capc, B, L, C
             )
-            return ("se", B, fut, C, capc)
+            return ("se", B, fut, C, capc, rec_spec_se(self.st, self.cfg))
         fut = map_batch_se_wire(
             self.didx, self.st, jnp.asarray(win), self.cfg, self._cap(B), B, L
         )
-        return ("se", B, fut, 0, 0)
+        return ("se", B, fut, 0, 0, None)
 
     def map_pe_async(self, c1, l1, c2, l2, n_valid: int | None = None):
-        from rapmap_tpu.ops.wire import pack_in_pe
+        from rapmap_tpu.ops.wire import pack_in_pe, rec_spec_pe
 
         B, L = c1.shape
         nv = n_valid if n_valid is not None else B
@@ -307,18 +315,21 @@ class QuasiMapper:
             fut = map_batch_pe_wire_chunked(
                 self.didx, self.st, jnp.asarray(win), self.cfg, capc, B, L, C
             )
-            return ("pe", B, fut, C, capc)
+            return ("pe", B, fut, C, capc, rec_spec_pe(self.st, self.cfg))
         fut = map_batch_pe_wire(
             self.didx, self.st, jnp.asarray(win), self.cfg, self._cap(B), B, L
         )
-        return ("pe", B, fut, 0, 0)
+        return ("pe", B, fut, 0, 0, None)
 
-    @staticmethod
-    def fetch(result):
+    def fetch(self, result):
         """-> (WireResult, counters dict). recs fields: SE (t,pos,strand,score);
         PE (t,p1,s1,has1,p2,s2,has2)."""
         from rapmap_tpu.ops.wire import unpack_out
 
-        kind, B, fut, C, capc = result
+        kind, B, fut, C, capc, spec = result
         wire = np.asarray(fut)
-        return unpack_out(wire, B, 4 if kind == "se" else 7, chunk=C, capc=capc)
+        packed_cf = bool(C) and C % 8 == 0 and self.cfg.rec_slots * C < (1 << 16)
+        return unpack_out(
+            wire, B, 4 if kind == "se" else 7, chunk=C, capc=capc,
+            rec_spec=spec, packed_cf=packed_cf,
+        )

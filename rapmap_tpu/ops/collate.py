@@ -341,13 +341,16 @@ def collate_records_se(
     cfg: MapConfig,
     cap: int,
     expand_fn=None,
+    rec_spec=None,
 ):
-    """Winners compacted DIRECTLY into a dense (cap, 4) record buffer.
+    """Winners compacted DIRECTLY into a dense (cap, W) record buffer.
 
     The core's winner rows already sit in (read, t*2+strand) sorted order —
     exactly the row-major layout compact_se(collate_batch(...)) produces — so
     the SE wire path skips the (B, MAX_OUT) scatter + re-compaction entirely
-    (MAX_OUT disappears from the hot program). Returns (SERecords, MapFlags).
+    (MAX_OUT disappears from the hot program). With rec_spec (wire.RecSpec),
+    rows pack into W=2 words instead of 4 — halves both the record scatter
+    and the d2h bytes. Returns (SERecords, MapFlags).
     """
     from rapmap_tpu.ops.compact import SERecords
 
@@ -356,8 +359,14 @@ def collate_records_se(
     emit = c.keep & ~flat_gather(c.too_ambiguous, c.rclip)
     gidx = jnp.cumsum(emit.astype(jnp.int32)) - 1
     dest = jnp.where(emit, jnp.minimum(gidx, cap), cap)
-    rows = jnp.stack([c.k2s >> 1, c.p2, c.k2s & 1, c.sup2], axis=-1)
-    buf = jnp.zeros((cap + 1, 4), jnp.int32)
+    fields = [c.k2s >> 1, c.p2, c.k2s & 1, c.sup2]
+    if rec_spec is not None:
+        from rapmap_tpu.ops.wire import pack_rec_fields
+
+        fields = list(pack_rec_fields(rec_spec, fields))
+    W = len(fields)
+    rows = jnp.stack(fields, axis=-1)
+    buf = jnp.zeros((cap + 1, W), jnp.int32)
     recs = buf.at[dest].set(rows.astype(jnp.int32), mode="drop")[:cap]
     emitted = jax.ops.segment_sum(emit.astype(jnp.int32), c.rclip, num_segments=B)
     ends = jnp.cumsum(emitted)

@@ -58,11 +58,16 @@ def compact_se(out: MapOut, cap: int) -> SERecords:
     return SERecords(recs, counts, total, ovf)
 
 
-def compact_pe(po: PairOut, cap: int) -> PERecords:
+def compact_pe(po: PairOut, cap: int, rec_spec=None) -> PERecords:
     valid = po.t != -1
-    recs, counts, total, ovf = _compact(
-        [po.t, po.p1, po.s1, po.has1.astype(jnp.int32), po.p2, po.s2,
-         po.has2.astype(jnp.int32)],
-        valid, cap,
-    )
+    fields = [po.t, po.p1, po.s1, po.has1.astype(jnp.int32), po.p2, po.s2,
+              po.has2.astype(jnp.int32)]
+    if rec_spec is not None:
+        from rapmap_tpu.ops.wire import pack_rec_fields
+
+        # t = -1 on empty slots would wreck the unsigned packing; the rows
+        # are dropped by `valid` anyway, so clamp them to 0 first
+        fields[0] = jnp.maximum(fields[0], 0)
+        fields = list(pack_rec_fields(rec_spec, fields))
+    recs, counts, total, ovf = _compact(fields, valid, cap)
     return PERecords(recs, counts, total, ovf)
