@@ -91,6 +91,52 @@ def build_world():
     return idx, codes
 
 
+def build_isoform_world():
+    """Isoform-style repetitive txome (shared exons + paralogs,
+    scripts/txome_sim.py) at ~bench scale: real multimapping pressure."""
+    sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), "scripts"))
+    from txome_sim import gen_isoform_txome, write_fasta
+
+    from rapmap_tpu.index.builder import build_quasi_index
+    from rapmap_tpu.index.format import load_index
+
+    os.makedirs(CACHE, exist_ok=True)
+    idx_dir = os.path.join(CACHE, "idx_iso_v1")
+    if not os.path.exists(os.path.join(idx_dir, "header.json")):
+        rng = np.random.default_rng(3)
+        fa = os.path.join(CACHE, "txome_iso.fa")
+        write_fasta(gen_isoform_txome(rng, n_genes=2000, isoforms_per_gene=(2, 8)), fa)
+        build_quasi_index(fa, outdir=idx_dir, k=31)
+    idx = load_index(idx_dir)
+    if getattr(idx, "chd_dir", None) is None or not idx.meta.get("chd", {}).get("canonical"):
+        from rapmap_tpu.index.chd import attach_chd
+
+        idx = load_index(idx_dir, mmap=False)
+        attach_chd(idx, save_dir=idx_dir)
+
+    reads_npz = os.path.join(CACHE, "reads_iso_v1.npz")
+    if not os.path.exists(reads_npz):
+        rng = np.random.default_rng(4)
+        text = np.asarray(idx.text[: idx.n_text])
+        codes = np.empty((N_READS, READ_LEN), dtype=np.int8)
+        starts = rng.integers(0, idx.n_text - READ_LEN, size=N_READS)
+        for i, p in enumerate(starts):
+            w = text[p : p + READ_LEN].copy()
+            bad = w < 1
+            if bad.any():
+                w[bad] = rng.integers(1, 5, int(bad.sum()))
+            nerr = rng.binomial(READ_LEN, 0.01)
+            if nerr:
+                pos = rng.integers(0, READ_LEN, nerr)
+                w[pos] = rng.integers(1, 5, nerr)
+            codes[i] = w
+        half = N_READS // 2
+        rc = codes[:half]
+        codes[:half] = np.where((rc >= 1) & (rc <= 4), 5 - rc, 5)[:, ::-1].astype(np.int8)
+        np.savez(reads_npz, codes=codes)
+    return idx, np.load(reads_npz)["codes"]
+
+
 def build_pe_reads(idx):
     """Mate pairs from ~250 bp fragments of the bench txome: mate1 = fragment
     start (fwd), mate2 = rc of the fragment end — the reference's standard
@@ -139,17 +185,27 @@ def bench_cfg(idx, chunk: int):
     )
 
 
-def run_bench(batch: int, pe: bool = False) -> dict:
+def run_bench(batch: int, pe: bool = False, isoform: bool = False) -> dict:
     t_setup = time.time()
-    idx, codes = build_world()
-    from rapmap_tpu.config import MapConfig  # noqa: F401 (re-export for callers)
+    from rapmap_tpu.config import MapConfig
     from rapmap_tpu.models.quasi import QuasiMapper
 
-    cfg = bench_cfg(idx, chunk=CHUNK if batch > CHUNK else 0)
+    if isoform:
+        idx, codes = build_isoform_world()
+        # repetitive regime: auto-size the expansion pool from index stats,
+        # keep deeper hit/output buffers for genuine multimapping
+        cfg = MapConfig(
+            k=idx.k, chunk=CHUNK if batch > CHUNK else 0,
+            max_hits_per_strand=8, expand_budget=0, max_out=32, rec_slots=4,
+        )
+    else:
+        idx, codes = build_world()
+        cfg = bench_cfg(idx, chunk=CHUNK if batch > CHUNK else 0)
     mapper = QuasiMapper(idx, cfg)
     BATCH = batch
     lens = np.full(BATCH, READ_LEN, dtype=np.int32)
     if pe:
+        assert not isoform, "PE isoform bench not wired; run one mode at a time"
         c1, c2 = build_pe_reads(idx)
         submit = lambda lo: mapper.map_pe_async(
             c1[lo : lo + BATCH], lens, c2[lo : lo + BATCH], lens
@@ -193,9 +249,11 @@ def run_bench(batch: int, pe: bool = False) -> dict:
     unit_name = "pairs" if pe else "reads"
     print(f"# {total} {unit_name} in {dt:.2f}s, map rate {100.0*mapped/total:.1f}%",
           file=sys.stderr)
+    metric = "quasimap_pairs_per_s_per_chip" if pe else "quasimap_reads_per_s_per_chip"
+    if isoform:
+        metric += "_isoform"
     return {
-        "metric": ("quasimap_pairs_per_s_per_chip" if pe
-                   else "quasimap_reads_per_s_per_chip"),
+        "metric": metric,
         "value": round(rps, 1),
         "unit": f"{unit_name}/s",
         "vs_baseline": round(rps / PROVISIONAL_BASELINE_READS_PER_S, 3),
@@ -209,15 +267,16 @@ def main() -> None:
     import subprocess
 
     pe = "--pe" in sys.argv
-    argv = [a for a in sys.argv[1:] if a != "--pe"]
-    if argv:  # child mode: bench.py [--pe] <batch>
-        print(json.dumps(run_bench(int(argv[0]), pe=pe)))
+    iso = "--isoform" in sys.argv
+    argv = [a for a in sys.argv[1:] if a not in ("--pe", "--isoform")]
+    if argv:  # child mode: bench.py [--pe|--isoform] <batch>
+        print(json.dumps(run_bench(int(argv[0]), pe=pe, isoform=iso)))
         return
-    pe_flag = ["--pe"] if pe else []
+    mode_flags = (["--pe"] if pe else []) + (["--isoform"] if iso else [])
     for batch, timeout_s in ((BATCH, 800), (BATCH // 2, 1200), (BATCH // 4, 1800)):
         try:
             res = subprocess.run(
-                [sys.executable, os.path.abspath(__file__), *pe_flag, str(batch)],
+                [sys.executable, os.path.abspath(__file__), *mode_flags, str(batch)],
                 capture_output=True, text=True, timeout=timeout_s,
             )
             sys.stderr.write(res.stderr[-2000:])
