@@ -190,11 +190,15 @@ def map_batch_pe_wire_chunked(
     """PE wire step chunked like map_batch_se_wire_chunked (the pair merge
     still goes through the slotted (C, MAX_OUT) MapOut layout per mate)."""
     from rapmap_tpu.ops.compact import compact_pe
-    from rapmap_tpu.ops.wire import HDR, pack_counts_flags, rec_spec_pe, unpack_in_pe
+    from rapmap_tpu.ops.pairs import collate_records_pe, pe_direct_eligible
+    from rapmap_tpu.ops.wire import (
+        HDR, encode_read_flags, pack_counts_flags, rec_spec_pe, unpack_in_pe,
+    )
 
     assert B % C == 0, "batch must be a multiple of the chunk size"
     spec = rec_spec_pe(st, cfg)
     packed_cf = C % 8 == 0 and cfg.rec_slots * C < (1 << 16)
+    direct = pe_direct_eligible(st, cfg, C)
     r1, l1, r2, l2, n_valid = unpack_in_pe(wire_in, B, L)
     nch = B // C
     xs = (
@@ -205,15 +209,35 @@ def map_batch_pe_wire_chunked(
     def body(rows_done, xs):
         a, la, b, lb = xs
         nv = jnp.clip(n_valid - rows_done, 0, C)
-        out1, out2, pairs, ctr = map_batch_pe(didx, st, a, la, b, lb, nv, cfg)
-        pe = compact_pe(pairs, capc, rec_spec=spec)
-        from rapmap_tpu.ops.wire import encode_read_flags
-
-        fbits = encode_read_flags(
-            out1.over_budget | out2.over_budget,
-            out1.out_truncated | out2.out_truncated | pairs.out_truncated,
-            pairs.too_ambiguous, pairs.any_record,
-        )
+        if direct:
+            hits1 = scan_dispatch(didx, st, a, la, cfg)
+            hits2 = scan_dispatch(didx, st, b, lb, cfg)
+            pe, fl, _ = collate_records_pe(
+                didx, st, hits1, la, hits2, lb, cfg, capc, rec_spec=spec
+            )
+            real = np.arange(C, dtype=np.int32) < nv
+            ctr = Counters(
+                reads_total=nv.astype(jnp.int32),
+                reads_mapped=jnp.sum(fl.mapped & real, dtype=jnp.int32),
+                too_ambiguous=jnp.sum(fl.too_ambiguous & real, dtype=jnp.int32),
+                over_budget=jnp.sum(fl.over_budget & real, dtype=jnp.int32),
+                records=jnp.sum(
+                    jnp.where(real & ~fl.too_ambiguous, fl.n_mappings, 0),
+                    dtype=jnp.int32,
+                ),
+                out_truncated=jnp.sum(fl.out_truncated & real, dtype=jnp.int32),
+            )
+            fbits = encode_read_flags(
+                fl.over_budget, fl.out_truncated, fl.too_ambiguous, fl.mapped
+            )
+        else:
+            out1, out2, pairs, ctr = map_batch_pe(didx, st, a, la, b, lb, nv, cfg)
+            pe = compact_pe(pairs, capc, rec_spec=spec)
+            fbits = encode_read_flags(
+                out1.over_budget | out2.over_budget,
+                out1.out_truncated | out2.out_truncated | pairs.out_truncated,
+                pairs.too_ambiguous, pairs.any_record,
+            )
         hdr = jnp.stack([
             pe.total, pe.overflowed.astype(jnp.int32),
             ctr.reads_total, ctr.reads_mapped, ctr.too_ambiguous,

@@ -1,10 +1,11 @@
 """Wire-format single-buffer paths == plain MapOut paths."""
 
 import numpy as np
+import pytest
 
 from rapmap_tpu.config import MapConfig
 from rapmap_tpu.models.quasi import QuasiMapper
-from tests.util import sample_reads, toy_index
+from tests.util import random_transcriptome, sample_reads, toy_index
 from tests.test_device_parity import batch_of
 
 
@@ -142,3 +143,65 @@ def test_wire_pe_matches_pairout(tmp_path):
         got = [tuple(int(x) for x in wr.recs[off + j]) for j in range(c)]
         assert got == exp, i
         off += c
+
+
+@pytest.mark.parametrize(
+    "kw",
+    [
+        dict(),
+        dict(no_orphans=True),
+        dict(max_frag_len=120, pair_order=True),
+        dict(max_num_hits=1),
+        dict(consistent_hits=True),
+    ],
+)
+def test_wire_pe_direct_merge_corner_cases(tmp_path, kw):
+    """Chunked PE (direct core merge, ops.pairs.collate_records_pe) must equal
+    the unchunked slotted-merge path on orphan-heavy, discordant, ambiguous,
+    and constraint-filtered read sets."""
+    rng = np.random.default_rng(77)
+    # duplicated segment -> genuinely ambiguous pairs
+    base_t = random_transcriptome(rng, n_txps=4, min_len=260, max_len=400)
+    shared = base_t[0][1][40:160]
+    txps = [(f"t{i}", s[:30] + shared + s[30:]) for i, (_, s) in enumerate(base_t)]
+    from tests.util import write_fasta
+    from rapmap_tpu.index.builder import build_quasi_index
+
+    fa = write_fasta(str(tmp_path / "pe.fa"), txps)
+    idx = build_quasi_index(fa, k=11)
+    comp = bytes.maketrans(b"ACGT", b"TGCA")
+    L = 36
+    lefts, rights = [], []
+    for i in range(6):  # concordant pairs
+        t = i % len(txps)
+        seq = txps[t][1]
+        a = int(rng.integers(0, len(seq) - 130))
+        lefts.append(seq[a : a + L])
+        rights.append(seq[a + 100 - L : a + 100].translate(comp)[::-1])
+    # orphan: right mate junk
+    lefts.append(txps[0][1][5 : 5 + L])
+    rights.append(bytes(rng.choice(np.frombuffer(b"ACGT", np.uint8), L)))
+    # orphan: left junk
+    lefts.append(bytes(rng.choice(np.frombuffer(b"ACGT", np.uint8), L)))
+    rights.append(txps[1][1][50 : 50 + L].translate(comp)[::-1])
+    # discordant: both map, same strand (no opposite-strand partner)
+    lefts.append(txps[2][1][10 : 10 + L])
+    rights.append(txps[3][1][10 : 10 + L])
+    # ambiguous: both mates inside the shared segment
+    lefts.append(shared[10 : 10 + L])
+    rights.append(shared[60 : 60 + L].translate(comp)[::-1])
+    # empty pair
+    lefts.append(b"")
+    rights.append(b"")
+    B = 12
+    c1, l1 = batch_of(lefts, L)
+    c2, l2 = batch_of(rights, L)
+    base = dict(k=idx.k, max_hits_per_strand=26, expand_budget=256, **kw)
+    m1 = QuasiMapper(idx, MapConfig(**base))
+    m2 = QuasiMapper(idx, MapConfig(**base, chunk=4))
+    w1 = m1.fetch(m1.map_pe_async(c1, l1, c2, l2, n_valid=len(lefts)))
+    w2 = m2.fetch(m2.map_pe_async(c1, l1, c2, l2, n_valid=len(lefts)))
+    assert w1.counters == w2.counters
+    assert np.array_equal(w1.counts, w2.counts)
+    assert np.array_equal(w1.flags, w2.flags)
+    assert np.array_equal(w1.recs, w2.recs)
