@@ -276,7 +276,10 @@ class QuasiMapper:
                 ),
             )
         self.cfg = cfg
-        self.didx, self.st = upload_index(idx)
+        # lean upload drops the arrays the CHD + packed-extension hot path
+        # never gathers (~halves HBM; required for human-scale indexes)
+        lean = cfg.packed_extension and getattr(idx, "chd_dir", None) is not None
+        self.didx, self.st = upload_index(idx, lean=lean)
         self.host_index = idx  # oracle fallback for budget-degraded reads
         self.txp_names = idx.txp_names
         self.txp_lens = np.asarray(idx.txp_lens)

@@ -37,11 +37,13 @@ class DeviceQuasiIndex(NamedTuple):
     """
 
     text2q: jnp.ndarray     # uint32 (nw, 4): packed words i..i+3
-    sa_ext: jnp.ndarray     # int32 (n, 3): [(SA[i]+k) >> 4, (SA[i]+k) & 15,
-    #                                        txp_end - (SA[i]+k)]
     sa_meta: jnp.ndarray    # int32 (n, 2): [sa_txp, sa_tpos]
-    kmer_rows: jnp.ndarray  # int32 (K, 4): [hi, lo, b, e] (hi/lo bitcast)
-    lut_rows: jnp.ndarray   # int32 (4^p, 2): [lut[v], lut[v+1]]
+    # None under lean upload (sa_cmp carries the same 3 leading columns):
+    sa_ext: jnp.ndarray | None = None  # int32 (n, 3): [(SA[i]+k) >> 4,
+    #                                    (SA[i]+k) & 15, txp_end - (SA[i]+k)]
+    # binary-search fallback tables; None under lean upload (CHD only)
+    kmer_rows: jnp.ndarray | None = None  # int32 (K, 4): [hi, lo, b, e]
+    lut_rows: jnp.ndarray | None = None   # int32 (4^p, 2): [lut[v], lut[v+1]]
     # charwise-fallback arrays; None in bigSA mode (packed path only)
     text: jnp.ndarray | None = None  # int8 codes
     sa: jnp.ndarray | None = None    # int32
@@ -142,14 +144,24 @@ def sa_cmp_rows(sa, tend, k: int, t2b: np.ndarray) -> np.ndarray:
     return np.stack(cols, axis=1)
 
 
-def upload_index(idx: QuasiIndex) -> tuple[DeviceQuasiIndex, EngineStatic]:
+def upload_index(
+    idx: QuasiIndex, lean: bool = False
+) -> tuple[DeviceQuasiIndex, EngineStatic]:
+    """lean=True drops every HBM array the CHD + packed-extension hot path
+    never gathers (charwise text/sa, the binary-search kmer/lut tables, and
+    sa_ext whose 3 columns lead each sa_cmp row) — roughly halves device
+    memory, which is what lets human-transcriptome-scale indexes fit one
+    chip. Requires a CHD-bearing index; engines needing the dropped arrays
+    (cfg.packed_extension=False, non-CHD lookup) must use the full upload."""
     big_sa = np.asarray(idx.sa).dtype == np.int64
     sa_txp = np.asarray(idx.sa_txp, dtype=np.int32)
     sa_tpos = np.asarray(idx.sa_tpos, dtype=np.int32)
     off = np.asarray(idx.txp_offsets, dtype=np.int64)
     tl = np.asarray(idx.txp_lens, dtype=np.int32)
     tend = off[sa_txp] + tl[sa_txp]
-    sa_ext = sa_ext_cols(idx.sa, tend, idx.k)
+    if lean and getattr(idx, "chd_dir", None) is None:
+        raise ValueError("lean upload requires a CHD-bearing index")
+    sa_ext = None if lean else sa_ext_cols(idx.sa, tend, idx.k)
     sa_meta = np.stack([sa_txp, sa_tpos], axis=1)
     kmer_rows = np.stack(
         [
@@ -224,12 +236,12 @@ def upload_index(idx: QuasiIndex) -> tuple[DeviceQuasiIndex, EngineStatic]:
         chd_rows = jnp.asarray(rows)
     dev = DeviceQuasiIndex(
         text2q=jnp.asarray(text2q),
-        sa_ext=jnp.asarray(sa_ext),
+        sa_ext=None if sa_ext is None else jnp.asarray(sa_ext),
         sa_meta=jnp.asarray(sa_meta),
-        kmer_rows=jnp.asarray(kmer_rows),
-        lut_rows=jnp.asarray(lut_rows),
-        text=None if big_sa else jnp.asarray(np.asarray(idx.text), dtype=jnp.int8),
-        sa=None if big_sa else jnp.asarray(np.asarray(idx.sa, dtype=np.int32)),
+        kmer_rows=None if lean else jnp.asarray(kmer_rows),
+        lut_rows=None if lean else jnp.asarray(lut_rows),
+        text=None if (big_sa or lean) else jnp.asarray(np.asarray(idx.text), dtype=jnp.int8),
+        sa=None if (big_sa or lean) else jnp.asarray(np.asarray(idx.sa, dtype=np.int32)),
         chd_dir=chd_dir,
         chd_rows=chd_rows,
         sa_cmp=jnp.asarray(sa_cmp),

@@ -144,7 +144,7 @@ def _bound_stacked(didx, qwords, qlen, b, e, upper, W: int, steps: int):
     static worst case `steps` (which only bounds it) — on indexes where most
     k-mers are near-unique the loop ends after 1-2 trips instead of
     log2(max_interval)."""
-    n_sa = didx.sa_ext.shape[0]
+    n_sa = (didx.sa_cmp if didx.sa_cmp is not None else didx.sa_ext).shape[0]
 
     def cond(iv):
         lo, hi = iv
@@ -201,7 +201,7 @@ def extend_packed(
         for j in range(W)
     ]
 
-    n_sa = didx.sa_ext.shape[0]
+    n_sa = (didx.sa_cmp if didx.sa_cmp is not None else didx.sa_ext).shape[0]
     no_up = qlen < 0  # all-False
     # inactive lanes get empty search ranges so they never hold the
     # early-exit while_loops open
