@@ -279,17 +279,27 @@ def run_map(args, pseudo: bool) -> int:
         q: deque = deque()
         depth = max(1, args.pipelineDepth)
         done = [skip_batches]
+        # steady-state marker: the first drained batch carries the one-off
+        # jit compile, so the post-first-batch rate is the production number
+        steady = [0.0, 0]
+
+        def mark_steady():
+            if steady[0] == 0.0:
+                steady[0] = time.time()
+                steady[1] = totals.get("reads_total", 0)
 
         def step(drain, item):
             q.append(item)
             if len(q) >= depth:
                 drain(q.popleft())
+                mark_steady()
                 done[0] += 1
                 save_progress(done[0], out) if out is not None and out is not sys.stdout else None
 
         def flush_all(drain):
             while q:
                 drain(q.popleft())
+                mark_steady()
                 done[0] += 1
                 save_progress(done[0], out) if out is not None and out is not sys.stdout else None
 
@@ -355,6 +365,12 @@ def run_map(args, pseudo: bool) -> int:
             totals.get("reads_mapped", 0), totals["reads_total"], rate, dt,
             totals["reads_total"] / max(dt, 1e-9),
         )
+        if steady[0] and totals["reads_total"] > steady[1]:
+            srate = (totals["reads_total"] - steady[1]) / max(
+                time.time() - steady[0], 1e-9
+            )
+            totals["steady_reads_per_s"] = round(srate, 1)
+            log.info("steady-state (post-compile): %.0f reads/s", srate)
     if args.statsJson:
         with open(args.statsJson, "w") as f:
             json.dump(totals, f, indent=1)
