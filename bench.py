@@ -185,11 +185,66 @@ def bench_cfg(idx, chunk: int):
     )
 
 
-def run_bench(batch: int, pe: bool = False, isoform: bool = False) -> dict:
+def build_pseudo_world():
+    """Pseudo (k-mer CSR) index over the same bench txome + the same reads."""
+    from rapmap_tpu.index.builder import build_pseudo_index
+    from rapmap_tpu.index.format import load_index
+
+    idx, codes = build_world()  # ensures txome.fa + reads exist
+    pidx_dir = os.path.join(CACHE, "pidx_v1")
+    if not os.path.exists(os.path.join(pidx_dir, "header.json")):
+        build_pseudo_index(os.path.join(CACHE, "txome.fa"), outdir=pidx_dir, k=31)
+    return load_index(pidx_dir), codes
+
+
+def run_bench(batch: int, pe: bool = False, isoform: bool = False,
+              pseudo: bool = False) -> dict:
     t_setup = time.time()
     from rapmap_tpu.config import MapConfig
     from rapmap_tpu.models.quasi import QuasiMapper
 
+    if pseudo:
+        from rapmap_tpu.models.pseudo import PseudoMapper
+
+        pidx, codes = build_pseudo_world()
+        # the pseudo wire path has no chunked program; keep B at the compile
+        # sweet spot and let the pipeline amortize dispatches
+        BATCH = min(batch, 8192)
+        cfg = MapConfig(k=pidx.k, max_hits_per_strand=4, expand_budget=3, rec_slots=2)
+        mapper = PseudoMapper(pidx, cfg)
+        lens = np.full(BATCH, READ_LEN, dtype=np.int32)
+        submit = lambda lo: mapper.map_se_async(codes[lo : lo + BATCH], lens)
+        print(f"# setup {time.time()-t_setup:.1f}s", file=sys.stderr)
+        t0 = time.time()
+        wr = mapper.fetch(submit(0))
+        print(f"# compile+first batch {time.time()-t0:.1f}s; "
+              f"mapped {wr.counters['reads_mapped']}/{BATCH}", file=sys.stderr)
+        from collections import deque
+
+        q: deque = deque()
+        t0 = time.time()
+        total = mapped = 0
+        for i in range(max(1, N_READS // BATCH)):
+            if (i + 1) * BATCH > len(codes):
+                break
+            q.append(submit(i * BATCH))
+            if len(q) >= 6:
+                wr = mapper.fetch(q.popleft())
+                mapped += wr.counters["reads_mapped"]
+                total += BATCH
+        while q:
+            wr = mapper.fetch(q.popleft())
+            mapped += wr.counters["reads_mapped"]
+            total += BATCH
+        dt = time.time() - t0
+        print(f"# {total} reads in {dt:.2f}s, map rate {100.0*mapped/total:.1f}%",
+              file=sys.stderr)
+        return {
+            "metric": "pseudomap_reads_per_s_per_chip",
+            "value": round(total / dt, 1),
+            "unit": "reads/s",
+            "vs_baseline": round(total / dt / PROVISIONAL_BASELINE_READS_PER_S, 3),
+        }
     if isoform:
         idx, codes = build_isoform_world()
         # repetitive regime: auto-size the expansion pool from index stats,
@@ -268,11 +323,16 @@ def main() -> None:
 
     pe = "--pe" in sys.argv
     iso = "--isoform" in sys.argv
-    argv = [a for a in sys.argv[1:] if a not in ("--pe", "--isoform")]
-    if argv:  # child mode: bench.py [--pe|--isoform] <batch>
-        print(json.dumps(run_bench(int(argv[0]), pe=pe, isoform=iso)))
+    pseudo = "--pseudo" in sys.argv
+    argv = [a for a in sys.argv[1:] if a not in ("--pe", "--isoform", "--pseudo")]
+    if argv:  # child mode: bench.py [--pe|--isoform|--pseudo] <batch>
+        print(json.dumps(run_bench(int(argv[0]), pe=pe, isoform=iso, pseudo=pseudo)))
         return
-    mode_flags = (["--pe"] if pe else []) + (["--isoform"] if iso else [])
+    mode_flags = (
+        (["--pe"] if pe else [])
+        + (["--isoform"] if iso else [])
+        + (["--pseudo"] if pseudo else [])
+    )
     for batch, timeout_s in ((BATCH, 800), (BATCH // 2, 1200), (BATCH // 4, 1800)):
         try:
             res = subprocess.run(
