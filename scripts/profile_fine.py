@@ -44,7 +44,9 @@ def main():
     from rapmap_tpu.ops.mmp import scan_dispatch
 
     idx, codes = build_world()
-    cfg = MapConfig(k=idx.k, chunk=CHUNK)
+    from bench import bench_cfg
+
+    cfg = bench_cfg(idx, chunk=CHUNK)
     mapper = QuasiMapper(idx, cfg)
     didx, st = mapper.didx, mapper.st
     C, L = CHUNK, READ_LEN
@@ -182,6 +184,21 @@ def main():
             )
         raise ValueError(upto)
 
+    def stage_recse(didx, reads, lens):
+        from rapmap_tpu.ops.collate import collate_records_se
+        from rapmap_tpu.ops.wire import rec_spec_se
+
+        hits = scan_dispatch(didx, st, reads, lens, cfg)
+        se, fl = collate_records_se(
+            didx, st, hits, lens, cfg, cfg.rec_slots * reads.shape[0],
+            rec_spec=rec_spec_se(st, cfg),
+        )
+        return (
+            jnp.sum(se.recs[:, 0], dtype=jnp.int32)
+            + jnp.sum(se.counts, dtype=jnp.int32)
+            + jnp.sum(fl.mapped, dtype=jnp.int32)
+        )
+
     def stage_core(didx, reads, lens):
         hits = scan_dispatch(didx, st, reads, lens, cfg)
         c = _collate_core(didx, st, hits, lens, cfg)
@@ -233,6 +250,24 @@ def main():
     t_exp = timeit("expand", chunked(lambda dx, r, l: collate_sub(dx, r, l, "expand")), feed)
     t_vote = timeit("vote", chunked(lambda dx, r, l: collate_sub(dx, r, l, "vote")), feed)
     t_core = timeit("core", chunked(stage_core), feed)
+    t_rec = timeit("recse", chunked(stage_recse), feed)
+
+    # full chunked wire program (adds input unpack + counters + wire pack)
+    from rapmap_tpu.models.quasi import map_batch_se_wire_chunked
+    from rapmap_tpu.ops.wire import pack_in_se
+
+    capc = mapper._cap(C)
+    _jw = jax.jit(lambda dx, w: jnp.sum(
+        map_batch_se_wire_chunked(dx, st, w, cfg, capc, B, L, C)[:8],
+        dtype=jnp.int32,
+    ))
+
+    def feed_w(rep):
+        lo = (rep * B) % (len(codes) - B)
+        return jnp.asarray(pack_in_se(
+            codes[lo : lo + B], np.full(B, L, dtype=np.int32), B))
+
+    t_wire = timeit("wirese", lambda w: _jw(didx, w), feed_w)
 
     print("# fine breakdown:", flush=True)
     for nm, dt in (
@@ -243,7 +278,10 @@ def main():
         ("expand", t_exp - t_scan),
         ("sort1+support", t_vote - t_exp),
         ("best+filters", t_core - t_vote),
+        ("records+counts", t_rec - t_core),
+        ("unpack+wire", t_wire - t_rec),
         ("TOTAL core", t_core),
+        ("TOTAL wire", t_wire),
     ):
         print(f"#   {nm:16s} {dt/B*1e6:6.2f} us/read", flush=True)
 
