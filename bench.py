@@ -207,10 +207,11 @@ def run_bench(batch: int, pe: bool = False, isoform: bool = False,
         from rapmap_tpu.models.pseudo import PseudoMapper
 
         pidx, codes = build_pseudo_world()
-        # the pseudo wire path has no chunked program; keep B at the compile
-        # sweet spot and let the pipeline amortize dispatches
-        BATCH = min(batch, 8192)
-        cfg = MapConfig(k=pidx.k, max_hits_per_strand=4, expand_budget=3, rec_slots=2)
+        BATCH = batch
+        cfg = MapConfig(
+            k=pidx.k, chunk=CHUNK if batch > CHUNK else 0,
+            max_hits_per_strand=4, expand_budget=3, rec_slots=2,
+        )
         mapper = PseudoMapper(pidx, cfg)
         lens = np.full(BATCH, READ_LEN, dtype=np.int32)
         submit = lambda lo: mapper.map_se_async(codes[lo : lo + BATCH], lens)

@@ -192,6 +192,66 @@ def pseudo_map_batch_se_wire(didx, st, wire_in, cfg: MapConfig, cap: int, B: int
     return pack_out(compact_se(out, cap), ctr, flags)
 
 
+@partial(jax.jit, static_argnames=("st", "cfg", "capc", "B", "L", "C"))
+def pseudo_map_batch_se_wire_chunked(
+    didx, st, wire_in, cfg: MapConfig, capc: int, B: int, L: int, C: int
+):
+    """Pseudo SE wire step as a lax.scan over (C)-read chunks, mirroring
+    models.quasi.map_batch_se_wire_chunked: compile cost tracks C, huge
+    batches amortize the per-dispatch tunnel cost. Uses the direct-compact
+    collate with the CSR expand_fn (records stay 4-word: PseudoStatic has no
+    field-bound stats for 2-word packing)."""
+    from rapmap_tpu.models.quasi import _se_counters
+    from rapmap_tpu.ops.collate import collate_records_se
+    from rapmap_tpu.ops.wire import (
+        HDR, encode_read_flags, pack_counts_flags, unpack_in_se,
+    )
+
+    assert B % C == 0, "batch must be a multiple of the chunk size"
+    packed_cf = C % 8 == 0 and cfg.rec_slots * C < (1 << 16)
+    reads, lens, n_valid = unpack_in_se(wire_in, B, L)
+    nch = B // C
+    r3 = reads.reshape(nch, C, L)
+    l2 = lens.reshape(nch, C)
+
+    def body(rows_done, xs):
+        r, l = xs
+        nv = jnp.clip(n_valid - rows_done, 0, C)
+        lanes = jnp.concatenate([r, denc.revcomp_batch(r, l)], axis=0)
+        lens2 = jnp.concatenate([l, l])
+        hits = pseudo_scan_batch(didx, st, lanes, lens2, cfg)
+
+        def expand_fn(p, q):
+            meta = row_gather_nd(
+                didx.occ_rows, jnp.clip(p, 0, didx.occ_rows.shape[0] - 1)
+            )
+            return meta[..., 0], meta[..., 1] - q
+
+        se, flags = collate_records_se(
+            None, None, hits, l, cfg, capc, expand_fn=expand_fn
+        )
+        ctr = _se_counters(flags, nv, C)
+        fbits = encode_read_flags(
+            flags.over_budget, flags.out_truncated, flags.too_ambiguous, flags.mapped
+        )
+        hdr = jnp.stack([
+            se.total, se.overflowed.astype(jnp.int32),
+            ctr.reads_total, ctr.reads_mapped, ctr.too_ambiguous,
+            ctr.over_budget, ctr.records, ctr.out_truncated,
+        ])
+        if packed_cf:
+            cw, fw = pack_counts_flags(se.counts, fbits)
+            wout = jnp.concatenate([hdr, cw, fw, se.recs.reshape(-1)])
+        else:
+            wout = jnp.concatenate([hdr, se.counts, fbits, se.recs.reshape(-1)])
+        return rows_done + C, wout
+
+    _, outs = lax.scan(body, n_valid * 0, (r3, l2))
+    hdrs = outs[:, :HDR]
+    hdr = hdrs.sum(axis=0).at[1].set(hdrs[:, 1].max())
+    return jnp.concatenate([hdr, outs[:, HDR:].reshape(-1)])
+
+
 @partial(jax.jit, static_argnames=("st", "cfg", "cap", "B", "L"))
 def pseudo_map_batch_pe_wire(didx, st, wire_in, cfg: MapConfig, cap: int, B: int, L: int):
     from rapmap_tpu.ops.compact import compact_pe
@@ -247,7 +307,11 @@ class PseudoMapper:
         return tuple(jax.tree.map(np.asarray, x) for x in res)
 
     def _cap(self, B: int) -> int:
-        return 4 * B
+        return self.cfg.rec_slots * B
+
+    def _chunk_of(self, B: int) -> int:
+        C = self.cfg.chunk
+        return C if (C and C < B and B % C == 0) else 0
 
     def map_se_async(self, codes, lens, n_valid: int | None = None):
         from rapmap_tpu.ops.wire import pack_in_se
@@ -255,6 +319,13 @@ class PseudoMapper:
         B, L = codes.shape
         nv = n_valid if n_valid is not None else B
         win = pack_in_se(np.asarray(codes), np.asarray(lens), nv)
+        C = self._chunk_of(B)
+        if C:
+            capc = self._cap(C)
+            fut = pseudo_map_batch_se_wire_chunked(
+                self.didx, self.st, jnp.asarray(win), self.cfg, capc, B, L, C
+            )
+            return ("se", B, fut, C, capc)
         fut = pseudo_map_batch_se_wire(
             self.didx, self.st, jnp.asarray(win), self.cfg, self._cap(B), B, L
         )
@@ -271,9 +342,12 @@ class PseudoMapper:
         )
         return ("pe", B, fut, 0, 0)
 
-    @staticmethod
-    def fetch(result):
+    def fetch(self, result):
         from rapmap_tpu.ops.wire import unpack_out
 
         kind, B, fut, C, capc = result
-        return unpack_out(np.asarray(fut), B, 4 if kind == "se" else 7, chunk=C, capc=capc)
+        packed_cf = bool(C) and C % 8 == 0 and self.cfg.rec_slots * C < (1 << 16)
+        return unpack_out(
+            np.asarray(fut), B, 4 if kind == "se" else 7, chunk=C, capc=capc,
+            packed_cf=packed_cf,
+        )

@@ -88,3 +88,33 @@ def test_pseudo_device_parity_pe(pidx):
         ]
         exp = [(m.txp, m.pos1, m.pos2) for m in want]
         assert got == exp, f"pair {i}: {got} != {exp}"
+
+
+def test_pseudo_wire_chunked_matches_unchunked(tmp_path):
+    """pseudo_map_batch_se_wire_chunked must equal the unchunked pseudo wire
+    path (records, counts, flags, counters)."""
+    import numpy as np
+
+    from rapmap_tpu.config import MapConfig
+    from rapmap_tpu.index.builder import build_pseudo_index
+    from rapmap_tpu.models.pseudo import PseudoMapper
+    from tests.test_device_parity import batch_of
+    from tests.util import random_transcriptome, sample_reads, write_fasta
+
+    rng = np.random.default_rng(91)
+    txps = random_transcriptome(rng, n_txps=5, min_len=150, max_len=300)
+    fa = write_fasta(str(tmp_path / "p.fa"), txps)
+    pidx = build_pseudo_index(fa, k=11)
+    reads = sample_reads(rng, txps, 29, read_len=40, error_rate=0.02)
+    L = 40
+    B = 32
+    codes, lens = batch_of([r[1] for r in reads] + [b""] * (B - len(reads)), L)
+    base = dict(k=pidx.k, max_hits_per_strand=30, expand_budget=512)
+    m1 = PseudoMapper(pidx, MapConfig(**base))
+    m2 = PseudoMapper(pidx, MapConfig(**base, chunk=8))
+    w1 = m1.fetch(m1.map_se_async(codes, lens, n_valid=len(reads)))
+    w2 = m2.fetch(m2.map_se_async(codes, lens, n_valid=len(reads)))
+    assert w1.counters == w2.counters
+    assert np.array_equal(w1.counts, w2.counts)
+    assert np.array_equal(w1.flags, w2.flags)
+    assert np.array_equal(w1.recs, w2.recs)
