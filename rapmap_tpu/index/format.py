@@ -73,6 +73,9 @@ class PseudoIndex:
     txp_names: list[str]
     seed: int = 0
     meta: dict = field(default_factory=dict)
+    # optional per-strand CHD perfect hash over the k-mer set (meta["chd"])
+    chd_dir: np.ndarray | None = None   # int32 (2^m_bits,)
+    chd_perm: np.ndarray | None = None  # int32 (2^t_bits,) kmer row id, -1
 
     @property
     def n_txps(self) -> int:
@@ -84,14 +87,15 @@ def _sha(arr: np.ndarray) -> str:
 
 
 _QUASI_OPTIONAL = ["chd_dir", "chd_perm", "chd_cls"]
+_PSEUDO_OPTIONAL = ["chd_dir", "chd_perm"]
 
 
 def save_index(idx, outdir: str) -> None:
     os.makedirs(outdir, exist_ok=True)
     is_quasi = isinstance(idx, QuasiIndex)
     names = list(_QUASI_ARRAYS) if is_quasi else list(_PSEUDO_ARRAYS)
-    if is_quasi:
-        names += [n for n in _QUASI_OPTIONAL if getattr(idx, n) is not None]
+    opt = _QUASI_OPTIONAL if is_quasi else _PSEUDO_OPTIONAL
+    names += [n for n in opt if getattr(idx, n, None) is not None]
     hashes = {}
     for name in names:
         arr = getattr(idx, name)
@@ -135,8 +139,8 @@ def load_index(indir: str, mmap: bool = True, verify: bool = False):
     header = load_header(indir)
     is_quasi = header["index_type"] == "quasi"
     names = list(_QUASI_ARRAYS) if is_quasi else list(_PSEUDO_ARRAYS)
-    if is_quasi:
-        names += [n for n in _QUASI_OPTIONAL if n in header["hashes"]]
+    opt = _QUASI_OPTIONAL if is_quasi else _PSEUDO_OPTIONAL
+    names += [n for n in opt if n in header["hashes"]]
     arrays = {}
     mode = "r" if mmap else None
     for name in names:

@@ -35,6 +35,9 @@ class DevicePseudoIndex(NamedTuple):
     kmer_rows: jnp.ndarray  # (K, 4) int32: [hi, lo, occ_b, occ_e]
     lut_rows: jnp.ndarray   # (4^p, 2)
     occ_rows: jnp.ndarray   # (NOcc, 2) int32: [txp, pos]
+    # per-strand CHD (2-gather probe); None = binary-search path
+    chd_dir: jnp.ndarray | None = None   # int32 (2^m_bits,)
+    chd_rows: jnp.ndarray | None = None  # int32 (2^t_bits, 4)
 
 
 @dataclass(frozen=True)
@@ -42,6 +45,11 @@ class PseudoStatic:
     k: int
     prefix_bases: int
     lookup_steps: int
+    use_chd: bool = False
+    chd_seed: int = 0
+    chd_m_bits: int = 0
+    chd_t_bits: int = 0
+    chd_canonical: bool = False  # pseudo tables are per-strand
 
 
 def upload_pseudo_index(idx: PseudoIndex) -> tuple[DevicePseudoIndex, PseudoStatic]:
@@ -63,12 +71,32 @@ def upload_pseudo_index(idx: PseudoIndex) -> tuple[DevicePseudoIndex, PseudoStat
     occ_rows = np.stack(
         [np.asarray(idx.occ_txp, np.int32), np.asarray(idx.occ_pos, np.int32)], axis=1
     ) if len(idx.occ_txp) else np.zeros((1, 2), np.int32)
+    chd = idx.meta.get("chd") if getattr(idx, "chd_dir", None) is not None else None
+    chd_dir = chd_rows = None
+    if chd is not None:
+        perm = np.asarray(idx.chd_perm, dtype=np.int64)
+        sentinel = np.array([-1, -1, 0, 0], dtype=np.int32)
+        chd_rows = np.where(
+            (perm >= 0)[:, None],
+            kmer_rows[np.clip(perm, 0, len(kmer_rows) - 1)],
+            sentinel[None, :],
+        ).astype(np.int32)
+        chd_dir = jnp.asarray(np.asarray(idx.chd_dir, dtype=np.int32))
+        chd_rows = jnp.asarray(chd_rows)
     dev = DevicePseudoIndex(
         kmer_rows=jnp.asarray(kmer_rows),
         lut_rows=jnp.asarray(lut_rows),
         occ_rows=jnp.asarray(occ_rows),
+        chd_dir=chd_dir,
+        chd_rows=chd_rows,
     )
-    return dev, PseudoStatic(k=idx.k, prefix_bases=p, lookup_steps=steps)
+    return dev, PseudoStatic(
+        k=idx.k, prefix_bases=p, lookup_steps=steps,
+        use_chd=chd is not None,
+        chd_seed=int(chd["seed"]) if chd else 0,
+        chd_m_bits=int(chd["m_bits"]) if chd else 0,
+        chd_t_bits=int(chd["t_bits"]) if chd else 0,
+    )
 
 
 def pseudo_scan_batch(
