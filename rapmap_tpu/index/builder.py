@@ -172,27 +172,27 @@ def build_pseudo_index(
     order = np.lexsort((p_all, t_all, kmer_of))
     occ_txp = t_all[order].astype(np.int32)
     occ_pos = p_all[order]
-    # per-strand CHD perfect hash over the k-mer set: the pseudo engine probes
-    # each lane's keys directly, so a 2-gather probe replaces the 1+steps
-    # binary search that dominated the pseudo device profile
-    from rapmap_tpu.index.chd import build_chd
+    # canonical-class CHD perfect hash over the k-mer set: ONE 2-gather probe
+    # answers BOTH strands of a window (replaces the 1+steps binary search
+    # per lane that dominated the pseudo device profile)
+    from rapmap_tpu.index.chd import build_canonical_chd
 
     t0 = time.time()
-    chd = build_chd(
-        np.asarray(q.kmer_hi, np.uint32), np.asarray(q.kmer_lo, np.uint32),
+    chd = build_canonical_chd(
+        np.asarray(q.kmer_hi, np.uint32), np.asarray(q.kmer_lo, np.uint32), k,
         seed0=seed + 7,
     )
     meta = {}
-    chd_dir = chd_perm = None
+    chd_dir = chd_perm = chd_cls = None
     if chd is not None:
-        chd_dir, chd_perm = chd["dir"], chd["perm"]
-        meta["chd"] = {k_: chd[k_] for k_ in ("seed", "m_bits", "t_bits")}
-        log.info("per-strand CHD perfect hash built (%.1fs)", time.time() - t0)
+        chd_dir, chd_perm, chd_cls = chd["dir"], chd["perm"], chd["cls"]
+        meta["chd"] = {k_: chd[k_] for k_ in ("seed", "m_bits", "t_bits", "canonical")}
+        log.info("canonical CHD perfect hash built (%.1fs)", time.time() - t0)
     idx = PseudoIndex(
         k=k, kmer_hi=q.kmer_hi, kmer_lo=q.kmer_lo, kmer_off=off,
         occ_txp=occ_txp, occ_pos=occ_pos,
         txp_offsets=q.txp_offsets, txp_lens=q.txp_lens, txp_names=q.txp_names, seed=seed,
-        chd_dir=chd_dir, chd_perm=chd_perm, meta=meta,
+        chd_dir=chd_dir, chd_perm=chd_perm, chd_cls=chd_cls, meta=meta,
     )
     if outdir:
         save_index(idx, outdir)

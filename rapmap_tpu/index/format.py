@@ -73,9 +73,11 @@ class PseudoIndex:
     txp_names: list[str]
     seed: int = 0
     meta: dict = field(default_factory=dict)
-    # optional per-strand CHD perfect hash over the k-mer set (meta["chd"])
+    # optional canonical-class CHD perfect hash over the k-mer set
+    # (meta["chd"]; same structure as the quasi index's)
     chd_dir: np.ndarray | None = None   # int32 (2^m_bits,)
-    chd_perm: np.ndarray | None = None  # int32 (2^t_bits,) kmer row id, -1
+    chd_perm: np.ndarray | None = None  # int32 (2^t_bits,) class id, -1
+    chd_cls: np.ndarray | None = None   # int32 (n_cls, 2) [fwd_row, rc_row]
 
     @property
     def n_txps(self) -> int:
@@ -87,7 +89,7 @@ def _sha(arr: np.ndarray) -> str:
 
 
 _QUASI_OPTIONAL = ["chd_dir", "chd_perm", "chd_cls"]
-_PSEUDO_OPTIONAL = ["chd_dir", "chd_perm"]
+_PSEUDO_OPTIONAL = ["chd_dir", "chd_perm", "chd_cls"]
 
 
 def save_index(idx, outdir: str) -> None:

@@ -72,17 +72,62 @@ def upload_pseudo_index(idx: PseudoIndex) -> tuple[DevicePseudoIndex, PseudoStat
         [np.asarray(idx.occ_txp, np.int32), np.asarray(idx.occ_pos, np.int32)], axis=1
     ) if len(idx.occ_txp) else np.zeros((1, 2), np.int32)
     chd = idx.meta.get("chd") if getattr(idx, "chd_dir", None) is not None else None
+    canonical = bool(chd.get("canonical")) if chd else False
     chd_dir = chd_rows = None
-    if chd is not None:
+    if chd is not None and canonical:
+        # class rows [chi, clo, b_fwd, e_fwd, b_rc, e_rc] over CSR occ ranges
+        # (mirrors the quasi canonical upload; an orientation absent from the
+        # text gets b=e=0 -> empty -> not found)
+        from rapmap_tpu.index.chd import key64_of, rc_key64_np
+
+        perm = np.asarray(idx.chd_perm, dtype=np.int64)
+        cls = np.asarray(idx.chd_cls, dtype=np.int64)  # (n_cls, 2)
+        fwd_r, rc_r = cls[:, 0], cls[:, 1]
+        key64 = key64_of(khi, klo)
+        Kc = max(K - 1, 0)
+        ck = np.where(
+            fwd_r >= 0,
+            key64[np.clip(fwd_r, 0, Kc)],
+            rc_key64_np(key64[np.clip(rc_r, 0, Kc)], idx.k),
+        )
+
+        def iv(r):
+            rcl = np.clip(r, 0, Kc)
+            valid = r >= 0
+            return (
+                np.where(valid, off[:-1][rcl], 0).astype(np.int32),
+                np.where(valid, off[1:][rcl], 0).astype(np.int32),
+            )
+
+        bf, ef = iv(fwd_r)
+        br, er = iv(rc_r)
+        cls_rows = np.stack(
+            [
+                (ck >> np.uint64(32)).astype(np.uint32).view(np.int32),
+                (ck & np.uint64(0xFFFFFFFF)).astype(np.uint32).view(np.int32),
+                bf, ef, br, er,
+            ],
+            axis=1,
+        )
+        sentinel = np.array([-1, -1, 0, 0, 0, 0], dtype=np.int32)
+        rows = np.where(
+            (perm >= 0)[:, None],
+            cls_rows[np.clip(perm, 0, len(cls_rows) - 1)],
+            sentinel[None, :],
+        ).astype(np.int32)
+        chd_dir = jnp.asarray(np.asarray(idx.chd_dir, dtype=np.int32))
+        chd_rows = jnp.asarray(rows)
+    elif chd is not None:
+        # legacy per-strand rows (pre-canonical pseudo indexes)
         perm = np.asarray(idx.chd_perm, dtype=np.int64)
         sentinel = np.array([-1, -1, 0, 0], dtype=np.int32)
-        chd_rows = np.where(
+        rows = np.where(
             (perm >= 0)[:, None],
             kmer_rows[np.clip(perm, 0, len(kmer_rows) - 1)],
             sentinel[None, :],
         ).astype(np.int32)
         chd_dir = jnp.asarray(np.asarray(idx.chd_dir, dtype=np.int32))
-        chd_rows = jnp.asarray(chd_rows)
+        chd_rows = jnp.asarray(rows)
     dev = DevicePseudoIndex(
         kmer_rows=jnp.asarray(kmer_rows),
         lut_rows=jnp.asarray(lut_rows),
@@ -96,6 +141,7 @@ def upload_pseudo_index(idx: PseudoIndex) -> tuple[DevicePseudoIndex, PseudoStat
         chd_seed=int(chd["seed"]) if chd else 0,
         chd_m_bits=int(chd["m_bits"]) if chd else 0,
         chd_t_bits=int(chd["t_bits"]) if chd else 0,
+        chd_canonical=canonical,
     )
 
 
@@ -160,13 +206,106 @@ def pseudo_scan_batch(
     return hits
 
 
+def pseudo_scan_batch_paired(
+    didx: DevicePseudoIndex, st: PseudoStatic, reads: jnp.ndarray,
+    lens: jnp.ndarray, cfg: MapConfig,
+) -> ScanHits:
+    """Both strands' jump-ahead-k walks from ONE canonical probe per fwd
+    window (mirrors ops.mmp.scan_batch_paired without the extension phase):
+    the rc lane's window at position p is the reverse complement of the fwd
+    window at column lens-k-p, so its lookup is answered by the same class
+    row. Rows [0, B) are fwd lanes, [B, 2B) rc. Requires st.chd_canonical."""
+    from rapmap_tpu.ops.lookup import kmer_lookup_2str
+
+    B, L = reads.shape
+    k = st.k
+    H = cfg.max_hits_per_strand
+    S = L - k + 1
+    R = 2 * B
+    lens2 = jnp.concatenate([lens, lens])
+
+    key_hi, key_lo, kvalid = denc.kmer_keys_batch(reads, k)
+    ff, bf, ef, fr, br, er = kmer_lookup_2str(didx, st, key_hi, key_lo)
+    in_len = (np.arange(S, dtype=np.int32)[None, :] + k) <= lens[:, None]
+    ok = kvalid & in_len
+    anch_f = ff & ok & ((ef - bf) <= cfg.max_interval)
+    anch_rF = fr & ok & ((er - br) <= cfg.max_interval)  # rc anchors, fwd cols
+
+    s_ix = np.arange(S, dtype=np.int32)[None, :]
+    nf = jnp.where(anch_f, s_ix, np.int32(S))
+    next_f = jnp.flip(
+        lax.associative_scan(jnp.minimum, jnp.flip(nf, axis=1), axis=1), axis=1
+    )
+    pv = jnp.where(anch_rF, s_ix, np.int32(-1))
+    prev_rF = lax.associative_scan(jnp.maximum, pv, axis=1)
+
+    db2 = jnp.concatenate([bf, br], axis=0)   # (R, S) in fwd columns
+    de2 = jnp.concatenate([ef, er], axis=0)
+    anc2 = jnp.concatenate([next_f, prev_rF], axis=0)
+    is_rc = np.arange(R, dtype=np.int32) >= B
+
+    def at2(arr2d, col):
+        return row_gather(arr2d, jnp.clip(col, 0, S - 1)[:, None])[:, 0]
+
+    def next_anchor_pos(nxt):
+        col = jnp.where(is_rc, lens2 - k - nxt, nxt)
+        v = at2(anc2, col)
+        fwd_next = jnp.where(nxt < S, v, np.int32(S))
+        rc_next = jnp.where((col >= 0) & (v >= 0), lens2 - k - v, np.int32(S))
+        return jnp.where(is_rc, rc_next, fwd_next)
+
+    zRH = np.zeros((R, H), np.int32)
+    hits0 = ScanHits(q=zRH, l=zRH, b=zRH, e=zRH, n=lens2 * 0, truncated=lens2 < 0)
+    pos0 = next_anchor_pos(lens2 * 0)
+    rows = np.arange(R, dtype=np.int32)
+
+    def cond(state):
+        pos, hits = state
+        return jnp.any((pos < S) & ~hits.truncated)
+
+    def body(state):
+        pos, hits = state
+        act = (pos < S) & ~hits.truncated
+        posc = jnp.clip(pos, 0, S - 1)
+        col = jnp.where(is_rc, lens2 - k - posc, posc)
+        b = at2(db2, col)
+        e = at2(de2, col)
+        slot = jnp.clip(hits.n, 0, H - 1)
+        overflow = act & (hits.n >= H)
+        write = act & ~overflow
+
+        def put(buf, val):
+            old = buf[rows, slot]
+            return buf.at[rows, slot].set(jnp.where(write, val, old))
+
+        hits = ScanHits(
+            q=put(hits.q, posc), l=put(hits.l, posc * 0 + k),
+            b=put(hits.b, b), e=put(hits.e, e),
+            n=hits.n + write.astype(jnp.int32),
+            truncated=hits.truncated | overflow,
+        )
+        pos2 = next_anchor_pos(posc + k)  # jump-ahead on hit
+        return jnp.where(act, pos2, pos), hits
+
+    _, hits = lax.while_loop(cond, body, (pos0, hits0))
+    return hits
+
+
+def pseudo_scan_dispatch(didx, st, reads, lens, cfg) -> ScanHits:
+    """Canonical paired scan when the index carries a canonical CHD, else the
+    explicit [fwd; rc]-lane scan. Rows [0, B) fwd, [B, 2B) rc either way."""
+    if getattr(st, "chd_canonical", False):
+        return pseudo_scan_batch_paired(didx, st, reads, lens, cfg)
+    lanes = jnp.concatenate([reads, denc.revcomp_batch(reads, lens)], axis=0)
+    lens2 = jnp.concatenate([lens, lens])
+    return pseudo_scan_batch(didx, st, lanes, lens2, cfg)
+
+
 @partial(jax.jit, static_argnames=("st", "cfg"))
 def pseudo_map_batch_se(
     didx: DevicePseudoIndex, st: PseudoStatic, reads, lens, n_valid, cfg: MapConfig
 ) -> tuple[MapOut, Counters]:
-    lanes = jnp.concatenate([reads, denc.revcomp_batch(reads, lens)], axis=0)
-    lens2 = jnp.concatenate([lens, lens])
-    hits = pseudo_scan_batch(didx, st, lanes, lens2, cfg)
+    hits = pseudo_scan_dispatch(didx, st, reads, lens, cfg)
 
     def expand_fn(p, q):
         meta = row_gather_nd(didx.occ_rows, jnp.clip(p, 0, didx.occ_rows.shape[0] - 1))
@@ -245,9 +384,7 @@ def pseudo_map_batch_se_wire_chunked(
     def body(rows_done, xs):
         r, l = xs
         nv = jnp.clip(n_valid - rows_done, 0, C)
-        lanes = jnp.concatenate([r, denc.revcomp_batch(r, l)], axis=0)
-        lens2 = jnp.concatenate([l, l])
-        hits = pseudo_scan_batch(didx, st, lanes, lens2, cfg)
+        hits = pseudo_scan_dispatch(didx, st, r, l, cfg)
 
         def expand_fn(p, q):
             meta = row_gather_nd(
