@@ -205,3 +205,58 @@ def test_wire_pe_direct_merge_corner_cases(tmp_path, kw):
     assert np.array_equal(w1.counts, w2.counts)
     assert np.array_equal(w1.flags, w2.flags)
     assert np.array_equal(w1.recs, w2.recs)
+
+
+def test_rec_spec_roundtrip_extremes():
+    """pack_rec_fields/unpack_rec_rows must survive field extremes: negative
+    positions down to -bias, max transcript ids, max scores, orphan zeros."""
+    import jax.numpy as jnp
+
+    from rapmap_tpu.ops.wire import RecSpec, pack_rec_fields, unpack_rec_rows
+
+    se = RecSpec("se", (18, 20, 1, 6), bias=600)
+    t = np.array([0, 262143, 5, 131072], np.int32)
+    pos = np.array([-599, 0, 447000, -1], np.int32)
+    strand = np.array([0, 1, 1, 0], np.int32)
+    score = np.array([0, 63, 7, 1], np.int32)
+    hi, lo = pack_rec_fields(se, [jnp.asarray(x) for x in (t, pos, strand, score)])
+    rows = np.stack([np.asarray(hi), np.asarray(lo)], axis=1)
+    out = unpack_rec_rows(se, rows)
+    assert np.array_equal(out[:, 0], t)
+    assert np.array_equal(out[:, 1], pos)
+    assert np.array_equal(out[:, 2], strand)
+    assert np.array_equal(out[:, 3], score)
+
+    pe = RecSpec("pe", (18, 20, 1, 1, 20, 1, 1), bias=600)
+    t = np.array([7, 262143], np.int32)
+    p1 = np.array([-600, 12], np.int32)
+    has1 = np.array([1, 0], np.int32)
+    p2 = np.array([3, 447000], np.int32)
+    has2 = np.array([1, 1], np.int32)
+    s1 = np.array([1, 0], np.int32)
+    s2 = np.array([0, 1], np.int32)
+    hi, lo = pack_rec_fields(
+        pe, [jnp.asarray(x) for x in (t, p1, s1, has1, p2, s2, has2)]
+    )
+    out = unpack_rec_rows(pe, np.stack([np.asarray(hi), np.asarray(lo)], axis=1))
+    assert np.array_equal(out[:, 0], t)
+    # positions are zeroed where the has flag is off (never read downstream)
+    assert np.array_equal(out[:, 1], np.where(has1 != 0, p1, 0))
+    assert np.array_equal(out[:, 4], np.where(has2 != 0, p2, 0))
+    assert np.array_equal(out[:, 3], has1)
+    assert np.array_equal(out[:, 6], has2)
+
+
+def test_counts_flags_roundtrip():
+    import jax.numpy as jnp
+
+    from rapmap_tpu.ops.wire import pack_counts_flags, unpack_counts_flags
+
+    rng = np.random.default_rng(5)
+    C = 64
+    counts = rng.integers(0, 1 << 16, C).astype(np.int32)
+    flags = rng.integers(0, 16, C).astype(np.int32)
+    cw, fw = pack_counts_flags(jnp.asarray(counts), jnp.asarray(flags))
+    c2, f2 = unpack_counts_flags(np.asarray(cw), np.asarray(fw), C)
+    assert np.array_equal(c2, counts)
+    assert np.array_equal(f2, flags)
