@@ -1,10 +1,11 @@
 """PseudoMapper — kallisto-style k-mer-only mapping engine (SEMANTICS.md §7).
 
 RapMapMapper rebuild (SURVEY.md §3.5): no suffix array; each k-mer hit yields
-its CSR occurrence list directly, with jump-ahead of k on hit. Reuses the quasi
-engine's row-structured lookup (ops.lookup over a prefix LUT + (hi,lo,b,e)
-rows), dense-lookup scan with a next-anchor walk, and the global-pool
-collation via collate_batch's expand_fn hook.
+its CSR occurrence list directly, with jump-ahead of k on hit. Reuses the
+quasi engine's lookup machinery (canonical-class CHD probe when the index
+carries one — ONE 2-gather probe answers both strands of a window — with the
+prefix-LUT binary search as fallback), the dense-scan + next-anchor walk
+pattern, and the global-pool collation via collate's expand_fn hook.
 """
 
 from __future__ import annotations
