@@ -334,7 +334,9 @@ def main() -> None:
         + (["--isoform"] if iso else [])
         + (["--pseudo"] if pseudo else [])
     )
-    for batch, timeout_s in ((BATCH, 800), (BATCH // 2, 1200), (BATCH // 4, 1800)):
+    # measured sweep (BASELINE.md): B=32768 456.8k > B=65536 391-396k >
+    # B=16384 325.6k — lead with the sweet spot; fallbacks shrink compile risk
+    for batch, timeout_s in ((BATCH // 2, 900), (BATCH // 4, 1200), (BATCH // 8, 1800)):
         try:
             res = subprocess.run(
                 [sys.executable, os.path.abspath(__file__), *mode_flags, str(batch)],
