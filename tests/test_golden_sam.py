@@ -56,29 +56,81 @@ def _fixture(tmp: str):
     return fa, fq
 
 
-def _run_cli(tmp: str) -> list[str]:
-    fa, fq = _fixture(tmp)
+GOLDEN_PE = os.path.join(os.path.dirname(__file__), "golden", "tiny_quasi_pe.sam")
+GOLDEN_PS = os.path.join(os.path.dirname(__file__), "golden", "tiny_pseudo.sam")
+
+
+def _pe_fixture(tmp: str, fa: str):
+    rng = np.random.default_rng(7_20260817)
+    comp = bytes.maketrans(b"ACGT", b"TGCA")
+    txps = []
+    cur = None
+    for ln in open(fa):
+        if ln.startswith(">"):
+            cur = []
+            txps.append(cur)
+        else:
+            cur.append(ln.strip().encode())
+    seqs = [b"".join(t) for t in txps]
+    f1 = os.path.join(tmp, "pe_1.fq.gz")
+    f2 = os.path.join(tmp, "pe_2.fq.gz")
+    with gzip.open(f1, "wt") as a, gzip.open(f2, "wt") as b:
+        for i in range(12):
+            seq = seqs[int(rng.integers(0, len(seqs)))]
+            if len(seq) < 130:
+                seq = seqs[0]
+            p = int(rng.integers(0, len(seq) - 120))
+            left = seq[p : p + 44]
+            right = seq[p + 120 - 44 : p + 120].translate(comp)[::-1]
+            a.write(f"@p{i}\n{left.decode()}\n+\n{'I'*44}\n")
+            b.write(f"@p{i}\n{right.decode()}\n+\n{'I'*44}\n")
+    return f1, f2
+
+
+def _run(cmds, tmp):
     env = dict(os.environ, TQM_FORCE_CPU="1")
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    sam = os.path.join(tmp, "out.sam")
-    for cmd in (
-        ["quasiindex", "-t", fa, "-i", os.path.join(tmp, "idx"), "-k", "15"],
-        ["quasimap", "-i", os.path.join(tmp, "idx"), "-r", fq, "-o", sam],
-    ):
+    for cmd in cmds:
         subprocess.run(
             [sys.executable, "-m", "rapmap_tpu.cli", *cmd],
             check=True, cwd=root, env=env, capture_output=True,
         )
-    with open(sam) as f:
+
+
+def _read_sam(path):
+    with open(path) as f:
         # @PG carries the command line; drop it from the pinned content
         return [ln for ln in f.read().splitlines() if not ln.startswith("@PG")]
 
 
+def _run_cli(tmp: str):
+    fa, fq = _fixture(tmp)
+    f1, f2 = _pe_fixture(tmp, fa)
+    idx, pidx = os.path.join(tmp, "idx"), os.path.join(tmp, "pidx")
+    se, pe, ps = (os.path.join(tmp, n) for n in ("se.sam", "pe.sam", "ps.sam"))
+    _run(
+        [
+            ["quasiindex", "-t", fa, "-i", idx, "-k", "15"],
+            ["pseudoindex", "-t", fa, "-i", pidx, "-k", "15"],
+            ["quasimap", "-i", idx, "-r", fq, "-o", se],
+            ["quasimap", "-i", idx, "-1", f1, "-2", f2, "-o", pe],
+            ["pseudomap", "-i", pidx, "-r", fq, "-o", ps],
+        ],
+        tmp,
+    )
+    return _read_sam(se), _read_sam(pe), _read_sam(ps)
+
+
 def test_cli_matches_golden_sam(tmp_path):
-    got = _run_cli(str(tmp_path))
-    with open(GOLDEN) as f:
-        want = f.read().splitlines()
-    assert got == want, "CLI SAM deviates from the pinned golden output"
+    se, pe, ps = _run_cli(str(tmp_path))
+    for got, path, name in (
+        (se, GOLDEN, "SE quasimap"),
+        (pe, GOLDEN_PE, "PE quasimap"),
+        (ps, GOLDEN_PS, "pseudomap"),
+    ):
+        with open(path) as f:
+            want = f.read().splitlines()
+        assert got == want, f"{name} SAM deviates from the pinned golden output"
 
 
 if __name__ == "__main__" and "--regen" in sys.argv:
@@ -86,7 +138,8 @@ if __name__ == "__main__" and "--regen" in sys.argv:
 
     os.makedirs(os.path.dirname(GOLDEN), exist_ok=True)
     with tempfile.TemporaryDirectory() as td:
-        lines = _run_cli(td)
-    with open(GOLDEN, "w") as f:
-        f.write("\n".join(lines) + "\n")
-    print(f"regenerated {GOLDEN}: {len(lines)} lines")
+        outs = _run_cli(td)
+    for lines, path in zip(outs, (GOLDEN, GOLDEN_PE, GOLDEN_PS)):
+        with open(path, "w") as f:
+            f.write("\n".join(lines) + "\n")
+        print(f"regenerated {path}: {len(lines)} lines")
