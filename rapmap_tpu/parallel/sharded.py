@@ -16,7 +16,7 @@ reconstructs the NIP-visited subset — exact SEMANTICS.md §3 results.
 from __future__ import annotations
 
 import math
-from dataclasses import dataclass
+from dataclasses import dataclass, replace
 from functools import partial
 from typing import NamedTuple
 
@@ -42,19 +42,78 @@ class ShardedIndexArrays(NamedTuple):
     """Stacked per-shard arrays; leading axis = idx shard (padded equal sizes)."""
 
     text2q: jnp.ndarray    # (P, nw, 4) — replicated content
-    sa_ext: jnp.ndarray    # (P, S_pad, 3) — device_index.sa_ext_cols layout
+    sa_cmp: jnp.ndarray    # (P, S_pad, 3+F) — device_index.sa_cmp_rows layout
     sa_meta: jnp.ndarray   # (P, S_pad, 2)
     kmer_rows: jnp.ndarray # (P, K_pad, 4) — b/e rebased to shard-local slots
     lut_rows: jnp.ndarray  # (P, 4^p, 2) — rows outside shard range are empty
     slot_base: jnp.ndarray # (P, 2) int32 [global slot offset, true slot count]
     # (true count matters: shards are padded to S_pad, and ownership tests must
     # use the real count or a short shard also claims the next shard's slots)
+    # Per-shard CHD perfect hash (docs/DESIGN_SA_SHARDING.md round-3 upgrade):
+    # common (m_bits, t_bits, seed) geometry across shards so the stacks stay
+    # rectangular and the probe statics shard-invariant; None = binary search.
+    chd_dir: jnp.ndarray | None = None   # (P, 2^m_bits) int32
+    chd_rows: jnp.ndarray | None = None  # (P, 2^t_bits, 4) [hi, lo, b_loc, e_loc]
 
 
-def shard_quasi_index(idx: QuasiIndex, n_shards: int):
+def _build_shard_chds(khi_u32, klo_u32, row_cuts, seed0: int):
+    """Common-geometry CHD per shard (docs/DESIGN_SA_SHARDING.md round-3).
+
+    One CHD per shard over that shard's k-mer subset, with (m_bits, t_bits)
+    sized for the largest shard and ONE seed retried until the displacement
+    search succeeds on every shard (failures are independent and rare).
+    Returns (dirs (P, 2^m), perms (P, 2^t), seed, m_bits, t_bits) or None
+    when the native library is unavailable / placement keeps failing.
+    """
+    try:
+        from rapmap_tpu.native import bindings as nat
+
+        if not nat.available():
+            return None
+    except Exception:  # pragma: no cover - import/runtime issues
+        return None
+    from rapmap_tpu.index.chd import MAXD, chd_params
+
+    P_ = len(row_cuts) - 1
+    n_max = max(row_cuts[i + 1] - row_cuts[i] for i in range(P_))
+    if n_max == 0:
+        return None
+    m_bits, t_bits = chd_params(n_max)
+    for attempt in range(16):
+        seed = (seed0 + attempt * 1000003) & 0xFFFFFFFF
+        dirs, perms, ok = [], [], True
+        for p in range(P_):
+            r0, r1 = row_cuts[p], row_cuts[p + 1]
+            if r1 == r0:  # empty shard: every probe lands on a sentinel row
+                dirs.append(np.zeros(1 << m_bits, np.int32))
+                perms.append(np.full(1 << t_bits, -1, np.int32))
+                continue
+            res = nat.chd_build(
+                khi_u32[r0:r1], klo_u32[r0:r1], m_bits, t_bits, seed, MAXD
+            )
+            if res is None:
+                ok = False
+                break
+            dirs.append(res[0])
+            perms.append(res[1])
+        if ok:
+            return np.stack(dirs), np.stack(perms), seed, m_bits, t_bits
+    return None
+
+
+def shard_quasi_index(idx: QuasiIndex, n_shards: int, use_chd: bool = True):
     """Cut the index at prefix-bucket boundaries into n_shards slot ranges.
 
-    Returns (ShardedIndexArrays as numpy, EngineStatic).
+    Returns (ShardedIndexArrays as numpy, EngineStatic). When the native CHD
+    builder is available (and use_chd), each shard gets its own perfect-hash
+    probe table: 2 gathers/window/strand in the dense phase instead of the
+    1 + lookup_steps binary search. Alien keys need no masking — CHD sends
+    them to an arbitrary slot whose key compare rejects, so a key is found on
+    exactly its owning shard and the psum-union stays exact. The canonical
+    both-strands-per-probe variant deliberately does NOT port: a class's fwd
+    and rc k-mers sort into different prefix buckets (different shards), so
+    class rows would straddle shards; per-strand per-shard CHD is the
+    portable form (docs/DESIGN_SA_SHARDING.md).
     """
     lut = np.asarray(idx.prefix_lut, dtype=np.int64)
     kb = np.asarray(idx.kmer_b, dtype=np.int64)
@@ -75,24 +134,27 @@ def shard_quasi_index(idx: QuasiIndex, n_shards: int):
 
     S_pad = max(slot_cuts[i + 1] - slot_cuts[i] for i in range(n_shards)) or 1
     K_pad = max(row_cuts[i + 1] - row_cuts[i] for i in range(n_shards)) or 1
-    from rapmap_tpu.ops.device_index import sa_ext_cols
+    from rapmap_tpu.ops.device_index import sa_cmp_rows
 
     sa_txp = np.asarray(idx.sa_txp, dtype=np.int32)
     sa_tpos = np.asarray(idx.sa_tpos, dtype=np.int32)
     off = np.asarray(idx.txp_offsets, dtype=np.int64)
     tl = np.asarray(idx.txp_lens, dtype=np.int32)
-    ext_all = sa_ext_cols(idx.sa, off[sa_txp] + tl[sa_txp], idx.k)
-    khi = np.asarray(idx.kmer_hi, dtype=np.uint32).view(np.int32)
-    klo = np.asarray(idx.kmer_lo, dtype=np.uint32).view(np.int32)
+    khi_u32 = np.asarray(idx.kmer_hi, dtype=np.uint32)
+    klo_u32 = np.asarray(idx.kmer_lo, dtype=np.uint32)
+    khi = khi_u32.view(np.int32)
+    klo = klo_u32.view(np.int32)
 
     t2b = np.asarray(idx.text2b, dtype=np.uint32)
+    cmp_all = sa_cmp_rows(idx.sa, off[sa_txp] + tl[sa_txp], idx.k, t2b)
+    FC = cmp_all.shape[1]
     nw = len(t2b)
     t2p = np.concatenate([t2b, np.zeros(4, np.uint32)])
     text2q1 = np.stack([t2p[i : i + nw] for i in range(4)], axis=1)
 
     P_ = n_shards
     text2q = np.broadcast_to(text2q1, (P_, nw, 4)).copy()
-    sa_ext = np.zeros((P_, S_pad, 3), np.int32)
+    sa_cmp = np.zeros((P_, S_pad, FC), np.int32)
     sa_meta = np.zeros((P_, S_pad, 2), np.int32)
     kmer_rows = np.zeros((P_, K_pad, 4), np.int32)
     lut_rows = np.zeros((P_, len(lut) - 1, 2), np.int32)
@@ -103,7 +165,7 @@ def shard_quasi_index(idx: QuasiIndex, n_shards: int):
         ns, nr = s1 - s0, r1 - r0
         bases[p, 0] = s0
         bases[p, 1] = ns
-        sa_ext[p, :ns] = ext_all[s0:s1]
+        sa_cmp[p, :ns] = cmp_all[s0:s1]
         sa_meta[p, :ns, 0] = sa_txp[s0:s1]
         sa_meta[p, :ns, 1] = sa_tpos[s0:s1]
         kmer_rows[p, :nr, 0] = khi[r0:r1]
@@ -114,20 +176,42 @@ def shard_quasi_index(idx: QuasiIndex, n_shards: int):
         lr = np.clip(lut, r0, r1) - r0
         lut_rows[p, :, 0] = lr[:-1]
         lut_rows[p, :, 1] = lr[1:]
-    arrays = ShardedIndexArrays(
-        text2q=text2q, sa_ext=sa_ext, sa_meta=sa_meta,
-        kmer_rows=kmer_rows, lut_rows=lut_rows,
-        slot_base=bases,
-    )
+
     st = EngineStatic.for_index(idx)
+    chd_dir = chd_rows = None
+    chd = _build_shard_chds(khi_u32, klo_u32, row_cuts, idx.seed + 7) if use_chd else None
+    if chd is not None:
+        dirs, perms, seed, m_bits, t_bits = chd
+        sentinel = np.array([-1, -1, 0, 0], dtype=np.int32)
+        chd_rows = np.empty((P_, 1 << t_bits, 4), np.int32)
+        for p in range(P_):
+            r0, r1 = row_cuts[p], row_cuts[p + 1]
+            local = kmer_rows[p]  # rows already rebased to shard-local slots
+            perm = perms[p]
+            pc = np.clip(perm, 0, max(r1 - r0 - 1, 0))
+            chd_rows[p] = np.where((perm >= 0)[:, None], local[pc], sentinel[None, :])
+        chd_dir = dirs
+        st = replace(
+            st, use_chd=True, chd_canonical=False,
+            chd_seed=int(seed), chd_m_bits=m_bits, chd_t_bits=t_bits,
+        )
+    else:
+        st = replace(st, use_chd=False, chd_canonical=False)
+    arrays = ShardedIndexArrays(
+        text2q=text2q, sa_cmp=sa_cmp, sa_meta=sa_meta,
+        kmer_rows=kmer_rows, lut_rows=lut_rows,
+        slot_base=bases, chd_dir=chd_dir, chd_rows=chd_rows,
+    )
     return arrays, st
 
 
 def _local_didx(sh) -> DeviceQuasiIndex:
     """View one shard's slice (inside shard_map, leading axis already split)."""
     return DeviceQuasiIndex(
-        text2q=sh.text2q[0], sa_ext=sh.sa_ext[0], sa_meta=sh.sa_meta[0],
+        text2q=sh.text2q[0], sa_cmp=sh.sa_cmp[0], sa_meta=sh.sa_meta[0],
         kmer_rows=sh.kmer_rows[0], lut_rows=sh.lut_rows[0],
+        chd_dir=None if sh.chd_dir is None else sh.chd_dir[0],
+        chd_rows=None if sh.chd_rows is None else sh.chd_rows[0],
     )
 
 
