@@ -112,6 +112,8 @@ def build_quasi_index(
     log.info("suffix array built (%.1fs)", time.time() - t0)
     t0 = time.time()
     khi, klo, kb, ke = build_kmer_table(text[:n_text], sa, k)
+    log.info("k-mer table: %d distinct %d-mers (%.1fs)", len(kb), k, time.time() - t0)
+    t0 = time.time()
     if prefix_bases is None:
         # aim for ~1 entry/bucket: p ~ log4(#kmers)+1, capped to keep the LUT
         # small relative to the table (4^p ints <= ~2x entries), and <= 12
@@ -123,7 +125,7 @@ def build_quasi_index(
     text2b, _ = pack_text_2bit(text)  # sentinel mask unused by the engines
     sa_txp = _sa_txp_of(sa, offsets, lens)
     sa_tpos = (np.asarray(sa, dtype=np.int64) - offsets[sa_txp]).astype(np.int32)
-    log.info("k-mer table: %d distinct %d-mers (%.1fs)", len(kb), k, time.time() - t0)
+    log.info("lut/pack/sa_txp derived (%.1fs)", time.time() - t0)
     # canonical-class CHD perfect hash (BooPHF role): the device resolves
     # BOTH strands of a window with one 2-gather probe (ops/lookup.py)
     t0 = time.time()

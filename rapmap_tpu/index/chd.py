@@ -146,25 +146,45 @@ def build_canonical_chd(khi, klo, k: int, seed0: int = 1):
     -> dict(dir, perm, cls (n_cls, 2) int32 [fwd_row, rc_row] (-1 = absent),
             seed, m_bits, t_bits, canonical=True) or None (no native lib /
     placement failure -> caller keeps per-strand probing or binary search)."""
-    key64 = key64_of(khi, klo)
-    n = len(key64)
+    n = len(khi)
     if n == 0:
         return None
-    can64 = np.minimum(key64, rc_key64_np(key64, k))
-    classes = np.unique(can64)
+    res = None
+    try:
+        from rapmap_tpu.native import bindings as nat
 
-    def row_of(vals: np.ndarray) -> np.ndarray:
-        i = np.searchsorted(key64, vals)
-        i_c = np.minimum(i, n - 1)
-        return np.where(key64[i_c] == vals, i_c, -1).astype(np.int32)
-
-    fwd_row = row_of(classes)                     # row of the class k-mer itself
-    rc_row = row_of(rc_key64_np(classes, k))      # row of its reverse complement
-    chd = build_chd(
-        (classes >> np.uint64(32)).astype(np.uint32),
-        (classes & np.uint64(0xFFFFFFFF)).astype(np.uint32),
-        seed0=seed0,
-    )
+        res = nat.canonical_classes(khi, klo, k)
+    except Exception:  # pragma: no cover - import/runtime issues
+        res = None
+    if res is not None:
+        chi, clo, fwd_row, rc_row = res
+    else:
+        # numpy fallback: group rows by class with one argsort. Each class
+        # has at most one row per orientation (table keys are unique): the
+        # canonical-orientation row (key64 == class) is fwd_row, the other
+        # (key64 == rc(class)) is rc_row; palindromes use the same row.
+        key64 = key64_of(khi, klo)
+        rc64 = rc_key64_np(key64, k)
+        can64 = np.minimum(key64, rc64)
+        is_can = key64 <= rc64
+        order = np.argsort(can64, kind="stable").astype(np.int64)
+        sc = can64[order]
+        new_cls = np.concatenate([[True], sc[1:] != sc[:-1]])
+        gid = np.cumsum(new_cls) - 1
+        classes = sc[new_cls]
+        n_cls = len(classes)
+        fwd_row = np.full(n_cls, -1, np.int32)
+        rc_row = np.full(n_cls, -1, np.int32)
+        ic = is_can[order]
+        fwd_row[gid[ic]] = order[ic].astype(np.int32)
+        rc_row[gid[~ic]] = order[~ic].astype(np.int32)
+        eq = (key64 == rc64)[order]
+        pal = np.zeros(n_cls, bool)
+        pal[gid[eq]] = True
+        rc_row = np.where(pal, fwd_row, rc_row).astype(np.int32)
+        chi = (classes >> np.uint64(32)).astype(np.uint32)
+        clo = (classes & np.uint64(0xFFFFFFFF)).astype(np.uint32)
+    chd = build_chd(chi, clo, seed0=seed0)
     if chd is None:
         return None
     chd["cls"] = np.stack([fwd_row, rc_row], axis=1)

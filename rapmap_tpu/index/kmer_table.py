@@ -17,26 +17,54 @@ def build_kmer_table(
     """Single pass over the SA grouping suffixes by their first k chars
     (the reference indexer's SA->hash scan, SURVEY.md §3.1), chunked.
 
+    Keys are extracted from the 2-bit packed text: per SA slot, THREE word
+    gathers + a shift tree replace the k (≤32) per-char gathers of the naive
+    scan — the build was dominated by those ~k·n random text accesses.
+    Sentinel validity falls out of the parallel sentinel-mask words.
+
     Returns (kmer_hi, kmer_lo, kmer_b, kmer_e); intervals index SA slots and
     cover exactly the suffixes whose first k chars are sentinel-free.
     """
     t = np.asarray(text_codes, dtype=np.int8)
     n = len(sa)
-    # text padded so gathers sa+i stay in range
-    tp = np.concatenate([t, np.zeros(k, dtype=np.int8)])
+    # packed words + sentinel mask; pad 2 words so gathers (sl>>4)+2 stay in
+    # range, with all-sentinel pad words so short suffixes read as invalid
+    packed, smask = pack_text_2bit(t)
+    if n:
+        try:
+            from rapmap_tpu.native import bindings as nat
+
+            res = nat.kmer_table(sa, packed, smask, k)
+            if res is not None:
+                return res
+        except Exception:  # pragma: no cover - native build issues
+            pass
+    tw = np.concatenate([packed, np.zeros(2, np.uint32)]).astype(np.uint64)
+    sm = np.concatenate([smask, np.full(2, 0xFFFFFFFF, np.uint32)]).astype(np.uint64)
+    # chars in the word-boundary pad of pack_text_2bit are sentinels already
+    # (tpad == 0); chars past n in a caller-padded text may be zeros too —
+    # both read as invalid, matching the per-char scan.
     keys = np.empty(n, dtype=np.uint64)
     valid = np.empty(n, dtype=bool)
+    m2k = np.uint64(0xFFFFFFFFFFFFFFFF) if k == 32 else np.uint64((1 << (2 * k)) - 1)
     for s in range(0, n, chunk):
         e = min(s + chunk, n)
         sl = np.asarray(sa[s:e], dtype=np.int64)
-        key = np.zeros(e - s, dtype=np.uint64)
-        v = np.ones(e - s, dtype=bool)
-        for i in range(k):
-            w = tp[sl + i].astype(np.int64)
-            v &= w >= 1
-            key = (key << np.uint64(2)) | ((w - 1) & 3).astype(np.uint64)
-        keys[s:e] = key
-        valid[s:e] = v
+        wi = sl >> 4
+        # window = w0||w1||w2 (96 bits, big-endian chars); the 2k key bits
+        # start at bit offset 2*(sl&15), i.e. right-shift by sh = 96-2*(sl&15)-2k
+        sh = (np.uint64(96 - 2 * k) - ((sl.astype(np.uint64) & np.uint64(15)) << np.uint64(1)))
+        A_k = (tw[wi] << np.uint64(32)) | tw[wi + 1]
+        A_s = (sm[wi] << np.uint64(32)) | sm[wi + 1]
+        # clamp both branches' shift counts (the discarded branch must still
+        # compute with a defined count — numpy shifts >= 64 are UB)
+        shl = np.uint64(32) - np.minimum(sh, np.uint64(32))
+        shr = np.maximum(sh, np.uint64(32)) - np.uint64(32)
+        hi_part = np.where(sh <= 32, A_k << shl, A_k >> shr)
+        hi_sent = np.where(sh <= 32, A_s << shl, A_s >> shr)
+        lo_shift = np.minimum(sh, np.uint64(63))  # w2 >> sh == 0 for sh >= 32
+        keys[s:e] = (hi_part | (tw[wi + 2] >> lo_shift)) & m2k
+        valid[s:e] = ((hi_sent | (sm[wi + 2] >> lo_shift)) & m2k) == 0
     # group: run boundaries where key changes or validity changes
     vidx = np.nonzero(valid)[0]
     if len(vidx) == 0:
@@ -74,17 +102,20 @@ def pack_text_2bit(text_codes: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
 
     Fast path for packed-word LCP compares in the extension kernel.
     """
-    t = np.asarray(text_codes, dtype=np.int64)
+    t = np.asarray(text_codes, dtype=np.int8).view(np.uint8)
     n = len(t)
     nw = (n + 15) // 16
-    tpad = np.zeros(nw * 16, dtype=np.int64)
+    tpad = np.zeros(nw * 16, dtype=np.uint8)
     tpad[:n] = t
-    bits = np.where(tpad >= 1, (tpad - 1) & 3, 0).astype(np.uint32).reshape(nw, 16)
-    sent = (tpad == 0).astype(np.uint32).reshape(nw, 16)
+    sent8 = tpad == 0
+    bits = ((tpad - np.uint8(1)) & np.uint8(3)).astype(np.uint32)
+    bits[sent8] = 0  # the uint8 underflow maps sentinels to 3; zero them
+    bits = bits.reshape(nw, 16)
+    sent = sent8.reshape(nw, 16)
     packed = np.zeros(nw, dtype=np.uint32)
     smask = np.zeros(nw, dtype=np.uint32)
     for i in range(16):
         packed = (packed << np.uint32(2)) | bits[:, i]
         # sentinel mask: 2 bits per base (11 where sentinel) keeps alignment with packed
-        smask = (smask << np.uint32(2)) | (sent[:, i] * np.uint32(3))
+        smask = (smask << np.uint32(2)) | (sent[:, i].astype(np.uint32) * np.uint32(3))
     return packed, smask

@@ -56,6 +56,22 @@ def _load() -> ctypes.CDLL | None:
             ctypes.c_int32, ctypes.c_int32, ctypes.c_uint32, ctypes.c_int32,
             ctypes.c_void_p, ctypes.c_void_p,
         ]
+        if hasattr(lib, "tqm_canonical_classes"):
+            lib.tqm_canonical_classes.restype = ctypes.c_int64
+            lib.tqm_canonical_classes.argtypes = [
+                ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64, ctypes.c_int32,
+                ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+            ]
+        for nm in ("tqm_kmer_table_i32", "tqm_kmer_table_i64"):
+            if not hasattr(lib, nm):  # stale pre-kmerscan .so: numpy fallback
+                continue
+            fn = getattr(lib, nm)
+            fn.restype = ctypes.c_int64
+            fn.argtypes = [
+                ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p,
+                ctypes.c_void_p, ctypes.c_int32,
+                ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+            ]
         P, I64, I32 = ctypes.c_void_p, ctypes.c_int64, ctypes.c_int32
         lib.tqm_sam_se.restype = I64
         lib.tqm_sam_se.argtypes = [
@@ -100,6 +116,60 @@ def suffix_array(text_codes: np.ndarray) -> np.ndarray:
     if rc != 0:
         raise RuntimeError(f"tqm_sais failed with code {rc}")
     return sa
+
+
+def kmer_table(sa: np.ndarray, packed: np.ndarray, smask: np.ndarray, k: int):
+    """SA -> (kmer_hi, kmer_lo, kmer_b, kmer_e) via the native packed-word
+    scan; None when the library (or a fresh-enough build of it) is missing.
+
+    packed/smask are pack_text_2bit words; this pads them with 2 sentinel
+    words so the 3-word window loads never run off the end."""
+    lib = _load()
+    if lib is None or not hasattr(lib, "tqm_kmer_table_i32"):
+        return None
+    sa_c = np.ascontiguousarray(sa)
+    big = sa_c.dtype == np.int64
+    if not big:
+        sa_c = np.ascontiguousarray(sa_c, dtype=np.int32)
+    tw = np.concatenate([np.ascontiguousarray(packed, np.uint32), np.zeros(2, np.uint32)])
+    sm = np.concatenate(
+        [np.ascontiguousarray(smask, np.uint32), np.full(2, 0xFFFFFFFF, np.uint32)]
+    )
+    n = len(sa_c)
+    hi = np.empty(n, np.uint32)
+    lo = np.empty(n, np.uint32)
+    kb = np.empty(n, np.int32)
+    ke = np.empty(n, np.int32)
+    fn = lib.tqm_kmer_table_i64 if big else lib.tqm_kmer_table_i32
+    ng = fn(
+        sa_c.ctypes.data, n, tw.ctypes.data, sm.ctypes.data, k,
+        hi.ctypes.data, lo.ctypes.data, kb.ctypes.data, ke.ctypes.data,
+    )
+    if ng < 0:
+        raise ValueError(f"tqm_kmer_table failed with code {ng}")
+    return hi[:ng].copy(), lo[:ng].copy(), kb[:ng].copy(), ke[:ng].copy()
+
+
+def canonical_classes(khi: np.ndarray, klo: np.ndarray, k: int):
+    """(classes_hi, classes_lo, fwd_row, rc_row) over canonical k-mer classes
+    (class = min(kmer, rc)); None when the library/symbol is unavailable."""
+    lib = _load()
+    if lib is None or not hasattr(lib, "tqm_canonical_classes"):
+        return None
+    hi = np.ascontiguousarray(khi, dtype=np.uint32)
+    lo = np.ascontiguousarray(klo, dtype=np.uint32)
+    n = len(hi)
+    chi = np.empty(n, np.uint32)
+    clo = np.empty(n, np.uint32)
+    fwd = np.empty(n, np.int32)
+    rc = np.empty(n, np.int32)
+    ng = lib.tqm_canonical_classes(
+        hi.ctypes.data, lo.ctypes.data, n, k,
+        chi.ctypes.data, clo.ctypes.data, fwd.ctypes.data, rc.ctypes.data,
+    )
+    if ng < 0:
+        raise ValueError(f"tqm_canonical_classes failed with code {ng}")
+    return chi[:ng].copy(), clo[:ng].copy(), fwd[:ng].copy(), rc[:ng].copy()
 
 
 def chd_build(

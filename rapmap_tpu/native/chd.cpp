@@ -51,12 +51,28 @@ extern "C" int tqm_chd_build(const uint32_t* hi, const uint32_t* lo, int64_t n,
     std::vector<int64_t> cur(boff.begin(), boff.end() - 1);
     for (int64_t i = 0; i < n; i++) items[cur[g[i]]++] = (int32_t)i;
   }
+  // hb gathered into bucket order once, so the displacement search streams
+  // it sequentially instead of cache-missing into the key-order array
+  std::vector<uint32_t> hbs(n);
+  for (int64_t i = 0; i < n; i++) hbs[i] = hb[items[i]];
+  // process buckets in decreasing-size order: counting sort by size (sizes
+  // are tiny), stable within a size class so results stay deterministic
+  int32_t max_s = 0;
+  for (int64_t j = 0; j < m; j++)
+    if (bcount[j] > max_s) max_s = bcount[j];
+  std::vector<int64_t> soff(max_s + 2, 0);
+  for (int64_t j = 0; j < m; j++) soff[max_s - bcount[j] + 1]++;
+  for (int32_t s = 0; s <= max_s; s++) soff[s + 1] += soff[s];
   std::vector<int32_t> order(m);
-  for (int64_t j = 0; j < m; j++) order[j] = (int32_t)j;
-  std::sort(order.begin(), order.end(),
-            [&](int32_t a, int32_t b) { return bcount[a] > bcount[b]; });
+  {
+    std::vector<int64_t> cur(soff.begin(), soff.end() - 1);
+    for (int64_t j = 0; j < m; j++) order[cur[max_s - bcount[j]]++] = (int32_t)j;
+  }
 
-  std::vector<uint8_t> used(T, 0);
+  // slot occupancy as a bitset: T/8 bytes keeps the displacement search's
+  // random probes cache-resident (a byte array at T = 2^25 is 32 MB and
+  // every probe misses; the bitset is 4 MB)
+  std::vector<uint64_t> used((T + 63) >> 6, 0);
   for (int64_t i = 0; i < T; i++) perm[i] = -1;
   std::vector<uint32_t> slots;
   for (int64_t oj = 0; oj < m; oj++) {
@@ -67,13 +83,14 @@ extern "C" int tqm_chd_build(const uint32_t* hi, const uint32_t* lo, int64_t n,
       continue;
     }
     const int32_t* it = &items[boff[j]];
+    const uint32_t* hbj = &hbs[boff[j]];
     bool placed = false;
     for (int32_t d = 0; d < maxd && !placed; d++) {
       slots.clear();
       bool ok = true;
       for (int32_t q = 0; q < s; q++) {
-        uint32_t sl = mix32(hb[it[q]] + (uint32_t)d) & t_mask;
-        if (used[sl]) {
+        uint32_t sl = mix32(hbj[q] + (uint32_t)d) & t_mask;
+        if ((used[sl >> 6] >> (sl & 63)) & 1u) {
           ok = false;
           break;
         }
@@ -87,7 +104,7 @@ extern "C" int tqm_chd_build(const uint32_t* hi, const uint32_t* lo, int64_t n,
       }
       if (ok) {
         for (int32_t q = 0; q < s; q++) {
-          used[slots[q]] = 1;
+          used[slots[q] >> 6] |= 1ull << (slots[q] & 63);
           perm[slots[q]] = it[q];
         }
         dir[j] = d;

@@ -130,3 +130,47 @@ def test_dedup_and_sa_txp(tmp_path, rng):
         g = sa[p]
         t = int(idx.sa_txp[p])
         assert idx.txp_offsets[t] <= g <= idx.txp_offsets[t] + idx.txp_lens[t]
+
+
+def test_kmer_table_native_matches_numpy(rng, monkeypatch):
+    """The native packed-word SA scan (native/kmerscan.cpp) and the numpy
+    fallback in build_kmer_table must agree bit-for-bit, for i32 and i64 SA."""
+    from rapmap_tpu.native import bindings as nat
+
+    if not nat.available() or nat.kmer_table(
+        np.zeros(1, np.int32), np.zeros(1, np.uint32), np.zeros(1, np.uint32), 4
+    ) is None:
+        pytest.skip("native kmer_table unavailable")
+    for n, k in [(4000, 17), (2500, 31), (1500, 32), (800, 4)]:
+        t = rng.integers(1, 5, n).astype(np.int8)
+        t[rng.integers(0, n, max(1, n // 60))] = 0
+        sa = suffix_array_numpy(t)
+        packed, smask = pack_text_2bit(t)
+        native = nat.kmer_table(sa, packed, smask, k)
+        native64 = nat.kmer_table(sa.astype(np.int64), packed, smask, k)
+        monkeypatch.setattr(nat, "kmer_table", lambda *a, **kw: None)
+        fallback = build_kmer_table(t, sa, k, chunk=373)
+        monkeypatch.undo()
+        for a, b, c in zip(fallback, native, native64):
+            assert np.array_equal(a, b) and np.array_equal(a, c)
+
+
+def test_canonical_chd_native_matches_numpy(tmp_path, rng, monkeypatch):
+    """build_canonical_chd's native class pass (native/canonical.cpp) and its
+    numpy fallback must produce identical CHD sections."""
+    from rapmap_tpu.index import chd as chd_mod
+    from rapmap_tpu.native import bindings as nat
+
+    if not nat.available():
+        pytest.skip("native library unavailable")
+    t = rng.integers(1, 5, 6000).astype(np.int8)
+    t[rng.integers(0, 6000, 80)] = 0
+    sa = suffix_array_numpy(t)
+    khi, klo, _, _ = build_kmer_table(t, sa, 15)
+    a = chd_mod.build_canonical_chd(khi, klo, 15)
+    monkeypatch.setattr(nat, "canonical_classes", lambda *args, **kw: None)
+    b = chd_mod.build_canonical_chd(khi, klo, 15)
+    assert a is not None and b is not None
+    assert a["seed"] == b["seed"] and a["m_bits"] == b["m_bits"]
+    for name in ("dir", "perm", "cls"):
+        assert np.array_equal(a[name], b[name]), name
