@@ -167,3 +167,43 @@ def test_multi_file_reads(world):
     assert r.returncode == 0, r.stderr
     body = lambda p: [l for l in open(p).read().splitlines() if not l.startswith("@PG")]
     assert body(out1) == body(out2)
+
+
+def test_mixed_read_lengths(tmp_path_factory):
+    """One FASTQ mixing lengths across several static buckets (32..320):
+    every read maps to its true locus with a full-length CIGAR, and a read
+    shorter than k comes back as a clean unmapped record."""
+    rng = np.random.default_rng(53)
+    tmp = tmp_path_factory.mktemp("mixed")
+    txps = random_transcriptome(rng, n_txps=5, min_len=400, max_len=700)
+    fa = write_fasta(str(tmp / "txome.fa"), txps)
+    r = tqm("quasiindex", "-t", fa, "-i", str(tmp / "idx"), "-k", "11")
+    assert r.returncode == 0, r.stderr
+
+    reads = []
+    for j, L in enumerate([20, 36, 60, 90, 130, 200, 300, 36, 200, 20]):
+        (rd,) = sample_reads(rng, txps, 1, read_len=L)
+        reads.append((f"m{j}_L{L}", rd[1], rd[2], rd[3], rd[4]))
+    short = b"ACGTACG"  # len 7 < k=11 -> no window, must be unmapped
+    reads.append(("tiny", short, -1, -1, False))
+    fq = write_fastq(str(tmp / "mixed.fq"), reads)
+
+    out = str(tmp / "out.sam")
+    r = tqm("quasimap", "-i", str(tmp / "idx"), "-r", fq, "-o", out,
+            "--batchSize", "4")  # force several batches, mixed buckets
+    assert r.returncode == 0, r.stderr
+    _, records = parse_sam(open(out).read())
+    by_name = {}
+    for rec in records:
+        by_name.setdefault(rec[0], []).append(rec)
+    for name, seq, t, p, was_rc in reads[:-1]:
+        found = [
+            (rec[2], int(rec[3]) - 1, bool(int(rec[1]) & 0x10))
+            for rec in by_name[name]
+            if int(rec[1]) & 0x4 == 0
+        ]
+        assert (txps[t][0], p, was_rc) in found, (name, found)
+        assert all(rec[5] == f"{len(seq)}M" for rec in by_name[name]
+                   if int(rec[1]) & 0x4 == 0)
+    tiny = by_name["tiny"]
+    assert len(tiny) == 1 and int(tiny[0][1]) & 0x4
