@@ -149,6 +149,8 @@ def build_canonical_chd(khi, klo, k: int, seed0: int = 1):
     n = len(khi)
     if n == 0:
         return None
+    if n >= 2**31:  # cls/perm are int32 row ids; genome-scale (>2^31 rows)
+        return None  # indexes map via the sharded mode's per-shard CHDs
     res = None
     try:
         from rapmap_tpu.native import bindings as nat

@@ -65,11 +65,14 @@ def build_kmer_table(
         lo_shift = np.minimum(sh, np.uint64(63))  # w2 >> sh == 0 for sh >= 32
         keys[s:e] = (hi_part | (tw[wi + 2] >> lo_shift)) & m2k
         valid[s:e] = ((hi_sent | (sm[wi + 2] >> lo_shift)) & m2k) == 0
-    # group: run boundaries where key changes or validity changes
+    # group: run boundaries where key changes or validity changes.
+    # Slot intervals follow the SA dtype: int64 SA (bigSA, possibly >= 2^31
+    # slots) -> int64 kmer_b/e, matching the native scan's i64 entry point.
+    slot_dt = np.int64 if np.asarray(sa).dtype == np.int64 else np.int32
     vidx = np.nonzero(valid)[0]
     if len(vidx) == 0:
         z = np.zeros(0, dtype=np.uint32)
-        return z, z.copy(), np.zeros(0, np.int32), np.zeros(0, np.int32)
+        return z, z.copy(), np.zeros(0, slot_dt), np.zeros(0, slot_dt)
     vkeys = keys[vidx]
     # valid slots with equal keys are contiguous in SA order (SEMANTICS.md §2)
     starts = np.nonzero(np.concatenate([[True], vkeys[1:] != vkeys[:-1]]))[0]
@@ -81,7 +84,7 @@ def build_kmer_table(
     assert np.all((ke - kb) == (ends - starts)), "k-mer group interleaved by invalid slot"
     hi = (ukeys >> np.uint64(32)).astype(np.uint32)
     lo = (ukeys & np.uint64(0xFFFFFFFF)).astype(np.uint32)
-    return hi, lo, kb.astype(np.int32), ke.astype(np.int32)
+    return hi, lo, kb.astype(slot_dt), ke.astype(slot_dt)
 
 
 def build_prefix_lut(kmer_hi: np.ndarray, kmer_lo: np.ndarray, k: int, prefix_bases: int) -> np.ndarray:
@@ -93,7 +96,9 @@ def build_prefix_lut(kmer_hi: np.ndarray, kmer_lo: np.ndarray, k: int, prefix_ba
     key = (kmer_hi.astype(np.uint64) << np.uint64(32)) | kmer_lo.astype(np.uint64)
     pref = (key >> np.uint64(2 * (k - p))).astype(np.int64)
     lut = np.searchsorted(pref, np.arange(4**p + 1, dtype=np.int64), side="left")
-    return lut.astype(np.int32)
+    # LUT values are k-mer table ROWS; keep int64 when the table can exceed
+    # 2^31 rows (genome-scale bigSA indexes)
+    return lut.astype(np.int32 if len(kmer_hi) < 2**31 else np.int64)
 
 
 def pack_text_2bit(text_codes: np.ndarray) -> tuple[np.ndarray, np.ndarray]:

@@ -22,6 +22,19 @@ _lock = threading.Lock()
 _lib: ctypes.CDLL | None = None
 _tried = False
 
+# must equal native/abi.cpp's tqm_abi_version(); a mismatched (stale) .so is
+# rebuilt once, and rejected if still stale — calling through a changed
+# signature corrupts memory silently, the numpy fallbacks are always safe
+ABI_VERSION = 3
+
+
+def _abi_of(lib: ctypes.CDLL) -> int:
+    if not hasattr(lib, "tqm_abi_version"):
+        return 0  # pre-stamp builds
+    lib.tqm_abi_version.restype = ctypes.c_int32
+    lib.tqm_abi_version.argtypes = []
+    return int(lib.tqm_abi_version())
+
 
 def _load() -> ctypes.CDLL | None:
     global _lib, _tried
@@ -42,6 +55,23 @@ def _load() -> ctypes.CDLL | None:
         except OSError as exc:
             log.warning("native load failed: %s", exc)
             return None
+        if _abi_of(lib) != ABI_VERSION:
+            # stale build: rebuild once, reload, and re-check
+            try:
+                subprocess.run(
+                    ["make", "-C", _DIR, "-s", "-B"], check=True,
+                    capture_output=True, timeout=300,
+                )
+                lib = ctypes.CDLL(_LIB_PATH)
+            except Exception as exc:
+                log.warning("native rebuild failed: %s", exc)
+                return None
+            if _abi_of(lib) != ABI_VERSION:
+                log.warning(
+                    "libtqm_native.so ABI %s != expected %s; using numpy fallbacks",
+                    _abi_of(lib), ABI_VERSION,
+                )
+                return None
         lib.tqm_sais_u8_i32.restype = ctypes.c_int
         lib.tqm_sais_u8_i32.argtypes = [
             ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64,
@@ -122,6 +152,9 @@ def kmer_table(sa: np.ndarray, packed: np.ndarray, smask: np.ndarray, k: int):
     """SA -> (kmer_hi, kmer_lo, kmer_b, kmer_e) via the native packed-word
     scan; None when the library (or a fresh-enough build of it) is missing.
 
+    Slot intervals (kmer_b/e) follow the SA dtype: int64 SA (bigSA regime,
+    possibly >= 2^31 slots) -> int64 intervals, else int32.
+
     packed/smask are pack_text_2bit words; this pads them with 2 sentinel
     words so the 3-word window loads never run off the end."""
     lib = _load()
@@ -138,8 +171,9 @@ def kmer_table(sa: np.ndarray, packed: np.ndarray, smask: np.ndarray, k: int):
     n = len(sa_c)
     hi = np.empty(n, np.uint32)
     lo = np.empty(n, np.uint32)
-    kb = np.empty(n, np.int32)
-    ke = np.empty(n, np.int32)
+    slot_dt = np.int64 if big else np.int32
+    kb = np.empty(n, slot_dt)
+    ke = np.empty(n, slot_dt)
     fn = lib.tqm_kmer_table_i64 if big else lib.tqm_kmer_table_i32
     ng = fn(
         sa_c.ctypes.data, n, tw.ctypes.data, sm.ctypes.data, k,

@@ -43,10 +43,10 @@ static inline KeyValid extract(int64_t g, const uint32_t* tw, const uint32_t* sm
   return {key & m2k, (sent & m2k) == 0};
 }
 
-template <typename IdxT>
+template <typename IdxT, typename SlotT>
 static int64_t kmer_table_impl(const IdxT* sa, int64_t n, const uint32_t* tw,
                                const uint32_t* sm, int32_t k, uint32_t* out_hi,
-                               uint32_t* out_lo, int32_t* out_b, int32_t* out_e) {
+                               uint32_t* out_lo, SlotT* out_b, SlotT* out_e) {
   const uint64_t m2k =
       (k == 32) ? ~0ull : ((1ull << (2 * (uint32_t)k)) - 1ull);
   std::vector<uint64_t> keys(n);
@@ -73,11 +73,11 @@ static int64_t kmer_table_impl(const IdxT* sa, int64_t n, const uint32_t* tw,
       cur = keys[i];
       out_hi[ng] = (uint32_t)(cur >> 32);
       out_lo[ng] = (uint32_t)cur;
-      out_b[ng] = (int32_t)i;
+      out_b[ng] = (SlotT)i;
       ng++;
       open = true;
     }
-    out_e[ng - 1] = (int32_t)(i + 1);
+    out_e[ng - 1] = (SlotT)(i + 1);
   }
   return ng;
 }
@@ -92,10 +92,12 @@ extern "C" int64_t tqm_kmer_table_i32(const int32_t* sa, int64_t n,
   return kmer_table_impl(sa, n, tw, sm, k, out_hi, out_lo, out_b, out_e);
 }
 
+// i64 SA entry: slot intervals are int64 too — a bigSA text can exceed 2^31
+// SA slots (upstream divsufsort64 regime uses 64-bit interval types as well).
 extern "C" int64_t tqm_kmer_table_i64(const int64_t* sa, int64_t n,
                                       const uint32_t* tw, const uint32_t* sm,
                                       int32_t k, uint32_t* out_hi, uint32_t* out_lo,
-                                      int32_t* out_b, int32_t* out_e) {
+                                      int64_t* out_b, int64_t* out_e) {
   if (n <= 0 || k < 1 || k > 32) return -1;
   return kmer_table_impl(sa, n, tw, sm, k, out_hi, out_lo, out_b, out_e);
 }

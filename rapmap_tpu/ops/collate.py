@@ -146,7 +146,11 @@ def _collate_core(
     n_rc = jnp.where(strand_ok[B:], hits.n[B:], 0)
 
     # ---- global expansion pool ---------------------------------------------
-    w = jnp.where(hv, he - hb, 0).reshape(-1)  # (NH,)
+    # hb/he may be GLOBAL int64 slot ids (sharded slot64 regime); interval
+    # widths are always narrow (<= max_interval), so the pool bookkeeping
+    # stays int32 and only the absolute slot resolution goes wide below
+    slot64 = hb.dtype == jnp.int64
+    w = jnp.where(hv, (he - hb).astype(jnp.int32), 0).reshape(-1)  # (NH,)
     cs = jnp.cumsum(w)
     sg = cs - w                     # global start of each hit's slot range
     total_global = cs[-1]
@@ -169,15 +173,28 @@ def _collate_core(
 
     # one 4-column row-gather resolves the hit fields for every slot
     rs_const = read_of_hit * 2 + hstrand.reshape(-1)  # host numpy
-    hit_rows = jnp.stack(
-        [hb.reshape(-1), sg, hq.reshape(-1), jnp.broadcast_to(rs_const, sg.shape)],
-        axis=-1,
-    )  # (NH, 4)
-    g4 = jnp.take(hit_rows, ph, axis=0, mode="clip")  # (CAPG, 4)
-    p = g4[:, 0] + (g - g4[:, 1])
-    hq_slot = g4[:, 2]
-    read = g4[:, 3] >> 1
-    strand = g4[:, 3] & 1
+    if slot64:
+        # int64 begins can't ride the int32 row stack: one extra 1-column
+        # gather resolves the wide begin; everything else stays int32
+        hit_rows = jnp.stack(
+            [sg, hq.reshape(-1), jnp.broadcast_to(rs_const, sg.shape)], axis=-1
+        )  # (NH, 3)
+        g4 = jnp.take(hit_rows, ph, axis=0, mode="clip")  # (CAPG, 3)
+        hb_at = jnp.take(hb.reshape(-1), ph, mode="clip")
+        p = hb_at + (g - g4[:, 0])
+        hq_slot = g4[:, 1]
+        read = g4[:, 2] >> 1
+        strand = g4[:, 2] & 1
+    else:
+        hit_rows = jnp.stack(
+            [hb.reshape(-1), sg, hq.reshape(-1), jnp.broadcast_to(rs_const, sg.shape)],
+            axis=-1,
+        )  # (NH, 4)
+        g4 = jnp.take(hit_rows, ph, axis=0, mode="clip")  # (CAPG, 4)
+        p = g4[:, 0] + (g - g4[:, 1])
+        hq_slot = g4[:, 2]
+        read = g4[:, 3] >> 1
+        strand = g4[:, 3] & 1
     if expand_fn is None:
         meta = row_gather_nd(didx.sa_meta, jnp.clip(p, 0, didx.sa_meta.shape[0] - 1))
         t = meta[:, 0]

@@ -154,6 +154,12 @@ def upload_index(
     chip. Requires a CHD-bearing index; engines needing the dropped arrays
     (cfg.packed_extension=False, non-CHD lookup) must use the full upload."""
     big_sa = np.asarray(idx.sa).dtype == np.int64
+    if len(np.asarray(idx.sa)) >= 2**31:
+        raise ValueError(
+            "single-device upload caps at 2^31 SA slots (int32 slot ids on "
+            "device); genome-scale indexes must use the SA-sharded mode "
+            "(rapmap_tpu.parallel.sharded), whose per-shard tables stay local"
+        )
     sa_txp = np.asarray(idx.sa_txp, dtype=np.int32)
     sa_tpos = np.asarray(idx.sa_tpos, dtype=np.int32)
     off = np.asarray(idx.txp_offsets, dtype=np.int64)

@@ -101,8 +101,15 @@ def _build_shard_chds(khi_u32, klo_u32, row_cuts, seed0: int):
     return None
 
 
-def shard_quasi_index(idx: QuasiIndex, n_shards: int, use_chd: bool = True):
+def shard_quasi_index(
+    idx: QuasiIndex, n_shards: int, use_chd: bool = True, slot64: bool | None = None
+):
     """Cut the index at prefix-bucket boundaries into n_shards slot ranges.
+
+    slot64: carry GLOBAL slot coordinates (slot_base, dense/walk unions) as
+    int64 — required past 2^31 total SA slots (human-genome scale, the bigSA
+    interval regime); per-shard tables stay int32-local either way. None =
+    automatic by index size; True lets tests exercise the wide path small.
 
     Returns (ShardedIndexArrays as numpy, EngineStatic). When the native CHD
     builder is available (and use_chd), each shard gets its own perfect-hash
@@ -152,17 +159,31 @@ def shard_quasi_index(idx: QuasiIndex, n_shards: int, use_chd: bool = True):
     t2p = np.concatenate([t2b, np.zeros(4, np.uint32)])
     text2q1 = np.stack([t2p[i : i + nw] for i in range(4)], axis=1)
 
+    if slot64 is None:
+        slot64 = n >= 2**31
+    if slot64:
+        import jax as _jax
+
+        if not _jax.config.jax_enable_x64:
+            raise ValueError(
+                "slot64 sharded indexes carry int64 global slot ids on device; "
+                "enable 64-bit JAX first (jax.config.update('jax_enable_x64', "
+                "True)) or int64 arrays silently downcast to int32"
+            )
     P_ = n_shards
     text2q = np.broadcast_to(text2q1, (P_, nw, 4)).copy()
     sa_cmp = np.zeros((P_, S_pad, FC), np.int32)
     sa_meta = np.zeros((P_, S_pad, 2), np.int32)
     kmer_rows = np.zeros((P_, K_pad, 4), np.int32)
     lut_rows = np.zeros((P_, len(lut) - 1, 2), np.int32)
-    bases = np.zeros((P_, 2), np.int32)
+    bases = np.zeros((P_, 2), np.int64 if slot64 else np.int32)
     for p in range(P_):
         s0, s1 = slot_cuts[p], slot_cuts[p + 1]
         r0, r1 = row_cuts[p], row_cuts[p + 1]
         ns, nr = s1 - s0, r1 - r0
+        assert ns < 2**31 and nr < 2**31, (
+            "per-shard slot/row counts must stay int32-local; use more shards"
+        )
         bases[p, 0] = s0
         bases[p, 1] = ns
         sa_cmp[p, :ns] = cmp_all[s0:s1]
@@ -240,14 +261,17 @@ def _sharded_scan(didx, st, reads, lens, cfg):
     ext_steps = max(1, math.ceil(math.log2(eff_w + 1)) + 1)
     base = didx_base_holder[0]
     n_local = didx_nlocal_holder[0]
+    # global slot coordinates ride the slot_base dtype: int64 past 2^31 total
+    # SA slots (genome-scale), int32 otherwise; shard-local values stay int32
+    sdt = base.dtype
 
     key_hi, key_lo, kvalid = denc.kmer_keys_batch(reads, k)
     found, db, de = kmer_lookup(didx, st, key_hi, key_lo)
     in_len = (np.arange(S, dtype=np.int32)[None, :] + k) <= lens[:, None]
     found = found & kvalid & in_len
     # union dense maps across 'idx' into global slot coordinates
-    b2 = lax.psum(jnp.where(found, db + base, 0), "idx")
-    e2 = lax.psum(jnp.where(found, de + base, 0), "idx")
+    b2 = lax.psum(jnp.where(found, db.astype(sdt) + base, 0), "idx")
+    e2 = lax.psum(jnp.where(found, de.astype(sdt) + base, 0), "idx")
     anch2 = (lax.psum(found.astype(jnp.int32), "idx") > 0) & (
         (e2 - b2) <= cfg.max_interval
     )
@@ -265,7 +289,8 @@ def _sharded_scan(didx, st, reads, lens, cfg):
         return jnp.where(pos < arr2d.shape[1], v, fill)
 
     zR_H = np.zeros((R, H), np.int32)
-    hits0 = ScanHits(q=zR_H, l=zR_H, b=zR_H, e=zR_H, n=lens * 0, truncated=lens < 0)
+    zR_Hs = np.zeros((R, H), sdt)
+    hits0 = ScanHits(q=zR_H, l=zR_H, b=zR_Hs, e=zR_Hs, n=lens * 0, truncated=lens < 0)
     pos0 = at(next_anchor, lens * 0, np.int32(S))
     rows = np.arange(R, dtype=np.int32)
 
@@ -277,18 +302,20 @@ def _sharded_scan(didx, st, reads, lens, cfg):
         pos, hits = state
         act = (pos < S) & ~hits.truncated
         posc = jnp.clip(pos, 0, S - 1)
-        b0 = at(b2, posc, np.int32(0))  # global slots
-        e0 = at(e2, posc, np.int32(0))
-        # this shard extends only the anchors whose interval it owns
+        b0 = at(b2, posc, sdt.type(0))  # global slots
+        e0 = at(e2, posc, sdt.type(0))
+        # this shard extends only the anchors whose interval it owns;
+        # ownership tested in global coords, then rebased to int32-local
         lb = b0 - base
         mine = act & (lb >= 0) & (lb < n_local)
         b1l, e1l, mlenl = extend_packed(
             didx, preads, next_bad, lens,
-            jnp.clip(lb, 0, n_local), jnp.clip(e0 - base, 0, n_local),
+            jnp.clip(lb, 0, n_local).astype(jnp.int32),
+            jnp.clip(e0 - base, 0, n_local).astype(jnp.int32),
             posc, mine, k, ext_steps, L,
         )
-        b1 = lax.psum(jnp.where(mine, b1l + base, 0), "idx")
-        e1 = lax.psum(jnp.where(mine, e1l + base, 0), "idx")
+        b1 = lax.psum(jnp.where(mine, b1l.astype(sdt) + base, 0), "idx")
+        e1 = lax.psum(jnp.where(mine, e1l.astype(sdt) + base, 0), "idx")
         mlen = lax.psum(jnp.where(mine, mlenl, 0), "idx")
 
         slot = jnp.clip(hits.n, 0, H - 1)
@@ -330,9 +357,13 @@ def _se_shard2d(sh: ShardedIndexArrays, st, reads, lens, nv, cfg):
     n_pad = didx.sa_meta.shape[0]
 
     def expand_fn(p, q):
+        # p arrives in GLOBAL slot coords (int64 in the slot64 regime);
+        # ownership is tested wide, the owned gather index is int32-local
         local = p - base
         mine = (local >= 0) & (local < n_local)
-        meta = row_gather_nd(didx.sa_meta, jnp.clip(local, 0, n_pad - 1))
+        meta = row_gather_nd(
+            didx.sa_meta, jnp.clip(local, 0, n_pad - 1).astype(jnp.int32)
+        )
         t1 = jnp.where(mine, meta[..., 0] + 1, 0)
         tp = jnp.where(mine, meta[..., 1], 0)
         t1 = lax.psum(t1, "idx")

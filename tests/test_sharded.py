@@ -167,3 +167,66 @@ def test_sharded_pe_matches_single_device(tmp_path):
     for field in ("t", "p1", "s1", "has1", "p2", "s2", "has2", "concordant"):
         assert np.array_equal(getattr(po1, field), getattr(po2, field)), field
     assert int(ctr1.reads_mapped) == int(np.asarray(ctr2.reads_mapped))
+
+
+@pytest.fixture
+def x64():
+    """64-bit JAX for the slot64 regime; restored so other tests stay 32-bit."""
+    old = jax.config.jax_enable_x64
+    jax.config.update("jax_enable_x64", True)
+    yield
+    jax.config.update("jax_enable_x64", old)
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+def test_sharded_slot64_matches_single_device(tmp_path, x64):
+    """Genome-scale slot layout (int64 GLOBAL slot ids, upstream divsufsort64
+    regime past 2^31 SA slots) forced small: bit-identical SE output vs the
+    single-device int32 path, and vs the int32 sharded path."""
+    rng = np.random.default_rng(95)
+    idx, txps = toy_index(
+        tmp_path, rng, n_txps=6, min_len=150, max_len=300, k=11, shared_prefix=30
+    )
+    reads = sample_reads(rng, txps, 40, read_len=44, error_rate=0.03, n_frac=0.01)
+    seqs = [r[1] for r in reads]
+    n_data, n_idx = 4, 2
+    per = -(-len(seqs) // n_data) + 1
+    B = n_data * per
+    codes, lens = batch_of(seqs + [b""] * (B - len(seqs)), 44)
+    cfg = MapConfig(k=idx.k, max_hits_per_strand=34, expand_budget=128, max_out=32)
+
+    mapper = QuasiMapper(idx, cfg)
+    out1, ctr1 = mapper.map_se(codes, lens, n_valid=len(seqs))
+
+    import jax.numpy as jnp
+
+    mesh = sharded.make_mesh_2d(n_data, n_idx)
+    nv = np.zeros(n_data, np.int32)
+    rem = len(seqs)
+    for i in range(n_data):
+        nv[i] = min(per, max(rem, 0)); rem -= nv[i]
+    outs = {}
+    for slot64 in (False, True):
+        arr, st = sharded.shard_quasi_index(idx, n_idx, slot64=slot64)
+        assert arr.slot_base.dtype == (np.int64 if slot64 else np.int32)
+        sharr = jax.tree.map(jnp.asarray, arr)
+        if slot64:
+            assert sharr.slot_base.dtype == jnp.int64  # x64 actually on
+        out2, ctr2 = sharded.map_batch_se_sharded(
+            sharr, st, jnp.asarray(codes), jnp.asarray(lens), jnp.asarray(nv),
+            cfg, mesh,
+        )
+        outs[slot64] = jax.tree.map(np.asarray, out2)
+        for field in ("t", "pos", "strand", "score", "n_mappings"):
+            assert np.array_equal(getattr(out1, field), getattr(outs[slot64], field)), (
+                slot64, field,
+            )
+        assert int(ctr1.reads_mapped) == int(np.asarray(ctr2.reads_mapped))
+
+
+def test_slot64_requires_x64(tmp_path):
+    rng = np.random.default_rng(96)
+    idx, _ = toy_index(tmp_path, rng, n_txps=3, min_len=100, max_len=200, k=9)
+    assert not jax.config.jax_enable_x64
+    with pytest.raises(ValueError, match="slot64"):
+        sharded.shard_quasi_index(idx, 2, slot64=True)
