@@ -248,3 +248,41 @@ def test_pe_parity_fidelity_constraints(tmp_path, kw):
         exp = [(m.txp, m.pos1, m.pos2) for m in want]
         assert got == exp, f"pair {i}: device {got} != oracle {exp}"
     assert 0 < n_conc < len(pairs), "constraints should reject some pairs only"
+
+
+@pytest.mark.parametrize("seed", [101, 202, 303, 404])
+def test_se_parity_fuzz(tmp_path, seed):
+    """Randomized regime fuzz: txome shape, k, read lengths, error/N rates,
+    and config knobs all drawn from the seed — device == oracle bit-for-bit.
+    A net for refactors beyond the deterministic suites above."""
+    rng = np.random.default_rng(seed)
+    k = int(rng.integers(7, 16))
+    idx, txps = toy_index(
+        tmp_path, rng,
+        n_txps=int(rng.integers(3, 9)),
+        min_len=int(rng.integers(80, 150)),
+        max_len=int(rng.integers(200, 500)),
+        k=k,
+        shared_prefix=int(rng.integers(0, 50)),
+    )
+    seqs = []
+    for _ in range(int(rng.integers(12, 30))):
+        rl = int(rng.integers(k + 1, 90))
+        (rd,) = sample_reads(
+            rng, txps, 1, read_len=rl,
+            error_rate=float(rng.uniform(0, 0.08)),
+            n_frac=float(rng.uniform(0, 0.04)),
+        )
+        seqs.append(rd[1])
+    kw = {}
+    if rng.random() < 0.4:
+        kw["consistent_hits"] = True
+        kw["fuzzy"] = rng.random() < 0.5
+    if rng.random() < 0.3:
+        kw["strict_check"] = True
+    if rng.random() < 0.3:
+        kw["quasi_coverage"] = float(rng.uniform(0.1, 0.6))
+    if rng.random() < 0.3:
+        kw["max_interval"] = int(rng.integers(4, 64))
+    L = max(len(s) for s in seqs)
+    assert_se_parity(idx, seqs, parity_cfg(idx, L, **kw))
