@@ -286,3 +286,68 @@ def test_se_parity_fuzz(tmp_path, seed):
         kw["max_interval"] = int(rng.integers(4, 64))
     L = max(len(s) for s in seqs)
     assert_se_parity(idx, seqs, parity_cfg(idx, L, **kw))
+
+
+@pytest.mark.parametrize("seed", [505, 606, 707])
+def test_pe_parity_fuzz(tmp_path, seed):
+    """Randomized PE fuzz: fragment geometry, error/N rates, orphan and
+    unmapped mates, and pair-fidelity knobs drawn from the seed."""
+    rng = np.random.default_rng(seed)
+    k = int(rng.integers(9, 14))
+    idx, txps = toy_index(
+        tmp_path, rng, n_txps=int(rng.integers(4, 8)),
+        min_len=250, max_len=int(rng.integers(300, 600)), k=k,
+    )
+    comp = bytes.maketrans(b"ACGT", b"TGCA")
+    from tests.util import BASES
+
+    def noisy(seq):
+        b = bytearray(seq)
+        for j in range(len(b)):
+            r = rng.random()
+            if r < 0.02:
+                b[j] = BASES[int(rng.integers(0, 4))]
+            elif r < 0.03:
+                b[j] = ord("N")
+        return bytes(b)
+
+    L = int(rng.integers(k + 5, 60))
+    pairs = []
+    for _ in range(int(rng.integers(10, 20))):
+        t = int(rng.integers(0, len(txps)))
+        seq = txps[t][1]
+        frag = int(rng.integers(2 * L, min(len(seq), 4 * L)))
+        p1 = int(rng.integers(0, len(seq) - frag + 1))
+        left = noisy(seq[p1 : p1 + L])
+        right = noisy(seq[p1 + frag - L : p1 + frag].translate(comp)[::-1])
+        if rng.random() < 0.15:
+            right = BASES[rng.integers(0, 4, L)].tobytes()  # orphan
+        pairs.append((left, right))
+    pairs.append((BASES[rng.integers(0, 4, L)].tobytes(),) * 2)
+
+    kw = {}
+    if rng.random() < 0.4:
+        kw["max_frag_len"] = int(rng.integers(2 * L, 5 * L))
+    if rng.random() < 0.4:
+        kw["pair_order"] = True
+    if rng.random() < 0.3:
+        kw["no_orphans"] = True
+    cfg = parity_cfg(idx, L, **kw)
+    mapper = QuasiMapper(idx, cfg)
+    c1, l1 = batch_of([p[0] for p in pairs], L)
+    c2, l2 = batch_of([p[1] for p in pairs], L)
+    _, _, po, _ = mapper.map_pe(c1, l1, c2, l2)
+    for i in range(len(pairs)):
+        want, conc = qm.map_pair(idx, c1[i][: l1[i]], c2[i][: l2[i]], cfg)
+        assert bool(po.concordant[i]) == conc, f"pair {i} concordance"
+        got = []
+        for j in range(po.t.shape[1]):
+            if po.t[i, j] == -1:
+                continue
+            got.append(
+                (int(po.t[i, j]),
+                 int(po.p1[i, j]) if po.has1[i, j] else None,
+                 int(po.p2[i, j]) if po.has2[i, j] else None)
+            )
+        exp = [(m.txp, m.pos1, m.pos2) for m in want]
+        assert got == exp, f"pair {i}: device {got} != oracle {exp}"
