@@ -21,10 +21,14 @@ import pytest  # noqa: E402
 # config.update after import (before backend init) reliably selects CPU
 jax.config.update("jax_platforms", "cpu")
 
-# persistent compile cache: XLA CPU compiles of the engine take ~30-60s each;
-# cache them across test runs/sessions
-jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax")
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+# NO persistent compile cache under pytest: jaxlib's executable
+# (de)serialization segfaults flakily on some of this suite's CPU programs
+# (observed in both put_ and get_executable_and_time; a crashed write then
+# leaves a truncated entry that segfaults every later read). The cache only
+# pays across sessions — a full suite run compiles the same either way —
+# while production (CLI/bench, rapmap_tpu.utils.jaxenv) keeps it for the
+# 100-700 s TPU compiles.
+jax.config.update("jax_compilation_cache_dir", None)
 
 
 @pytest.fixture(scope="session")
