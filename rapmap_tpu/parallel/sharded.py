@@ -52,8 +52,15 @@ class ShardedIndexArrays(NamedTuple):
     # Per-shard CHD perfect hash (docs/DESIGN_SA_SHARDING.md round-3 upgrade):
     # common (m_bits, t_bits, seed) geometry across shards so the stacks stay
     # rectangular and the probe statics shard-invariant; None = binary search.
+    # Two variants (st.chd_canonical selects):
+    #   per-strand: chd_rows (P, 2^t, 4) [hi, lo, b_loc, e_loc] — rows live
+    #     with their owning SA shard, intervals shard-LOCAL;
+    #   canonical-class: chd_rows (P, 2^t, 6) [chi, clo, bf, ef, br, er] —
+    #     classes sharded by CLASS space (not SA cuts: a class's fwd/rc k-mers
+    #     live on different SA shards), intervals GLOBAL, one probe answers
+    #     both strands of a window. int64 rows in the slot64 regime.
     chd_dir: jnp.ndarray | None = None   # (P, 2^m_bits) int32
-    chd_rows: jnp.ndarray | None = None  # (P, 2^t_bits, 4) [hi, lo, b_loc, e_loc]
+    chd_rows: jnp.ndarray | None = None  # (P, 2^t_bits, 4|6)
 
 
 def _build_shard_chds(khi_u32, klo_u32, row_cuts, seed0: int):
@@ -101,8 +108,96 @@ def _build_shard_chds(khi_u32, klo_u32, row_cuts, seed0: int):
     return None
 
 
+def _build_class_shard_chds(idx: QuasiIndex, n_shards: int, seed0: int, slot_dt):
+    """Canonical-class CHD per shard, sharded by CLASS space (docs/
+    DESIGN_SA_SHARDING.md): shard i owns the classes in its contiguous slice
+    of the class-key-sorted idx.chd_cls. Rows carry GLOBAL [bf, ef, br, er]
+    intervals (slot_dt), so the probe's psum-union feeds the walk directly —
+    no rebasing, and extension ownership stays a pure interval test.
+
+    Returns (dirs (P, 2^m) int32, rows (P, 2^t, 6) slot_dt, seed, m_bits,
+    t_bits) or None (no class section / native lib / placement failure)."""
+    if getattr(idx, "chd_cls", None) is None:
+        return None
+    try:
+        from rapmap_tpu.native import bindings as nat
+
+        if not nat.available():
+            return None
+    except Exception:  # pragma: no cover - import/runtime issues
+        return None
+    from rapmap_tpu.index.chd import MAXD, chd_params, key64_of, rc_key64_np
+
+    cls = np.asarray(idx.chd_cls, dtype=np.int64)  # (n_cls, 2) [fwd_row, rc_row]
+    n_cls = len(cls)
+    if n_cls == 0:
+        return None
+    kb = np.asarray(idx.kmer_b, dtype=np.int64)
+    ke = np.asarray(idx.kmer_e, dtype=np.int64)
+    key64 = key64_of(idx.kmer_hi, idx.kmer_lo)
+    fwd_r, rc_r = cls[:, 0], cls[:, 1]
+    ck = np.where(
+        fwd_r >= 0,
+        key64[np.clip(fwd_r, 0, None)],
+        rc_key64_np(key64[np.clip(rc_r, 0, None)], idx.k),
+    )
+    chi = (ck >> np.uint64(32)).astype(np.uint32)
+    clo = (ck & np.uint64(0xFFFFFFFF)).astype(np.uint32)
+
+    def iv(rowsel):
+        ok = rowsel >= 0
+        r = np.clip(rowsel, 0, None)
+        return np.where(ok, kb[r], 0), np.where(ok, ke[r], 0)
+
+    bf, ef = iv(fwd_r)
+    br, er = iv(rc_r)
+    P_ = n_shards
+    cuts = [round(i * n_cls / P_) for i in range(P_ + 1)]
+    n_max = max(cuts[i + 1] - cuts[i] for i in range(P_))
+    if n_max == 0:
+        return None
+    m_bits, t_bits = chd_params(n_max)
+    for attempt in range(16):
+        seed = (seed0 + attempt * 1000003) & 0xFFFFFFFF
+        dirs, rows, ok = [], [], True
+        for p in range(P_):
+            c0, c1 = cuts[p], cuts[p + 1]
+            if c1 == c0:
+                dirs.append(np.zeros(1 << m_bits, np.int32))
+                rows.append(
+                    np.tile(np.array([-1, -1, 0, 0, 0, 0], slot_dt), (1 << t_bits, 1))
+                )
+                continue
+            res = nat.chd_build(chi[c0:c1], clo[c0:c1], m_bits, t_bits, seed, MAXD)
+            if res is None:
+                ok = False
+                break
+            dirv, perm = res
+            pg = np.clip(perm.astype(np.int64) + c0, 0, n_cls - 1)
+            # uint32 keys zero-extend into the row dtype (int32 bitcast view
+            # for the narrow layout, plain widening for int64)
+            if slot_dt == np.int64:
+                r6 = np.stack(
+                    [chi[pg].astype(np.int64), clo[pg].astype(np.int64),
+                     bf[pg], ef[pg], br[pg], er[pg]], axis=1,
+                )
+            else:
+                r6 = np.stack(
+                    [chi[pg].view(np.int32), clo[pg].view(np.int32),
+                     bf[pg].astype(np.int32), ef[pg].astype(np.int32),
+                     br[pg].astype(np.int32), er[pg].astype(np.int32)], axis=1,
+                )
+            sentinel = np.array([-1, -1, 0, 0, 0, 0], slot_dt)
+            rows.append(np.where((perm >= 0)[:, None], r6, sentinel[None, :]))
+            dirs.append(dirv)
+        if ok:
+            return np.stack(dirs), np.stack(rows), seed, m_bits, t_bits
+    return None
+
+
 def shard_quasi_index(
-    idx: QuasiIndex, n_shards: int, use_chd: bool = True, slot64: bool | None = None
+    idx: QuasiIndex, n_shards: int, use_chd: bool = True, slot64: bool | None = None,
+    canonical: bool | None = None,
 ):
     """Cut the index at prefix-bucket boundaries into n_shards slot ranges.
 
@@ -116,11 +211,13 @@ def shard_quasi_index(
     probe table: 2 gathers/window/strand in the dense phase instead of the
     1 + lookup_steps binary search. Alien keys need no masking — CHD sends
     them to an arbitrary slot whose key compare rejects, so a key is found on
-    exactly its owning shard and the psum-union stays exact. The canonical
-    both-strands-per-probe variant deliberately does NOT port: a class's fwd
-    and rc k-mers sort into different prefix buckets (different shards), so
-    class rows would straddle shards; per-strand per-shard CHD is the
-    portable form (docs/DESIGN_SA_SHARDING.md).
+    exactly its owning shard and the psum-union stays exact. The default
+    canonical both-strands-per-probe variant shards the CLASS table by class
+    space (a class's fwd/rc k-mers live on different SA shards, but class
+    rows carry GLOBAL intervals so they need no SA co-location) — one probe
+    per forward window answers both strands, half the per-shard dense
+    gathers; canonical=False selects the per-strand per-shard layout
+    (docs/DESIGN_SA_SHARDING.md).
     """
     lut = np.asarray(idx.prefix_lut, dtype=np.int64)
     kb = np.asarray(idx.kmer_b, dtype=np.int64)
@@ -200,6 +297,28 @@ def shard_quasi_index(
 
     st = EngineStatic.for_index(idx)
     chd_dir = chd_rows = None
+    if canonical is None:
+        canonical = use_chd
+    cres = (
+        _build_class_shard_chds(
+            idx, n_shards, idx.seed + 13, np.int64 if slot64 else np.int32
+        )
+        if (use_chd and canonical)
+        else None
+    )
+    if cres is not None:
+        dirs_c, rows_c, seed_c, mb_c, tb_c = cres
+        chd_dir, chd_rows = dirs_c, rows_c
+        st = replace(
+            st, use_chd=True, chd_canonical=True,
+            chd_seed=int(seed_c), chd_m_bits=mb_c, chd_t_bits=tb_c,
+        )
+        arrays = ShardedIndexArrays(
+            text2q=text2q, sa_cmp=sa_cmp, sa_meta=sa_meta,
+            kmer_rows=kmer_rows, lut_rows=lut_rows,
+            slot_base=bases, chd_dir=chd_dir, chd_rows=chd_rows,
+        )
+        return arrays, st
     chd = _build_shard_chds(khi_u32, klo_u32, row_cuts, idx.seed + 7) if use_chd else None
     if chd is not None:
         dirs, perms, seed, m_bits, t_bits = chd
@@ -338,6 +457,156 @@ def _sharded_scan(didx, st, reads, lens, cfg):
     return hits
 
 
+def _probe_class_rows(didx, st, can_hi, can_lo):
+    """Shard-local canonical-class probe -> (hit, row (..., 6)).
+
+    Hash math identical to ops.lookup._chd_probe_canonical; rows may be int64
+    (slot64 regime), where the uint32 keys compare zero-extended."""
+    from rapmap_tpu.ops.lookup import _as_u32, _mix32
+
+    sa_ = np.uint32((st.chd_seed * 0x9E3779B9 + 1) & 0xFFFFFFFF)
+    sb_ = np.uint32((st.chd_seed * 0x85EBCA6B + 2) & 0xFFFFFFFF)
+    g = (
+        _mix32(can_hi ^ _mix32(can_lo ^ sa_)) & np.uint32((1 << st.chd_m_bits) - 1)
+    ).astype(jnp.int32)
+    hb = _mix32(can_hi ^ _mix32(can_lo ^ sb_))
+    d = _as_u32(jnp.take(didx.chd_dir, g, mode="clip"))
+    slot = (_mix32(hb + d) & np.uint32((1 << st.chd_t_bits) - 1)).astype(jnp.int32)
+    row = row_gather_nd(didx.chd_rows, slot)
+    if row.dtype == jnp.int64:
+        hit = (row[..., 0] == can_hi.astype(jnp.int64)) & (
+            row[..., 1] == can_lo.astype(jnp.int64)
+        )
+    else:
+        hit = (_as_u32(row[..., 0]) == can_hi) & (_as_u32(row[..., 1]) == can_lo)
+    return hit, row
+
+
+def _sharded_scan_paired(didx, st, reads, lens, cfg):
+    """Canonical-class sharded scan (SEMANTICS.md §3, exact): ONE class probe
+    per forward window answers BOTH strands, then the lockstep walk of
+    _sharded_scan over [fwd; rc] lanes.
+
+    Dense phase: each shard probes its CLASS slice; a class is non-rejected
+    on exactly one shard and its row already carries GLOBAL [bf,ef,br,er]
+    intervals, so one psum unions the strand-resolved 4-tuple — half the
+    per-shard dense gathers of the per-strand layout (the single-device
+    profile's dominant cost). rc-lane walk coordinates map through
+    col = len - k - pos exactly as ops.mmp.scan_batch_paired."""
+    from rapmap_tpu.ops.encode import rc_keys_batch
+
+    B, L = reads.shape
+    k = st.k
+    S = L - k + 1
+    H = cfg.max_hits_per_strand
+    eff_w = min(cfg.max_interval, st.max_interval_idx)
+    ext_steps = max(1, math.ceil(math.log2(eff_w + 1)) + 1)
+    base = didx_base_holder[0]
+    n_local = didx_nlocal_holder[0]
+    sdt = base.dtype
+
+    lens2 = jnp.concatenate([lens, lens])
+    R = 2 * B
+    lanes = jnp.concatenate([reads, denc.revcomp_batch(reads, lens)], axis=0)
+    next_bad = denc.next_bad_batch(lanes, L)
+    preads = pack_reads(lanes)
+
+    # ---- dense: one canonical probe per forward window, psum-unioned -------
+    key_hi, key_lo, kvalid = denc.kmer_keys_batch(reads, k)  # (B, S)
+    rhi, rlo = rc_keys_batch(key_hi, key_lo, k)
+    is_can = (key_hi < rhi) | ((key_hi == rhi) & (key_lo <= rlo))
+    can_hi = jnp.where(is_can, key_hi, rhi)
+    can_lo = jnp.where(is_can, key_lo, rlo)
+    hit, row = _probe_class_rows(didx, st, can_hi, can_lo)
+    z = row[..., 2] * 0
+    b_can = jnp.where(hit, row[..., 2], z)
+    e_can = jnp.where(hit, row[..., 3], z)
+    b_alt = jnp.where(hit, row[..., 4], z)
+    e_alt = jnp.where(hit, row[..., 5], z)
+    bf = lax.psum(jnp.where(is_can, b_can, b_alt), "idx")
+    ef = lax.psum(jnp.where(is_can, e_can, e_alt), "idx")
+    br = lax.psum(jnp.where(is_can, b_alt, b_can), "idx")
+    er = lax.psum(jnp.where(is_can, e_alt, e_can), "idx")
+    hitn = lax.psum(hit.astype(jnp.int32), "idx") > 0
+
+    in_len = (np.arange(S, dtype=np.int32)[None, :] + k) <= lens[:, None]
+    ok = kvalid & in_len & hitn
+    anch_f = ok & (ef > bf) & ((ef - bf) <= cfg.max_interval)
+    anch_rF = ok & (er > br) & ((er - br) <= cfg.max_interval)  # fwd coords
+
+    s_ix = np.arange(S, dtype=np.int32)[None, :]
+    nf = jnp.where(anch_f, s_ix, np.int32(S))
+    next_f = jnp.flip(
+        lax.associative_scan(jnp.minimum, jnp.flip(nf, axis=1), axis=1), axis=1
+    )
+    pv = jnp.where(anch_rF, s_ix, np.int32(-1))
+    prev_rF = lax.associative_scan(jnp.maximum, pv, axis=1)
+
+    db2 = jnp.concatenate([bf, br], axis=0)   # (R, S), rc rows in fwd coords
+    de2 = jnp.concatenate([ef, er], axis=0)
+    anc2 = jnp.concatenate([next_f, prev_rF], axis=0)
+    is_rc = np.arange(R, dtype=np.int32) >= B
+
+    def at2(arr2d, col):
+        return row_gather(arr2d, jnp.clip(col, 0, S - 1)[:, None])[:, 0]
+
+    def next_anchor_pos(nxt):
+        col = jnp.where(is_rc, lens2 - k - nxt, nxt)
+        v = at2(anc2, col)
+        fwd_next = jnp.where(nxt < S, v, np.int32(S))
+        rc_next = jnp.where((col >= 0) & (v >= 0), lens2 - k - v, np.int32(S))
+        return jnp.where(is_rc, rc_next, fwd_next)
+
+    zR_H = np.zeros((R, H), np.int32)
+    zR_Hs = np.zeros((R, H), sdt)
+    hits0 = ScanHits(q=zR_H, l=zR_H, b=zR_Hs, e=zR_Hs, n=lens2 * 0, truncated=lens2 < 0)
+    pos0 = next_anchor_pos(lens2 * 0)
+    rows = np.arange(R, dtype=np.int32)
+
+    def cond(state):
+        pos, hits = state
+        return jnp.any((pos < S) & ~hits.truncated)
+
+    def body(state):
+        pos, hits = state
+        act = (pos < S) & ~hits.truncated
+        posc = jnp.clip(pos, 0, S - 1)
+        col = jnp.where(is_rc, lens2 - k - posc, posc)
+        b0 = at2(db2, col)  # global slots (sdt)
+        e0 = at2(de2, col)
+        lb = b0 - base
+        mine = act & (lb >= 0) & (lb < n_local)
+        b1l, e1l, mlenl = extend_packed(
+            didx, preads, next_bad, lens2,
+            jnp.clip(lb, 0, n_local).astype(jnp.int32),
+            jnp.clip(e0 - base, 0, n_local).astype(jnp.int32),
+            posc, mine, k, ext_steps, L,
+        )
+        b1 = lax.psum(jnp.where(mine, b1l.astype(sdt) + base, 0), "idx")
+        e1 = lax.psum(jnp.where(mine, e1l.astype(sdt) + base, 0), "idx")
+        mlen = lax.psum(jnp.where(mine, mlenl, 0), "idx")
+
+        slot = jnp.clip(hits.n, 0, H - 1)
+        overflow = act & (hits.n >= H)
+        write = act & ~overflow
+
+        def put(buf, val):
+            old = buf[rows, slot]
+            return buf.at[rows, slot].set(jnp.where(write, val, old))
+
+        hits = ScanHits(
+            q=put(hits.q, posc), l=put(hits.l, mlen),
+            b=put(hits.b, b1), e=put(hits.e, e1),
+            n=hits.n + write.astype(jnp.int32), truncated=hits.truncated | overflow,
+        )
+        nxt = posc + jnp.maximum(1, mlen - k + 1)
+        pos_next = next_anchor_pos(nxt)
+        return jnp.where(act, pos_next, pos), hits
+
+    _, hits = lax.while_loop(cond, body, (pos0, hits0))
+    return hits
+
+
 # thread-local-ish holders for the shard base / true slot count inside
 # shard_map bodies (traced scalars; set before _sharded_scan runs)
 didx_base_holder = [None]
@@ -350,9 +619,12 @@ def _se_shard2d(sh: ShardedIndexArrays, st, reads, lens, nv, cfg):
     n_local = sh.slot_base[0, 1]  # true slot count, not the padded S_pad
     didx_base_holder[0] = base
     didx_nlocal_holder[0] = n_local
-    lanes = jnp.concatenate([reads, denc.revcomp_batch(reads, lens)], axis=0)
-    lens2 = jnp.concatenate([lens, lens])
-    hits = _sharded_scan(didx, st, lanes, lens2, cfg)
+    if getattr(st, "chd_canonical", False):
+        hits = _sharded_scan_paired(didx, st, reads, lens, cfg)
+    else:
+        lanes = jnp.concatenate([reads, denc.revcomp_batch(reads, lens)], axis=0)
+        lens2 = jnp.concatenate([lens, lens])
+        hits = _sharded_scan(didx, st, lanes, lens2, cfg)
 
     n_pad = didx.sa_meta.shape[0]
 

@@ -12,11 +12,14 @@ from tests.test_device_parity import batch_of
 
 
 @pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
-@pytest.mark.parametrize("n_data,n_idx,use_chd", [(4, 2, True), (2, 4, True), (4, 2, False)])
-def test_sharded_matches_single_device(tmp_path, n_data, n_idx, use_chd):
+@pytest.mark.parametrize(
+    "n_data,n_idx,mode",
+    [(4, 2, "canonical"), (2, 4, "canonical"), (4, 2, "strand"), (4, 2, "bsearch")],
+)
+def test_sharded_matches_single_device(tmp_path, n_data, n_idx, mode):
     rng = np.random.default_rng(91)
     idx, txps = toy_index(
-        tmp_path / f"m{n_idx}{use_chd}", rng, n_txps=6, min_len=150, max_len=300, k=11,
+        tmp_path / f"m{n_idx}{mode}", rng, n_txps=6, min_len=150, max_len=300, k=11,
         shared_prefix=30,
     )
     reads = sample_reads(rng, txps, 40, read_len=44, error_rate=0.03, n_frac=0.01)
@@ -32,12 +35,17 @@ def test_sharded_matches_single_device(tmp_path, n_data, n_idx, use_chd):
     mapper = QuasiMapper(idx, cfg)
     out1, ctr1 = mapper.map_se(codes, lens, n_valid=len(seqs))
 
-    sharr_np, st = sharded.shard_quasi_index(idx, n_idx, use_chd=use_chd)
-    if use_chd:
-        from rapmap_tpu.native import bindings as nat
+    sharr_np, st = sharded.shard_quasi_index(
+        idx, n_idx, use_chd=mode != "bsearch", canonical=mode == "canonical"
+    )
+    from rapmap_tpu.native import bindings as nat
 
-        if nat.available():  # per-shard CHD must actually engage, not fall back
-            assert st.use_chd and not st.chd_canonical and sharr_np.chd_dir is not None
+    if mode == "canonical":
+        if nat.available():  # the class-sharded CHD must engage, not fall back
+            assert st.use_chd and st.chd_canonical and sharr_np.chd_rows.shape[-1] == 6
+    elif mode == "strand":
+        if nat.available():
+            assert st.use_chd and not st.chd_canonical and sharr_np.chd_rows.shape[-1] == 4
     else:
         assert not st.use_chd and sharr_np.chd_dir is None
     mesh = sharded.make_mesh_2d(n_data, n_idx)
