@@ -232,6 +232,77 @@ def test_sharded_slot64_matches_single_device(tmp_path, x64):
         assert int(ctr1.reads_mapped) == int(np.asarray(ctr2.reads_mapped))
 
 
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+@pytest.mark.parametrize("seed", [811, 822, 833])
+def test_sharded_parity_fuzz(tmp_path, seed):
+    """Randomized regime fuzz through the sharded engine: txome shape, k,
+    read mix, config knobs, mesh shape, and probe mode all drawn from the
+    seed — sharded == single-device bit-for-bit (which the deterministic
+    suites pin to the oracle). Net for the canonical class-sharded CHD."""
+    rng = np.random.default_rng(seed)
+    k = int(rng.integers(9, 16))
+    idx, txps = toy_index(
+        tmp_path, rng,
+        n_txps=int(rng.integers(3, 9)),
+        min_len=int(rng.integers(80, 150)),
+        max_len=int(rng.integers(200, 500)),
+        k=k,
+        shared_prefix=int(rng.integers(0, 50)),
+    )
+    rl = int(rng.integers(k + 10, 70))
+    reads = sample_reads(
+        rng, txps, int(rng.integers(12, 30)), read_len=rl,
+        error_rate=float(rng.uniform(0, 0.08)),
+        n_frac=float(rng.uniform(0, 0.04)),
+    )
+    seqs = [r[1] for r in reads] + [
+        BASES[rng.integers(0, 4, rl)].tobytes() for _ in range(3)
+    ]
+    kw = {}
+    if rng.random() < 0.4:
+        kw["consistent_hits"] = True
+        kw["fuzzy"] = rng.random() < 0.5
+    if rng.random() < 0.3:
+        kw["strict_check"] = True
+    if rng.random() < 0.3:
+        kw["quasi_coverage"] = float(rng.uniform(0.1, 0.6))
+    if rng.random() < 0.3:
+        kw["max_interval"] = int(rng.integers(4, 64))
+    cfg = MapConfig(
+        k=idx.k, max_hits_per_strand=34, expand_budget=128, max_out=32, **kw
+    )
+    n_data, n_idx = [(2, 2), (4, 2), (2, 4), (2, 3)][int(rng.integers(0, 4))]
+    mode = ["canonical", "strand", "bsearch"][int(rng.integers(0, 3))]
+
+    per = -(-len(seqs) // n_data) + 1
+    B = n_data * per
+    codes, lens = batch_of(seqs + [b""] * (B - len(seqs)), rl)
+    mapper = QuasiMapper(idx, cfg)
+    out1, ctr1 = mapper.map_se(codes, lens, n_valid=len(seqs))
+
+    import jax.numpy as jnp
+
+    sharr_np, st = sharded.shard_quasi_index(
+        idx, n_idx, use_chd=mode != "bsearch", canonical=mode == "canonical"
+    )
+    sharr = jax.tree.map(jnp.asarray, sharr_np)
+    mesh = sharded.make_mesh_2d(n_data, n_idx)
+    nv = np.zeros(n_data, np.int32)
+    rem = len(seqs)
+    for i in range(n_data):
+        nv[i] = min(per, max(rem, 0)); rem -= nv[i]
+    out2, ctr2 = sharded.map_batch_se_sharded(
+        sharr, st, jnp.asarray(codes), jnp.asarray(lens), jnp.asarray(nv), cfg, mesh
+    )
+    out2 = jax.tree.map(np.asarray, out2)
+    for field in ("t", "pos", "strand", "score", "n_mappings"):
+        assert np.array_equal(getattr(out1, field), getattr(out2, field)), (
+            mode, n_data, n_idx, field,
+        )
+    for field in ctr1._fields:
+        assert int(getattr(ctr1, field)) == int(np.asarray(getattr(ctr2, field))), field
+
+
 def test_slot64_requires_x64(tmp_path):
     rng = np.random.default_rng(96)
     idx, _ = toy_index(tmp_path, rng, n_txps=3, min_len=100, max_len=200, k=9)
