@@ -83,9 +83,12 @@ def _build_sa(text: np.ndarray, n_text: int) -> np.ndarray:
 
 
 def _sa_txp_of(sa: np.ndarray, txp_offsets: np.ndarray, txp_lens: np.ndarray) -> np.ndarray:
-    # transcript t owns global positions [off_t, off_t + len_t]  (incl. its '$')
-    bounds = txp_offsets + txp_lens.astype(np.int64) + 1  # exclusive end incl. '$'
-    return np.searchsorted(bounds, np.asarray(sa, dtype=np.int64), side="right").astype(np.int32)
+    # transcript t owns global positions [off_t, off_t + len_t]  (incl. its '$');
+    # materialize pos->txp once and gather — one O(1) load per SA slot instead
+    # of a binary search over the offsets per slot
+    spans = txp_lens.astype(np.int64) + 1
+    pos2txp = np.repeat(np.arange(len(txp_lens), dtype=np.int32), spans)
+    return pos2txp[np.asarray(sa)]
 
 
 def build_quasi_index(
@@ -124,7 +127,11 @@ def build_quasi_index(
     lut = build_prefix_lut(khi, klo, k, prefix_bases)
     text2b, _ = pack_text_2bit(text)  # sentinel mask unused by the engines
     sa_txp = _sa_txp_of(sa, offsets, lens)
-    sa_tpos = (np.asarray(sa, dtype=np.int64) - offsets[sa_txp]).astype(np.int32)
+    sa_np = np.asarray(sa)
+    if sa_np.dtype == np.int32:  # offsets fit int32 whenever the SA does
+        sa_tpos = sa_np - offsets.astype(np.int32)[sa_txp]
+    else:
+        sa_tpos = (sa_np - offsets[sa_txp]).astype(np.int32)
     log.info("lut/pack/sa_txp derived (%.1fs)", time.time() - t0)
     # canonical-class CHD perfect hash (BooPHF role): the device resolves
     # BOTH strands of a window with one 2-gather probe (ops/lookup.py)

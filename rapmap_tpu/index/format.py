@@ -85,7 +85,9 @@ class PseudoIndex:
 
 
 def _sha(arr: np.ndarray) -> str:
-    return hashlib.sha256(np.ascontiguousarray(arr).tobytes()).hexdigest()[:16]
+    # hash the array buffer in place — tobytes() would copy GBs through this
+    # host's slow fresh-allocation path on production-scale indexes
+    return hashlib.sha256(memoryview(np.ascontiguousarray(arr)).cast("B")).hexdigest()[:16]
 
 
 _QUASI_OPTIONAL = ["chd_dir", "chd_perm", "chd_cls"]

@@ -93,9 +93,21 @@ def build_prefix_lut(kmer_hi: np.ndarray, kmer_lo: np.ndarray, k: int, prefix_ba
     len = 4^p + 1; bucket for prefix v is rows [lut[v], lut[v+1]).
     """
     p = prefix_bases
-    key = (kmer_hi.astype(np.uint64) << np.uint64(32)) | kmer_lo.astype(np.uint64)
-    pref = (key >> np.uint64(2 * (k - p))).astype(np.int64)
-    lut = np.searchsorted(pref, np.arange(4**p + 1, dtype=np.int64), side="left")
+    sh = 2 * (k - p)
+    # one pass into a single int64 buffer (bincount wants intp; feeding it
+    # uint32 triggers a pathologically slow cast path on this host), avoiding
+    # chained big temporaries — large fresh allocations fault erratically here
+    pref = np.empty(len(kmer_hi), dtype=np.int64)
+    if sh >= 32:
+        # prefix lives entirely in the hi word — skip the uint64 key build
+        np.right_shift(kmer_hi, np.uint32(sh - 32), out=pref, casting="unsafe")
+    else:
+        key = (kmer_hi.astype(np.uint64) << np.uint64(32)) | kmer_lo.astype(np.uint64)
+        np.right_shift(key, np.uint64(sh), out=pref, casting="unsafe")
+    # the table is key-sorted, so lut[v] = #rows with prefix < v: one counting
+    # pass + cumsum instead of 4^p binary searches over the table
+    lut = np.zeros(4**p + 1, dtype=np.int64)
+    np.cumsum(np.bincount(pref, minlength=4**p), out=lut[1:])
     # LUT values are k-mer table ROWS; keep int64 when the table can exceed
     # 2^31 rows (genome-scale bigSA indexes)
     return lut.astype(np.int32 if len(kmer_hi) < 2**31 else np.int64)

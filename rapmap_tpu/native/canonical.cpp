@@ -42,46 +42,70 @@ struct ClsRow {
 }  // namespace
 
 // out_cls_hi/lo, out_fwd, out_rc must hold n entries; returns n_cls (<= n).
+//
+// The k-mer table arrives sorted by key, so rows whose key IS the class key
+// (canonical orientation, key <= rc) are already in class order as a
+// subsequence — only the non-canonical rows (class = rc(key), a bijection
+// that scrambles order) need sorting. Sort that half, then one linear 2-way
+// merge; each class appears at most once per side (table keys are unique and
+// rc is injective), so the merge is a plain sorted-set union.
 extern "C" int64_t tqm_canonical_classes(const uint32_t* hi, const uint32_t* lo,
                                          int64_t n, int32_t k,
                                          uint32_t* out_cls_hi, uint32_t* out_cls_lo,
                                          int32_t* out_fwd, int32_t* out_rc) {
   if (n <= 0 || k < 1 || k > 32) return -1;
-  std::vector<ClsRow> v(n);
-  std::vector<uint8_t> is_can(n);
+  std::vector<ClsRow> nc;    // non-canonical rows: (class = rc(key), row)
+  std::vector<int64_t> can;  // canonical rows, ascending (key order)
+  std::vector<uint8_t> pal(n, 0), is_can(n);
 #if defined(_OPENMP)
 #pragma omp parallel for schedule(static)
 #endif
   for (int64_t i = 0; i < n; i++) {
     const uint64_t key = ((uint64_t)hi[i] << 32) | lo[i];
     const uint64_t rc = rc_key64(key, k);
-    v[i].cls = key <= rc ? key : rc;
-    v[i].row = (int32_t)i;
     is_can[i] = key <= rc;  // palindromes count as canonical
+    pal[i] = key == rc;
   }
-  TQM_SORT(v.begin(), v.end(), [](const ClsRow& a, const ClsRow& b) {
-    return a.cls < b.cls || (a.cls == b.cls && a.row < b.row);
-  });
-  int64_t ng = -1;
-  uint64_t cur = 0;
+  int64_t n_nc = 0;
+  for (int64_t i = 0; i < n; i++) n_nc += !is_can[i];
+  nc.reserve(n_nc);
+  can.reserve(n - n_nc);
+  // recomputing rc here beats staging (cls,row) for all n rows: it is a few
+  // ALU ops vs a GB-scale temporary on this host's slow fresh-page path
   for (int64_t i = 0; i < n; i++) {
-    if (ng < 0 || v[i].cls != cur) {
-      cur = v[i].cls;
-      ng++;
-      out_cls_hi[ng] = (uint32_t)(cur >> 32);
-      out_cls_lo[ng] = (uint32_t)cur;
-      out_fwd[ng] = -1;
-      out_rc[ng] = -1;
-    }
-    const int32_t r = v[i].row;
-    if (is_can[r]) {
-      out_fwd[ng] = r;
-      // palindromic class (key == rc): the same row serves both orientations
-      const uint64_t key = ((uint64_t)hi[r] << 32) | lo[r];
-      if (rc_key64(key, k) == key) out_rc[ng] = r;
+    if (is_can[i]) {
+      can.push_back(i);
     } else {
-      out_rc[ng] = r;
+      const uint64_t key = ((uint64_t)hi[i] << 32) | lo[i];
+      nc.push_back(ClsRow{rc_key64(key, k), (int32_t)i});
     }
   }
-  return ng + 1;
+  TQM_SORT(nc.begin(), nc.end(), [](const ClsRow& a, const ClsRow& b) {
+    return a.cls < b.cls;  // rc is injective: cls values are unique here
+  });
+  // merge the two sorted class streams
+  const int64_t nca = (int64_t)can.size(), nnc = (int64_t)nc.size();
+  int64_t a = 0, b = 0, ng = 0;
+  while (a < nca || b < nnc) {
+    const uint64_t ka =
+        a < nca ? (((uint64_t)hi[can[a]] << 32) | lo[can[a]]) : ~0ull;
+    const uint64_t kb = b < nnc ? nc[b].cls : ~0ull;
+    const uint64_t cls = ka < kb ? ka : kb;
+    out_cls_hi[ng] = (uint32_t)(cls >> 32);
+    out_cls_lo[ng] = (uint32_t)cls;
+    int32_t fr = -1, rr = -1;
+    if (ka == cls) {
+      fr = (int32_t)can[a];
+      if (pal[can[a]]) rr = fr;  // palindrome: same row serves both strands
+      a++;
+    }
+    if (kb == cls) {
+      rr = nc[b].row;
+      b++;
+    }
+    out_fwd[ng] = fr;
+    out_rc[ng] = rr;
+    ng++;
+  }
+  return ng;
 }

@@ -15,7 +15,12 @@
 
 #include <algorithm>
 #include <cstdint>
+#include <cstring>
 #include <vector>
+
+#if defined(_OPENMP)
+#include <omp.h>
+#endif
 
 static inline uint32_t mix32(uint32_t x) {
   x ^= x >> 16;
@@ -39,11 +44,16 @@ extern "C" int tqm_chd_build(const uint32_t* hi, const uint32_t* lo, int64_t n,
 
   std::vector<int32_t> bcount(m, 0);
   std::vector<uint32_t> hb(n), g(n);
+  // hashes in parallel; the bucket count stays a sequential linear pass so
+  // bucket item order (and therefore the built perm) is deterministic
+#if defined(_OPENMP)
+#pragma omp parallel for schedule(static)
+#endif
   for (int64_t i = 0; i < n; i++) {
     g[i] = mix32(hi[i] ^ mix32(lo[i] ^ sa)) & m_mask;
     hb[i] = mix32(hi[i] ^ mix32(lo[i] ^ sb));
-    bcount[g[i]]++;
   }
+  for (int64_t i = 0; i < n; i++) bcount[g[i]]++;
   std::vector<int64_t> boff(m + 1, 0);
   for (int64_t j = 0; j < m; j++) boff[j + 1] = boff[j] + bcount[j];
   std::vector<int32_t> items(n);
@@ -54,6 +64,9 @@ extern "C" int tqm_chd_build(const uint32_t* hi, const uint32_t* lo, int64_t n,
   // hb gathered into bucket order once, so the displacement search streams
   // it sequentially instead of cache-missing into the key-order array
   std::vector<uint32_t> hbs(n);
+#if defined(_OPENMP)
+#pragma omp parallel for schedule(static)
+#endif
   for (int64_t i = 0; i < n; i++) hbs[i] = hb[items[i]];
   // process buckets in decreasing-size order: counting sort by size (sizes
   // are tiny), stable within a size class so results stay deterministic
@@ -73,7 +86,7 @@ extern "C" int tqm_chd_build(const uint32_t* hi, const uint32_t* lo, int64_t n,
   // random probes cache-resident (a byte array at T = 2^25 is 32 MB and
   // every probe misses; the bitset is 4 MB)
   std::vector<uint64_t> used((T + 63) >> 6, 0);
-  for (int64_t i = 0; i < T; i++) perm[i] = -1;
+  std::memset(perm, 0xFF, (size_t)T * sizeof(int32_t));  // all -1
   std::vector<uint32_t> slots;
   for (int64_t oj = 0; oj < m; oj++) {
     const int32_t j = order[oj];
