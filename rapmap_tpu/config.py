@@ -25,6 +25,18 @@ class MapConfig:
     # opposite-strand only); flip once the reference mount pins the behavior.
     max_frag_len: int = 0          # >0: require |pos1 - pos2| <= this
     pair_order: bool = False       # require fwd mate to start at/before rc mate
+    # selective-alignment scoring (SEMANTICS.md §9; ksw2-analog STRETCH —
+    # upstream presence in v0 unverified, SURVEY §2.2). Off by default so the
+    # v0 parity surface is untouched. When on, every emitted record carries a
+    # banded affine-gap alignment score (SAM AS:i); records scoring below
+    # ceil(min_score_fraction * align_ma * readLen) are suppressed at output.
+    mapping_score: bool = False
+    min_score_fraction: float = 0.0
+    align_ma: int = 2              # match bonus        (salmon-era --ma)
+    align_mp: int = -4             # mismatch penalty   (--mp, negative)
+    align_go: int = 5              # gap open           (--go, >= align_ge)
+    align_ge: int = 3              # gap extend         (--ge)
+    align_band: int = 7            # DP band half-width (--bandwidth)
     # device-engine static shape knobs (no effect on semantics when not exceeded;
     # exceeding them sets the over_budget counter)
     max_hits_per_strand: int = 16  # MMP hits recorded per read-strand

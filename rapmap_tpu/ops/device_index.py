@@ -58,6 +58,9 @@ class DeviceQuasiIndex(NamedTuple):
     # answers a whole suffix compare (reads up to k+16F bases); (wi, sub)
     # continue into text2q for longer reads. None = 2-gather legacy path.
     sa_cmp: jnp.ndarray | None = None    # int32 (n, 3 + SA_CMP_WORDS)
+    # per-transcript [start >> 4, start & 15, txp_len] rows for the mapping-
+    # score kernel's window extraction (ops.align); tiny, always uploaded
+    txp_align: jnp.ndarray | None = None  # int32 (n_txps, 3)
 
 
 @dataclass(frozen=True)
@@ -251,5 +254,12 @@ def upload_index(
         chd_dir=chd_dir,
         chd_rows=chd_rows,
         sa_cmp=jnp.asarray(sa_cmp),
+        txp_align=jnp.asarray(_txp_align_rows(off, tl)),
     )
     return dev, st
+
+
+def _txp_align_rows(off: np.ndarray, tl: np.ndarray) -> np.ndarray:
+    from rapmap_tpu.ops.align import make_txp_align
+
+    return make_txp_align(off, tl)
