@@ -48,6 +48,22 @@ def _add_map_flags(p: argparse.ArgumentParser) -> None:
     )
     p.add_argument("-n", "--noOutput", action="store_true", help="map but emit no SAM")
     p.add_argument("--maxInterval", type=int, default=1000)
+    # selective-alignment scoring (SEMANTICS.md §9; salmon-era flag names)
+    p.add_argument(
+        "--mappingScore", action="store_true",
+        help="score every mapping with a banded affine-gap alignment and "
+        "emit it as an AS:i tag (quasimap only)",
+    )
+    p.add_argument(
+        "--minScoreFraction", type=float, default=0.0,
+        help="with --mappingScore: suppress records scoring below "
+        "ceil(F * ma * readLen); 0 = tag only, no filtering",
+    )
+    p.add_argument("--ma", type=int, default=2, help="match bonus")
+    p.add_argument("--mp", type=int, default=-4, help="mismatch penalty (negative)")
+    p.add_argument("--go", type=int, default=5, help="gap open penalty (>= --ge)")
+    p.add_argument("--ge", type=int, default=3, help="gap extend penalty")
+    p.add_argument("--bandwidth", type=int, default=7, help="alignment DP band half-width")
     p.add_argument(
         "--expandBudget", type=int, default=0,
         help="average device SA-expansion slots per read; 0 = auto-size from "
@@ -118,6 +134,15 @@ def build_parser() -> argparse.ArgumentParser:
 
 
 def _cfg_from_args(args, k: int) -> MapConfig:
+    if args.mappingScore:
+        if args.go < args.ge:
+            raise SystemExit("--go must be >= --ge")
+        if args.mp >= 0:
+            raise SystemExit("--mp must be negative")
+        if args.bandwidth < 1:
+            raise SystemExit("--bandwidth must be >= 1")
+        if not (0.0 <= args.minScoreFraction <= 1.0):
+            raise SystemExit("--minScoreFraction must be in [0, 1]")
     return MapConfig(
         k=k,
         max_num_hits=args.maxNumHits,
@@ -131,6 +156,10 @@ def _cfg_from_args(args, k: int) -> MapConfig:
         pair_order=args.pairOrder,
         expand_budget=args.expandBudget,
         chunk=args.chunkSize,
+        mapping_score=args.mappingScore,
+        min_score_fraction=args.minScoreFraction if args.mappingScore else 0.0,
+        align_ma=args.ma, align_mp=args.mp, align_go=args.go,
+        align_ge=args.ge, align_band=args.bandwidth,
     )
 
 
@@ -159,6 +188,9 @@ def run_map(args, pseudo: bool) -> int:
     want = "pseudo" if pseudo else "quasi"
     if header["index_type"] != want:
         log.error("index at %s is type %s, expected %s", args.index, header["index_type"], want)
+        return 1
+    if pseudo and args.mappingScore:
+        log.error("--mappingScore needs the suffix-array text; quasimap only")
         return 1
     idx = load_index(args.index)
     cfg = _cfg_from_args(args, idx.k)
@@ -216,7 +248,13 @@ def run_map(args, pseudo: bool) -> int:
         if out is not None and not skip_batches:
             out.write(sam.sam_header(idx.txp_names, np.asarray(idx.txp_lens), __version__, cl))
         write_unmapped = not args.noUnmapped
-        sam_fmt = sam.get_native_formatter(idx.txp_names) if out is not None else None
+        # the native formatter predates AS tags; --mappingScore renders via
+        # the Python writers (the executable spec)
+        sam_fmt = (
+            sam.get_native_formatter(idx.txp_names)
+            if out is not None and not cfg.mapping_score
+            else None
+        )
 
         # one-deep pipeline: dispatch batch i+1 before fetching batch i's
         # results so the device computes while the host renders SAM
@@ -242,6 +280,10 @@ def run_map(args, pseudo: bool) -> int:
                         recsd, batch.codes, batch.lens, batch.n,
                         mapper.host_index, mapper.cfg, oracle_mod,
                     )
+            if cfg.mapping_score and cfg.min_score_fraction > 0.0:
+                from rapmap_tpu.models import scorefilter
+
+                recsd = scorefilter.filter_se(recsd, batch.lens, cfg)
             acc(recsd.counters)
             if recsd.overflowed:
                 log.warning("record buffer overflow in a batch; tail records dropped")
@@ -250,7 +292,7 @@ def run_map(args, pseudo: bool) -> int:
                     sam.write_se_records_dense(
                         out, batch.names[: batch.n], batch.seqs, batch.quals,
                         recsd.recs, recsd.counts, idx.txp_names, write_unmapped,
-                        formatter=sam_fmt,
+                        formatter=sam_fmt, with_score=cfg.mapping_score,
                     )
 
         def drain_pe(pending):
@@ -263,6 +305,10 @@ def run_map(args, pseudo: bool) -> int:
                         recsd, b1.codes, b1.lens, b2.codes, b2.lens, b1.n,
                         mapper.host_index, mapper.cfg, oracle_mod,
                     )
+            if cfg.mapping_score and cfg.min_score_fraction > 0.0:
+                from rapmap_tpu.models import scorefilter
+
+                recsd = scorefilter.filter_pe(recsd, b1.lens, b2.lens, cfg)
             acc(recsd.counters)
             if recsd.overflowed:
                 log.warning("record buffer overflow in a batch; tail records dropped")
@@ -271,7 +317,7 @@ def run_map(args, pseudo: bool) -> int:
                     sam.write_pe_records_dense(
                         out, b1.names[: b1.n], b1.seqs, b1.quals, b2.seqs, b2.quals,
                         recsd.recs, recsd.counts, idx.txp_names, write_unmapped,
-                        formatter=sam_fmt,
+                        formatter=sam_fmt, with_score=cfg.mapping_score,
                     )
 
         from collections import deque

@@ -109,9 +109,12 @@ def write_se_records_dense(
     txp_names: list[str],
     write_unmapped: bool = True,
     formatter=None,
+    with_score: bool = False,
 ) -> int:
-    """SAM from device-compacted SERecords (production path)."""
-    if formatter is not None:
+    """SAM from device-compacted SERecords (production path). with_score
+    appends the record's alignment score as an `AS:i` tag (--mappingScore,
+    SEMANTICS.md §9)."""
+    if formatter is not None and not with_score:
         out.write(formatter.se(names, seqs, quals, recs, counts, write_unmapped)
                   .decode("ascii"))
         return formatter.last_n_records
@@ -127,7 +130,7 @@ def write_se_records_dense(
             continue
         rc_seq = None
         for j in range(c):
-            t, pos, strand, _score = recs[off + j]
+            t, pos, strand, score = recs[off + j]
             flags = 0 if j == 0 else FLAG_SECONDARY
             if strand == 1:
                 flags |= FLAG_REVERSE
@@ -137,9 +140,10 @@ def write_se_records_dense(
             else:
                 s, q = seq.decode(), qual
             mapq = 1 if j == 0 else 0
+            tag = f"\tAS:i:{score}" if with_score else ""
             out.write(
                 f"{name}\t{flags}\t{txp_names[t]}\t{_pos1(pos)}\t{mapq}\t"
-                f"{len(seq)}M\t*\t0\t0\t{s}\t{q}\n"
+                f"{len(seq)}M\t*\t0\t0\t{s}\t{q}{tag}\n"
             )
             n += 1
         off += c
@@ -151,14 +155,16 @@ def write_pe_records_dense(
     names: list[str],
     seqs1: list[bytes], quals1: list[bytes],
     seqs2: list[bytes], quals2: list[bytes],
-    recs: np.ndarray,    # (cap, 7) int32 t,p1,s1,has1,p2,s2,has2
+    recs: np.ndarray,    # (cap, 7|9) int32 t,p1,s1,has1,p2,s2,has2[,sc1,sc2]
     counts: np.ndarray,
     txp_names: list[str],
     write_unmapped: bool = True,
     formatter=None,
+    with_score: bool = False,
 ) -> int:
-    """SAM from device-compacted PERecords (production path)."""
-    if formatter is not None:
+    """SAM from device-compacted PERecords (production path). with_score
+    appends each mapped mate's alignment score as AS:i (--mappingScore)."""
+    if formatter is not None and not with_score:
         out.write(formatter.pe(names, seqs1, quals1, seqs2, quals2,
                                recs, counts, write_unmapped).decode("ascii"))
         return formatter.last_n_records
@@ -177,7 +183,10 @@ def write_pe_records_dense(
                 out.write(f"{name}\t{f2}\t*\t0\t0\t*\t*\t0\t0\t{s2b.decode()}\t{q2}\n")
             continue
         for j in range(c):
-            t, p1, st1, h1, p2, st2, h2 = (int(x) for x in recs[off + j])
+            row = recs[off + j]
+            t, p1, st1, h1, p2, st2, h2 = (int(x) for x in row[:7])
+            tg1 = f"\tAS:i:{int(row[7])}" if with_score else ""
+            tg2 = f"\tAS:i:{int(row[8])}" if with_score else ""
             tname = txp_names[t]
             sec = 0 if j == 0 else FLAG_SECONDARY
             mapq = 1 if j == 0 else 0
@@ -197,26 +206,28 @@ def write_pe_records_dense(
                 seq2 = revcomp_seq(s2b).decode() if r2 else s2b.decode()
                 qq2 = q2[::-1] if r2 else q2
                 out.write(
-                    f"{name}\t{f1}\t{tname}\t{_pos1(p1)}\t{mapq}\t{L1}M\t=\t{_pos1(p2)}\t{t1}\t{seq1}\t{qq1}\n"
+                    f"{name}\t{f1}\t{tname}\t{_pos1(p1)}\t{mapq}\t{L1}M\t=\t{_pos1(p2)}\t{t1}\t{seq1}\t{qq1}{tg1}\n"
                 )
                 out.write(
-                    f"{name}\t{f2}\t{tname}\t{_pos1(p2)}\t{mapq}\t{L2}M\t=\t{_pos1(p1)}\t{t2}\t{seq2}\t{qq2}\n"
+                    f"{name}\t{f2}\t{tname}\t{_pos1(p2)}\t{mapq}\t{L2}M\t=\t{_pos1(p1)}\t{t2}\t{seq2}\t{qq2}{tg2}\n"
                 )
                 n += 2
             else:
                 if h1:
                     p, rev, Lm, sb, qb, fl_this, fl_other = p1, st1 == 1, L1, s1b, q1, FLAG_FIRST, FLAG_SECOND
                     so, qo = s2b, q2
+                    tgm = tg1
                 else:
                     p, rev, Lm, sb, qb, fl_this, fl_other = p2, st2 == 1, L2, s2b, q2, FLAG_SECOND, FLAG_FIRST
                     so, qo = s1b, q1
+                    tgm = tg2
                 f_m = FLAG_PAIRED | FLAG_MATE_UNMAPPED | fl_this | sec
                 if rev:
                     f_m |= FLAG_REVERSE
                 seqm = revcomp_seq(sb).decode() if rev else sb.decode()
                 qqm = qb[::-1] if rev else qb
                 out.write(
-                    f"{name}\t{f_m}\t{tname}\t{_pos1(p)}\t{mapq}\t{Lm}M\t=\t{_pos1(p)}\t0\t{seqm}\t{qqm}\n"
+                    f"{name}\t{f_m}\t{tname}\t{_pos1(p)}\t{mapq}\t{Lm}M\t=\t{_pos1(p)}\t0\t{seqm}\t{qqm}{tgm}\n"
                 )
                 n += 1
                 if j == 0:

@@ -97,7 +97,21 @@ def map_batch_se_wire(didx, st, wire_in, cfg: MapConfig, cap: int, B: int, L: in
     reads, lens, n_valid = unpack_in_se(wire_in, B, L)
     out, ctr = map_batch_se(didx, st, reads, lens, n_valid, cfg)
     flags = encode_read_flags(out.over_budget, out.out_truncated, out.too_ambiguous, out.mapped)
-    return pack_out(compact_se(out, cap), ctr, flags)
+    se = compact_se(out, cap)
+    if cfg.mapping_score:
+        from rapmap_tpu.ops.align import score_records
+        from rapmap_tpu.ops.compact import rid_from_counts
+
+        rid = rid_from_counts(se.counts, cap)
+        live = (np.arange(cap, dtype=np.int32) + se.total * 0) < jnp.minimum(
+            se.total, cap
+        )
+        sc = score_records(
+            didx, cfg, reads, lens, rid, se.recs[:, 0], se.recs[:, 1],
+            se.recs[:, 2], live,
+        )
+        se = se._replace(recs=se.recs.at[:, 3].set(sc))
+    return pack_out(se, ctr, flags)
 
 
 def _se_counters(flags, n_valid, C):
@@ -143,7 +157,9 @@ def map_batch_se_wire_chunked(
         r, l = xs
         nv = jnp.clip(n_valid - rows_done, 0, C)
         hits = scan_dispatch(didx, st, r, l, cfg)
-        se, flags = collate_records_se(didx, st, hits, l, cfg, capc, rec_spec=spec)
+        se, flags = collate_records_se(
+            didx, st, hits, l, cfg, capc, rec_spec=spec, reads=r
+        )
         ctr = _se_counters(flags, nv, C)
         from rapmap_tpu.ops.wire import encode_read_flags
 
@@ -180,7 +196,8 @@ def map_batch_pe_wire(didx, st, wire_in, cfg: MapConfig, cap: int, B: int, L: in
         out1.out_truncated | out2.out_truncated | pairs.out_truncated,
         pairs.too_ambiguous, pairs.any_record,
     )
-    return pack_out(compact_pe(pairs, cap), ctr, flags)
+    sargs = (didx, cfg, r1, l1, r2, l2) if cfg.mapping_score else None
+    return pack_out(compact_pe(pairs, cap, score_args=sargs), ctr, flags)
 
 
 @partial(jax.jit, static_argnames=("st", "cfg", "capc", "B", "L", "C"))
@@ -213,7 +230,8 @@ def map_batch_pe_wire_chunked(
             hits1 = scan_dispatch(didx, st, a, la, cfg)
             hits2 = scan_dispatch(didx, st, b, lb, cfg)
             pe, fl, _ = collate_records_pe(
-                didx, st, hits1, la, hits2, lb, cfg, capc, rec_spec=spec
+                didx, st, hits1, la, hits2, lb, cfg, capc, rec_spec=spec,
+                reads1=a, reads2=b,
             )
             real = np.arange(C, dtype=np.int32) < nv
             ctr = Counters(
@@ -232,7 +250,8 @@ def map_batch_pe_wire_chunked(
             )
         else:
             out1, out2, pairs, ctr = map_batch_pe(didx, st, a, la, b, lb, nv, cfg)
-            pe = compact_pe(pairs, capc, rec_spec=spec)
+            sargs = (didx, cfg, a, la, b, lb) if cfg.mapping_score else None
+            pe = compact_pe(pairs, capc, rec_spec=spec, score_args=sargs)
             fbits = encode_read_flags(
                 out1.over_budget | out2.over_budget,
                 out1.out_truncated | out2.out_truncated | pairs.out_truncated,
@@ -356,7 +375,8 @@ class QuasiMapper:
         kind, B, fut, C, capc, spec = result
         wire = np.asarray(fut)
         packed_cf = bool(C) and C % 8 == 0 and self.cfg.rec_slots * C < (1 << 16)
+        pe_w = 9 if self.cfg.mapping_score else 7  # per-mate AS fields 7-8
         return unpack_out(
-            wire, B, 4 if kind == "se" else 7, chunk=C, capc=capc,
+            wire, B, 4 if kind == "se" else pe_w, chunk=C, capc=capc,
             rec_spec=spec, packed_cf=packed_cf,
         )

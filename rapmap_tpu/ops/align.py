@@ -77,15 +77,19 @@ def extract_ref_windows(didx, t, start, W: int):
     sub = (goff & 15).astype(jnp.uint32)
 
     nwords = (W + 15) // 16 + 1  # +1: the shift pulls bits from word m+1
-    nq = (nwords + 3) // 4
     top = didx.text2q.shape[0] - 1
-    words = []
-    for q in range(nq):
-        quad = jnp.take(
-            didx.text2q, jnp.clip(wi + 4 * q, 0, top), axis=0, mode="clip"
-        )  # (N, 4) int32-viewed uint32 words
-        for c in range(4):
-            words.append(lax.bitcast_convert_type(quad[:, c], jnp.uint32))
+    # per-word clipped gathers: slot m must hold word wi+m EXACTLY when any
+    # valid char reads it. Clipping a quad-row BASE index would shift every
+    # slot when wi < 0 (windows hanging off transcript 0's head); clipping
+    # each word individually only corrupts slots whose chars are outside
+    # [0, txp_len) — and those are masked to 5 below.
+    t2w = didx.text2q[:, 0]  # flat packed-word stream (row i col 0 = word i)
+    words = [
+        lax.bitcast_convert_type(
+            jnp.take(t2w, jnp.clip(wi + m, 0, top), mode="clip"), jnp.uint32
+        )
+        for m in range(nwords)
+    ]
     # sub-word shift: w'[m] = words[m] << 2*sub | words[m+1] >> (32 - 2*sub)
     sh = sub * np.uint32(2)
     sh2 = (np.uint32(32) - sh) % np.uint32(32)
@@ -192,3 +196,30 @@ def score_records(
     )
     sc = jnp.clip(sc, 0, np.int32((1 << SCORE_BITS) - 1))
     return jnp.where(valid, sc, 0)
+
+
+def score_pe_rows(
+    didx,
+    cfg,
+    reads1, lens1, reads2, lens2,   # (B, L) int8 / (B,) int32 per mate
+    rid: jnp.ndarray,               # (N,) int32 read ids
+    t: jnp.ndarray,                 # (N,) int32
+    p1, s1, has1, p2, s2, has2,     # (N,) record mate fields
+    live: jnp.ndarray,              # (N,) bool
+):
+    """Both mates of dense PE record rows in ONE banded-DP pass: the two
+    mates' rows concatenate into a single 2N-lane scorer over the stacked
+    [mate1; mate2] read batch. -> (sc1, sc2), zero where the mate is absent."""
+    B = reads1.shape[0]
+    reads = jnp.concatenate([reads1, reads2], axis=0)
+    lens = jnp.concatenate([lens1, lens2])
+    rid2 = jnp.concatenate([rid, rid + np.int32(B)])
+    sc = score_records(
+        didx, cfg, reads, lens, rid2,
+        jnp.concatenate([t, t]),
+        jnp.concatenate([p1, p2]),
+        jnp.concatenate([s1, s2]),
+        jnp.concatenate([live & (has1 != 0), live & (has2 != 0)]),
+    )
+    N = t.shape[0]
+    return sc[:N], sc[N:]

@@ -359,6 +359,7 @@ def collate_records_se(
     cap: int,
     expand_fn=None,
     rec_spec=None,
+    reads=None,
 ):
     """Winners compacted DIRECTLY into a dense (cap, W) record buffer.
 
@@ -367,8 +368,10 @@ def collate_records_se(
     the SE wire path skips the (B, MAX_OUT) scatter + re-compaction entirely
     (MAX_OUT disappears from the hot program). With rec_spec (wire.RecSpec),
     rows pack into W=2 words instead of 4 — halves both the record scatter
-    and the d2h bytes. Returns (SERecords, MapFlags).
-    """
+    and the d2h bytes. With cfg.mapping_score (and `reads`), the record
+    score field carries the banded alignment score (ops.align, computed on
+    the compacted cap rows) instead of the MMP support. Returns
+    (SERecords, MapFlags)."""
     from rapmap_tpu.ops.compact import SERecords
 
     B = hits.q.shape[0] // 2
@@ -377,14 +380,39 @@ def collate_records_se(
     gidx = jnp.cumsum(emit.astype(jnp.int32)) - 1
     dest = jnp.where(emit, jnp.minimum(gidx, cap), cap)
     fields = [c.k2s >> 1, c.p2, c.k2s & 1, c.sup2]
-    if rec_spec is not None:
-        from rapmap_tpu.ops.wire import pack_rec_fields
+    if cfg.mapping_score and reads is not None:
+        # scatter the unpacked columns + read id first, score the dense cap
+        # rows (the pool's CAPG rows would be ~expand_budget/rec_slots times
+        # more lockstep DP lanes), then pack columns elementwise
+        from rapmap_tpu.ops.align import score_records
 
-        fields = list(pack_rec_fields(rec_spec, fields))
-    W = len(fields)
-    rows = jnp.stack(fields, axis=-1)
-    buf = jnp.zeros((cap + 1, W), jnp.int32)
-    recs = buf.at[dest].set(rows.astype(jnp.int32), mode="drop")[:cap]
+        cols = jnp.stack(fields[:3] + [c.rclip], axis=-1)
+        raw = (
+            jnp.zeros((cap + 1, 4), jnp.int32)
+            .at[dest].set(cols.astype(jnp.int32), mode="drop")[:cap]
+        )
+        row_live = (np.arange(cap, dtype=np.int32) + c.counts.sum() * 0) < jnp.minimum(
+            jnp.sum(emit, dtype=jnp.int32), cap
+        )
+        sc = score_records(
+            didx, cfg, reads, lens, raw[:, 3], raw[:, 0], raw[:, 1],
+            raw[:, 2], row_live,
+        )
+        fields = [raw[:, 0], raw[:, 1], raw[:, 2], sc]
+        if rec_spec is not None:
+            from rapmap_tpu.ops.wire import pack_rec_fields
+
+            fields = list(pack_rec_fields(rec_spec, fields))
+        recs = jnp.stack(fields, axis=-1).astype(jnp.int32)
+    else:
+        if rec_spec is not None:
+            from rapmap_tpu.ops.wire import pack_rec_fields
+
+            fields = list(pack_rec_fields(rec_spec, fields))
+        W = len(fields)
+        rows = jnp.stack(fields, axis=-1)
+        buf = jnp.zeros((cap + 1, W), jnp.int32)
+        recs = buf.at[dest].set(rows.astype(jnp.int32), mode="drop")[:cap]
     emitted = jax.ops.segment_sum(emit.astype(jnp.int32), c.rclip, num_segments=B)
     ends = jnp.cumsum(emitted)
     counts = jnp.minimum(ends, cap) - jnp.minimum(ends - emitted, cap)

@@ -13,9 +13,26 @@ from typing import NamedTuple
 
 import jax.numpy as jnp
 import numpy as np
+from jax import lax
 
 from rapmap_tpu.ops.collate import MapOut
 from rapmap_tpu.ops.pairs import PairOut
+
+
+def rid_from_counts(counts: jnp.ndarray, cap: int) -> jnp.ndarray:
+    """(B,) per-read record counts -> (cap,) read id of each dense record row
+    (rows past the written total get the last writing read; callers mask by
+    row < total). Scatter read ids at each read's start offset + running max
+    — the same slot-assignment trick as the collate expansion pool."""
+    B = counts.shape[0]
+    starts = jnp.cumsum(counts) - counts
+    scat = jnp.where(counts > 0, jnp.minimum(starts, cap), cap)
+    buf = jnp.broadcast_to(counts.sum() * 0 - 1, (cap + 1,))
+    rid = buf.at[scat].max(
+        np.arange(B, dtype=np.int32) + counts.sum() * 0, mode="drop"
+    )[:cap]
+    rid = lax.associative_scan(jnp.maximum, rid)
+    return jnp.clip(rid, 0, B - 1)
 
 
 class SERecords(NamedTuple):
@@ -58,10 +75,32 @@ def compact_se(out: MapOut, cap: int) -> SERecords:
     return SERecords(recs, counts, total, ovf)
 
 
-def compact_pe(po: PairOut, cap: int, rec_spec=None) -> PERecords:
+def compact_pe(po: PairOut, cap: int, rec_spec=None, score_args=None) -> PERecords:
+    """score_args = (didx, cfg, reads1, lens1, reads2, lens2) appends per-mate
+    alignment scores (cfg.mapping_score, SEMANTICS.md §9) as fields 7-8,
+    computed on the compacted rows."""
     valid = po.t != -1
     fields = [po.t, po.p1, po.s1, po.has1.astype(jnp.int32), po.p2, po.s2,
               po.has2.astype(jnp.int32)]
+    if score_args is not None and score_args[1].mapping_score:
+        didx, cfg, r1, l1, r2, l2 = score_args
+        raw, counts, total, ovf = _compact(fields, valid, cap)
+        from rapmap_tpu.ops.align import score_pe_rows
+
+        rid = rid_from_counts(counts, cap)
+        live = (np.arange(cap, dtype=np.int32) + total * 0) < jnp.minimum(total, cap)
+        sc1, sc2 = score_pe_rows(
+            didx, cfg, r1, l1, r2, l2, rid, raw[:, 0], raw[:, 1], raw[:, 2],
+            raw[:, 3], raw[:, 4], raw[:, 5], raw[:, 6], live,
+        )
+        cols = [raw[:, j] for j in range(7)] + [sc1, sc2]
+        if rec_spec is not None:
+            from rapmap_tpu.ops.wire import pack_rec_fields
+
+            cols[0] = jnp.maximum(cols[0], 0)
+            cols = list(pack_rec_fields(rec_spec, cols))
+        recs = jnp.stack([c.astype(jnp.int32) for c in cols], axis=-1)
+        return PERecords(recs, counts, total, ovf)
     if rec_spec is not None:
         from rapmap_tpu.ops.wire import pack_rec_fields
 

@@ -69,7 +69,8 @@ def pe_direct_eligible(st, cfg: MapConfig, C: int) -> bool:
 
 
 def collate_records_pe(
-    didx, st, hits1, lens1, hits2, lens2, cfg: MapConfig, cap: int, rec_spec=None
+    didx, st, hits1, lens1, hits2, lens2, cfg: MapConfig, cap: int, rec_spec=None,
+    reads1=None, reads2=None,
 ):
     """PE merge DIRECTLY from the two mates' collate cores (mergeLeftRightHits
     rebuild, SEMANTICS.md §5; upstream:src/RapMapUtils.cpp role).
@@ -170,12 +171,15 @@ def collate_records_pe(
     base = jnp.cumsum(emit_n) - emit_n  # per-read record base
 
     # ---- assemble records: three masked scatter sources ---------------------
-    W = 2 if rec_spec is not None else 7
+    # with mapping_score the rows scatter UNPACKED, get scored on the dense
+    # cap rows (ops.align, both mates in one DP pass), then pack elementwise
+    scoring = cfg.mapping_score and reads1 is not None
+    W = 2 if (rec_spec is not None and not scoring) else 7
     buf = jnp.zeros((cap + 1, W), jnp.int32)
 
     def rec_rows(t, p1, s1, has1, p2, s2, has2):
         fields = [t, p1, s1, has1, p2, s2, has2]
-        if rec_spec is not None:
+        if rec_spec is not None and not scoring:
             from rapmap_tpu.ops.wire import pack_rec_fields
 
             fields = list(pack_rec_fields(rec_spec, fields))
@@ -222,6 +226,23 @@ def collate_records_pe(
     total = jnp.sum(emit_n, dtype=jnp.int32)
     ends = jnp.cumsum(emit_n)
     counts = jnp.minimum(ends, cap) - jnp.minimum(ends - emit_n, cap)
+    if scoring:
+        from rapmap_tpu.ops.align import score_pe_rows
+        from rapmap_tpu.ops.compact import rid_from_counts
+
+        rid = rid_from_counts(counts, cap)
+        live = (np.arange(cap, dtype=np.int32) + total * 0) < jnp.minimum(total, cap)
+        sc1, sc2 = score_pe_rows(
+            didx, cfg, reads1, lens1, reads2, lens2, rid, recs[:, 0],
+            recs[:, 1], recs[:, 2], recs[:, 3], recs[:, 4], recs[:, 5],
+            recs[:, 6], live,
+        )
+        cols = [recs[:, j] for j in range(7)] + [sc1, sc2]
+        if rec_spec is not None:
+            from rapmap_tpu.ops.wire import pack_rec_fields
+
+            cols = list(pack_rec_fields(rec_spec, cols))
+        recs = jnp.stack([x.astype(jnp.int32) for x in cols], axis=-1)
     pe = PERecords(
         recs=recs, counts=counts, total=total, overflowed=total > cap
     )

@@ -159,7 +159,12 @@ def rec_spec_se(st, cfg) -> RecSpec | None:
     tb = (st.n_txps + 1).bit_length()
     bias = st.pad_tail
     pb = (st.max_tpos + bias + 1).bit_length()
-    scb = (2 * cfg.max_hits_per_strand + 1).bit_length()
+    if cfg.mapping_score:  # score field carries the clamped AS value instead
+        from rapmap_tpu.ops.align import SCORE_BITS
+
+        scb = SCORE_BITS
+    else:
+        scb = (2 * cfg.max_hits_per_strand + 1).bit_length()
     if tb + pb + 1 + scb > 64:
         return None
     return RecSpec("se", (tb, pb, 1, scb), bias)
@@ -171,6 +176,12 @@ def rec_spec_pe(st, cfg) -> RecSpec | None:
     tb = (st.n_txps + 1).bit_length()
     bias = st.pad_tail
     pb = (st.max_tpos + bias + 1).bit_length()
+    if cfg.mapping_score:  # two per-mate AS fields ride the tail
+        from rapmap_tpu.ops.align import SCORE_BITS
+
+        if tb + 2 * pb + 4 + 2 * SCORE_BITS > 64:
+            return None
+        return RecSpec("pe", (tb, pb, 1, 1, pb, 1, 1, SCORE_BITS, SCORE_BITS), bias)
     if tb + 2 * pb + 4 > 64:
         return None
     return RecSpec("pe", (tb, pb, 1, 1, pb, 1, 1), bias)

@@ -131,6 +131,16 @@ def test_score_records_vs_oracle_on_index(tmp_path, rng):
         # positions beyond both ends to exercise the transcript masking
         pos[i] = int(rng.integers(-10, int(tl[ti]) + 5))
         strand[i] = int(rng.integers(0, 2))
+    # regression: windows hanging off the HEAD of transcript 0 (global text
+    # position < 0) must stay word-aligned (per-word clipped gathers)
+    for i, p in zip(range(4), (-5, 0, 2, 5)):
+        t[i] = 0
+        pos[i] = p
+        li = int(lens[i])
+        codes[i, :li] = encode_reads(
+            np.frombuffer(txps[0][1][: li], dtype=np.uint8)
+        )
+        strand[i] = 0
     valid = np.ones(B, bool)
     valid[B - 2 :] = False  # dead rows must score 0
 
