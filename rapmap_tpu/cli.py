@@ -248,13 +248,7 @@ def run_map(args, pseudo: bool) -> int:
         if out is not None and not skip_batches:
             out.write(sam.sam_header(idx.txp_names, np.asarray(idx.txp_lens), __version__, cl))
         write_unmapped = not args.noUnmapped
-        # the native formatter predates AS tags; --mappingScore renders via
-        # the Python writers (the executable spec)
-        sam_fmt = (
-            sam.get_native_formatter(idx.txp_names)
-            if out is not None and not cfg.mapping_score
-            else None
-        )
+        sam_fmt = sam.get_native_formatter(idx.txp_names) if out is not None else None
 
         # one-deep pipeline: dispatch batch i+1 before fetching batch i's
         # results so the device computes while the host renders SAM

@@ -114,9 +114,11 @@ def write_se_records_dense(
     """SAM from device-compacted SERecords (production path). with_score
     appends the record's alignment score as an `AS:i` tag (--mappingScore,
     SEMANTICS.md §9)."""
-    if formatter is not None and not with_score:
-        out.write(formatter.se(names, seqs, quals, recs, counts, write_unmapped)
-                  .decode("ascii"))
+    if formatter is not None:
+        out.write(
+            formatter.se(names, seqs, quals, recs, counts, write_unmapped,
+                         with_score=with_score).decode("ascii")
+        )
         return formatter.last_n_records
     n = 0
     off = 0
@@ -164,9 +166,11 @@ def write_pe_records_dense(
 ) -> int:
     """SAM from device-compacted PERecords (production path). with_score
     appends each mapped mate's alignment score as AS:i (--mappingScore)."""
-    if formatter is not None and not with_score:
-        out.write(formatter.pe(names, seqs1, quals1, seqs2, quals2,
-                               recs, counts, write_unmapped).decode("ascii"))
+    if formatter is not None:
+        out.write(
+            formatter.pe(names, seqs1, quals1, seqs2, quals2, recs, counts,
+                         write_unmapped, with_score=with_score).decode("ascii")
+        )
         return formatter.last_n_records
     n = 0
     off = 0

@@ -25,7 +25,7 @@ _tried = False
 # must equal native/abi.cpp's tqm_abi_version(); a mismatched (stale) .so is
 # rebuilt once, and rejected if still stale — calling through a changed
 # signature corrupts memory silently, the numpy fallbacks are always safe
-ABI_VERSION = 3
+ABI_VERSION = 4
 
 
 def _abi_of(lib: ctypes.CDLL) -> int:
@@ -108,7 +108,8 @@ def _load() -> ctypes.CDLL | None:
             P, P, I64,          # recs, counts, B
             P, P, P, P, P, P,   # names/off, seqs/off, quals/off
             P, P, I64,          # tnames/off, n_txps
-            I32, P, I64, P,     # write_unmapped, out, out_cap, n_records
+            I32, I32,           # write_unmapped, with_score
+            P, I64, P,          # out, out_cap, n_records
         ]
         lib.tqm_sam_pe.restype = I64
         lib.tqm_sam_pe.argtypes = [
@@ -116,7 +117,8 @@ def _load() -> ctypes.CDLL | None:
             P, P,                      # names/off
             P, P, P, P, P, P, P, P,    # seqs1/off quals1/off seqs2/off quals2/off
             P, P, I64,                 # tnames/off, n_txps
-            I32, P, I64, P,            # write_unmapped, out, out_cap, n_records
+            I32, I32,                  # write_unmapped, with_score
+            P, I64, P,                 # out, out_cap, n_records
         ]
         lib.tqm_fastq_parse.restype = ctypes.c_int64
         lib.tqm_fastq_parse.argtypes = [
@@ -283,13 +285,15 @@ class SamFormatter:
         self._n_txps = len(txp_names)
         self._out = np.empty(1 << 22, dtype=np.uint8)
 
-    def _call(self, fn, cap_hint: int, write_unmapped: bool, *args) -> bytes:
+    def _call(self, fn, cap_hint: int, write_unmapped: bool, with_score: bool,
+              *args) -> bytes:
         if len(self._out) < cap_hint:
             self._out = np.empty(int(cap_hint * 1.5), dtype=np.uint8)
         while True:
             nrec = ctypes.c_int64(0)
             n = fn(*args, self._tbuf.ctypes.data, self._toff.ctypes.data,
                    self._n_txps, 1 if write_unmapped else 0,
+                   1 if with_score else 0,
                    self._out.ctypes.data, len(self._out),
                    ctypes.byref(nrec))
             if n == -1:  # buffer too small: grow and retry
@@ -301,7 +305,7 @@ class SamFormatter:
             return self._out[:n].tobytes()
 
     def se(self, names, seqs, quals, recs: np.ndarray, counts: np.ndarray,
-           write_unmapped: bool = True) -> bytes:
+           write_unmapped: bool = True, with_score: bool = False) -> bytes:
         B = len(names)
         nbuf, noff = _flat([n.encode() if isinstance(n, str) else n for n in names])
         sbuf, soff = _flat(seqs)
@@ -310,10 +314,10 @@ class SamFormatter:
         total = int(c.sum())
         r = np.ascontiguousarray(recs[:total], dtype=np.int32)
         line = (_max_len(noff) + 2 * _max_len(soff)
-                + _max_len(self._toff) + 64)
+                + _max_len(self._toff) + 80)
         cap = (total + B) * line
         return self._call(
-            self._lib.tqm_sam_se, cap, write_unmapped,
+            self._lib.tqm_sam_se, cap, write_unmapped, with_score,
             r.ctypes.data, c.ctypes.data, B,
             nbuf.ctypes.data, noff.ctypes.data,
             sbuf.ctypes.data, soff.ctypes.data,
@@ -322,7 +326,7 @@ class SamFormatter:
 
     def pe(self, names, seqs1, quals1, seqs2, quals2,
            recs: np.ndarray, counts: np.ndarray,
-           write_unmapped: bool = True) -> bytes:
+           write_unmapped: bool = True, with_score: bool = False) -> bytes:
         B = len(names)
         nbuf, noff = _flat([n.encode() if isinstance(n, str) else n for n in names])
         s1b, s1o = _flat(seqs1)
@@ -332,11 +336,13 @@ class SamFormatter:
         c = np.ascontiguousarray(counts, dtype=np.int32)
         total = int(c.sum())
         r = np.ascontiguousarray(recs[:total], dtype=np.int32)
+        if r.shape[1] != (9 if with_score else 7):
+            raise ValueError("PE record width does not match with_score")
         line = (_max_len(noff) + 2 * max(_max_len(s1o), _max_len(s2o))
-                + _max_len(self._toff) + 64)
+                + _max_len(self._toff) + 80)
         cap = (2 * total + 2 * B) * line
         return self._call(
-            self._lib.tqm_sam_pe, cap, write_unmapped,
+            self._lib.tqm_sam_pe, cap, write_unmapped, with_score,
             r.ctypes.data, c.ctypes.data, B,
             nbuf.ctypes.data, noff.ctypes.data,
             s1b.ctypes.data, s1o.ctypes.data,

@@ -86,13 +86,15 @@ extern "C" {
 
 // Single-end records: recs rows are (t, pos, strand, score), row-major by
 // read; counts[i] rows belong to read i. Mirrors write_se_records_dense.
+// with_score != 0 appends "\tAS:i:<score>" to mapped records (--mappingScore,
+// SEMANTICS.md §9).
 int64_t tqm_sam_se(
     const int32_t* recs, const int32_t* counts, int64_t B,
     const uint8_t* names, const int64_t* name_off,
     const uint8_t* seqs, const int64_t* seq_off,
     const uint8_t* quals, const int64_t* qual_off,
     const uint8_t* tnames, const int64_t* tname_off, int64_t n_txps,
-    int32_t write_unmapped,
+    int32_t write_unmapped, int32_t with_score,
     uint8_t* out_buf, int64_t out_cap, int64_t* n_records) {
   Out o{out_buf, out_buf + out_cap};
   int64_t off = 0, nrec = 0;
@@ -140,6 +142,10 @@ int64_t tqm_sam_se(
         o.putc('\t');
         o.put(qu.s, qu.n);
       }
+      if (with_score) {
+        o.puts("\tAS:i:");
+        o.puti(r[3]);
+      }
       o.putc('\n');
       nrec++;
     }
@@ -151,8 +157,10 @@ int64_t tqm_sam_se(
   return o.p - out_buf;
 }
 
-// Paired-end records: recs rows are (t, p1, s1, has1, p2, s2, has2).
-// Mirrors write_pe_records_dense including TLEN and orphan placeholders.
+// Paired-end records: recs rows are (t, p1, s1, has1, p2, s2, has2) —
+// with_score != 0 widens rows to 9 with per-mate scores at r[7]/r[8],
+// appended as AS:i on each mapped mate's record (never on the unmapped
+// placeholder). Mirrors write_pe_records_dense including TLEN and orphans.
 int64_t tqm_sam_pe(
     const int32_t* recs, const int32_t* counts, int64_t B,
     const uint8_t* names, const int64_t* name_off,
@@ -161,9 +169,10 @@ int64_t tqm_sam_pe(
     const uint8_t* seqs2, const int64_t* seq2_off,
     const uint8_t* quals2, const int64_t* qual2_off,
     const uint8_t* tnames, const int64_t* tname_off, int64_t n_txps,
-    int32_t write_unmapped,
+    int32_t write_unmapped, int32_t with_score,
     uint8_t* out_buf, int64_t out_cap, int64_t* n_records) {
   Out o{out_buf, out_buf + out_cap};
+  const int64_t rec_w = with_score ? 9 : 7;
   int64_t off = 0, nrec = 0;
   for (int64_t i = 0; i < B; i++) {
     const int64_t c = counts[i];
@@ -186,7 +195,7 @@ int64_t tqm_sam_pe(
       continue;
     }
     for (int64_t j = 0; j < c; j++) {
-      const int32_t* r = recs + (off + j) * 7;
+      const int32_t* r = recs + (off + j) * rec_w;
       const int32_t t = r[0], p1 = r[1], st1 = r[2], h1 = r[3];
       const int32_t p2 = r[4], st2 = r[5], h2 = r[6];
       if (t < 0 || t >= n_txps) return -2;
@@ -209,6 +218,7 @@ int64_t tqm_sam_pe(
         o.puti(pos1(p2)); o.putc('\t'); o.puti(t1); o.putc('\t');
         if (r1) { o.put_rc(s1.s, s1.n); o.putc('\t'); o.put_rev(q1.s, q1.n); }
         else { o.put(s1.s, s1.n); o.putc('\t'); o.put(q1.s, q1.n); }
+        if (with_score) { o.puts("\tAS:i:"); o.puti(r[7]); }
         o.putc('\n');
         o.put(nm.s, nm.n); o.putc('\t'); o.puti(f2); o.putc('\t');
         o.put(tn.s, tn.n); o.putc('\t'); o.puti(pos1(p2)); o.putc('\t');
@@ -216,6 +226,7 @@ int64_t tqm_sam_pe(
         o.puti(pos1(p1)); o.putc('\t'); o.puti(t2); o.putc('\t');
         if (r2) { o.put_rc(s2.s, s2.n); o.putc('\t'); o.put_rev(q2.s, q2.n); }
         else { o.put(s2.s, s2.n); o.putc('\t'); o.put(q2.s, q2.n); }
+        if (with_score) { o.puts("\tAS:i:"); o.puti(r[8]); }
         o.putc('\n');
         nrec += 2;
       } else {
@@ -236,6 +247,7 @@ int64_t tqm_sam_pe(
         o.puti(pos1(p)); o.puts("\t0\t");
         if (rev) { o.put_rc(sm.s, sm.n); o.putc('\t'); o.put_rev(qm.s, qm.n); }
         else { o.put(sm.s, sm.n); o.putc('\t'); o.put(qm.s, qm.n); }
+        if (with_score) { o.puts("\tAS:i:"); o.puti(m1 ? r[7] : r[8]); }
         o.putc('\n');
         nrec++;
         if (j == 0) {

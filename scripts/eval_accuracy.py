@@ -35,7 +35,7 @@ BASES = np.frombuffer(b"ACGT", dtype=np.uint8)
 COMP = bytes.maketrans(b"ACGT", b"TGCA")
 
 
-def simulate(txps, n_reads, read_len, err, n_rate, rng):
+def simulate(txps, n_reads, read_len, err, n_rate, rng, chimera_frac=0.0):
     reads, truth = [], []
     lens = np.array([len(s) for _, s in txps])
     ok = np.nonzero(lens >= read_len)[0]
@@ -44,6 +44,14 @@ def simulate(txps, n_reads, read_len, err, n_rate, rng):
         seq = txps[t][1]
         p = int(rng.integers(0, len(seq) - read_len + 1))
         r = bytearray(seq[p : p + read_len])
+        if chimera_frac and rng.random() < chimera_frac:
+            # half-true/half-random junction read: SHOULD stay unmapped, but
+            # its true half anchors MMPs — the --minScoreFraction testbed
+            half = read_len // 2
+            r[half:] = BASES[rng.integers(0, 4, read_len - half)].tobytes()
+            reads.append(bytes(r))
+            truth.append((-1, -1, False))
+            continue
         for j in range(read_len):
             u = rng.random()
             if u < err:
@@ -74,6 +82,12 @@ def main() -> None:
     ap.add_argument("-k", "--kmerLen", type=int, default=31)
     ap.add_argument("--batchSize", type=int, default=4096)
     ap.add_argument("--seed", type=int, default=7)
+    ap.add_argument("--chimeraFrac", type=float, default=0.0,
+                    help="fraction of half-true/half-random junction reads "
+                    "(no true locus; should be reported unmapped)")
+    ap.add_argument("--mappingScore", action="store_true",
+                    help="score mappings (SEMANTICS.md §9)")
+    ap.add_argument("--minScoreFraction", type=float, default=0.0)
     args = ap.parse_args()
 
     rng = np.random.default_rng(args.seed)
@@ -101,13 +115,17 @@ def main() -> None:
     txps = [(n, s) for n, s in read_fasta(args.transcripts)]
     idx = build_quasi_index(args.transcripts, k=args.kmerLen)
     name_to_id = {n: i for i, n in enumerate(idx.txp_names)}
-    reads, truth = simulate(txps, args.numReads, args.readLen, args.errorRate, args.nRate, rng)
+    reads, truth = simulate(txps, args.numReads, args.readLen, args.errorRate,
+                            args.nRate, rng, args.chimeraFrac)
 
-    mapper = QuasiMapper(idx, MapConfig(k=idx.k))
+    cfg = MapConfig(k=idx.k, mapping_score=args.mappingScore,
+                    min_score_fraction=args.minScoreFraction)
+    mapper = QuasiMapper(idx, cfg)
     id_to_seq = {name_to_id[n]: s for n, s in txps}
     B = args.batchSize
     L = args.readLen
     tp = fn = 0
+    chim_total = chim_mapped = 0
     reported = 0
     correct_reported = 0
     equivalent_reported = 0
@@ -119,6 +137,10 @@ def main() -> None:
             codes[i] = encode_reads(np.frombuffer(r, dtype=np.uint8))
         lens = np.full(B, L, np.int32)
         wr = mapper.fetch(mapper.map_se_async(codes, lens, n_valid=len(chunk)))
+        if cfg.mapping_score and cfg.min_score_fraction > 0.0:
+            from rapmap_tpu.models import scorefilter
+
+            wr = scorefilter.filter_se(wr, lens, cfg)
         for key, val in wr.counters.items():
             ctr_tot[key] = ctr_tot.get(key, 0) + int(val)
         off = 0
@@ -130,6 +152,10 @@ def main() -> None:
             }
             off += c
             t, p, rc = truth[s + i]
+            if t == -1:  # chimeric read: any mapping is a false positive
+                chim_total += 1
+                chim_mapped += int(bool(locs))
+                continue
             s_true = 1 if rc else 0
             want = (name_to_id[txps[t][0]], p, s_true)
             true_w = txps[t][1][p : p + L]
@@ -157,6 +183,9 @@ def main() -> None:
         "mean_loci_per_read": round(reported / len(reads), 3),
         "over_budget_reads": ctr_tot.get("over_budget", 0),
         "too_ambiguous_reads": ctr_tot.get("too_ambiguous", 0),
+        **({"chimera_reads": chim_total, "chimera_mapped": chim_mapped,
+            "score_filtered_records": ctr_tot.get("score_filtered", 0)}
+           if args.chimeraFrac or args.mappingScore else {}),
     }))
 
 

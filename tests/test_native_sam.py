@@ -27,7 +27,8 @@ def _reads(rng, B, Lmax=80):
 
 
 @pytest.mark.parametrize("write_unmapped", [True, False])
-def test_se_byte_parity(write_unmapped):
+@pytest.mark.parametrize("with_score", [False, True])
+def test_se_byte_parity(write_unmapped, with_score):
     rng = np.random.default_rng(3)
     B = 64
     names, seqs, quals = _reads(rng, B)
@@ -46,18 +47,23 @@ def test_se_byte_parity(write_unmapped):
 
     py = io.StringIO()
     n_py = sam.write_se_records_dense(py, names, seqs, quals, recs, counts,
-                                      txp_names, write_unmapped)
+                                      txp_names, write_unmapped,
+                                      with_score=with_score)
     fmt = sam.get_native_formatter(txp_names)
     assert fmt is not None
     na = io.StringIO()
     n_na = sam.write_se_records_dense(na, names, seqs, quals, recs, counts,
-                                      txp_names, write_unmapped, formatter=fmt)
+                                      txp_names, write_unmapped, formatter=fmt,
+                                      with_score=with_score)
     assert n_py == n_na
     assert py.getvalue() == na.getvalue()
+    if with_score:
+        assert "\tAS:i:" in py.getvalue()
 
 
 @pytest.mark.parametrize("write_unmapped", [True, False])
-def test_pe_byte_parity(write_unmapped):
+@pytest.mark.parametrize("with_score", [False, True])
+def test_pe_byte_parity(write_unmapped, with_score):
     rng = np.random.default_rng(5)
     B = 64
     names, seqs1, quals1 = _reads(rng, B)
@@ -79,17 +85,24 @@ def test_pe_byte_parity(write_unmapped):
         ],
         axis=1,
     ).astype(np.int32)
+    if with_score:
+        recs = np.concatenate(
+            [recs, rng.integers(0, 200, (total, 2)).astype(np.int32)], axis=1
+        )
 
     py = io.StringIO()
     n_py = sam.write_pe_records_dense(py, names, seqs1, quals1, seqs2, quals2,
-                                      recs, counts, txp_names, write_unmapped)
+                                      recs, counts, txp_names, write_unmapped,
+                                      with_score=with_score)
     fmt = sam.get_native_formatter(txp_names)
     na = io.StringIO()
     n_na = sam.write_pe_records_dense(na, names, seqs1, quals1, seqs2, quals2,
                                       recs, counts, txp_names, write_unmapped,
-                                      formatter=fmt)
+                                      formatter=fmt, with_score=with_score)
     assert n_py == n_na
     assert py.getvalue() == na.getvalue()
+    if with_score:
+        assert "\tAS:i:" in py.getvalue()
 
 
 def test_grow_and_reuse():
