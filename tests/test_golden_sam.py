@@ -58,6 +58,8 @@ def _fixture(tmp: str):
 
 GOLDEN_PE = os.path.join(os.path.dirname(__file__), "golden", "tiny_quasi_pe.sam")
 GOLDEN_PS = os.path.join(os.path.dirname(__file__), "golden", "tiny_pseudo.sam")
+GOLDEN_SE_AS = os.path.join(os.path.dirname(__file__), "golden", "tiny_quasi_se_as.sam")
+GOLDEN_PE_AS = os.path.join(os.path.dirname(__file__), "golden", "tiny_quasi_pe_as.sam")
 
 
 def _pe_fixture(tmp: str, fa: str):
@@ -107,7 +109,11 @@ def _run_cli(tmp: str):
     fa, fq = _fixture(tmp)
     f1, f2 = _pe_fixture(tmp, fa)
     idx, pidx = os.path.join(tmp, "idx"), os.path.join(tmp, "pidx")
-    se, pe, ps = (os.path.join(tmp, n) for n in ("se.sam", "pe.sam", "ps.sam"))
+    se, pe, ps, sa, pa = (
+        os.path.join(tmp, n)
+        for n in ("se.sam", "pe.sam", "ps.sam", "se_as.sam", "pe_as.sam")
+    )
+    score = ["--mappingScore", "--minScoreFraction", "0.5"]
     _run(
         [
             ["quasiindex", "-t", fa, "-i", idx, "-k", "15"],
@@ -115,18 +121,22 @@ def _run_cli(tmp: str):
             ["quasimap", "-i", idx, "-r", fq, "-o", se],
             ["quasimap", "-i", idx, "-1", f1, "-2", f2, "-o", pe],
             ["pseudomap", "-i", pidx, "-r", fq, "-o", ps],
+            ["quasimap", "-i", idx, "-r", fq, "-o", sa, *score],
+            ["quasimap", "-i", idx, "-1", f1, "-2", f2, "-o", pa, *score],
         ],
         tmp,
     )
-    return _read_sam(se), _read_sam(pe), _read_sam(ps)
+    return tuple(_read_sam(x) for x in (se, pe, ps, sa, pa))
 
 
 def test_cli_matches_golden_sam(tmp_path):
-    se, pe, ps = _run_cli(str(tmp_path))
+    se, pe, ps, sa, pa = _run_cli(str(tmp_path))
     for got, path, name in (
         (se, GOLDEN, "SE quasimap"),
         (pe, GOLDEN_PE, "PE quasimap"),
         (ps, GOLDEN_PS, "pseudomap"),
+        (sa, GOLDEN_SE_AS, "SE quasimap --mappingScore"),
+        (pa, GOLDEN_PE_AS, "PE quasimap --mappingScore"),
     ):
         with open(path) as f:
             want = f.read().splitlines()
@@ -139,7 +149,9 @@ if __name__ == "__main__" and "--regen" in sys.argv:
     os.makedirs(os.path.dirname(GOLDEN), exist_ok=True)
     with tempfile.TemporaryDirectory() as td:
         outs = _run_cli(td)
-    for lines, path in zip(outs, (GOLDEN, GOLDEN_PE, GOLDEN_PS)):
+    for lines, path in zip(
+        outs, (GOLDEN, GOLDEN_PE, GOLDEN_PS, GOLDEN_SE_AS, GOLDEN_PE_AS)
+    ):
         with open(path, "w") as f:
             f.write("\n".join(lines) + "\n")
         print(f"regenerated {path}: {len(lines)} lines")
