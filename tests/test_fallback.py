@@ -96,3 +96,59 @@ def test_cli_starved_budget_equals_ample_budget(tmp_path, rng):
         outs.append([ln for ln in open(out).read().splitlines() if not ln.startswith("@")])
     assert outs[0] == outs[1]
     assert outs[0], "expected records"
+
+
+def test_fallback_scores_match_oracle(tmp_path, rng):
+    """--mappingScore + starved budget: device-scored records and oracle-
+    remapped records (models.fallback._rec_score) must agree with the
+    scoring oracle on EVERY row, SE and PE (9-col rows)."""
+    from rapmap_tpu.oracle.align import score_mapping_np
+
+    idx, txps, shared = _repetitive_world(tmp_path, rng)
+    L = 40
+    reads = [shared[j : j + L] for j in range(0, len(shared) - L + 1, 3)]
+    reads += [txps[0][1][:L], txps[1][1][100 : 100 + L]]
+    codes, lens = batch_of(reads, L)
+    cfg = MapConfig(
+        k=idx.k, expand_budget=1, max_hits_per_strand=L - idx.k + 1,
+        mapping_score=True,
+    )
+    mapper = QuasiMapper(idx, cfg)
+
+    def want_score(rcodes, t, pos, strand):
+        return score_mapping_np(
+            idx, rcodes, t, pos, strand, cfg.align_band, cfg.align_ma,
+            cfg.align_mp, cfg.align_go, cfg.align_ge,
+        )
+
+    recsd = mapper.fetch(mapper.map_se_async(codes, lens))
+    assert (np.asarray(recsd.flags) & FLAG_DEGRADED).any()
+    fixed = fb.remap_se(recsd, codes, lens, len(reads), idx, cfg, qm)
+    off = np.concatenate([[0], np.cumsum(fixed.counts)])
+    n_rows = 0
+    for i in range(len(reads)):
+        for t, pos, strand, sc in fixed.recs[off[i] : off[i + 1]]:
+            assert sc == want_score(codes[i][: lens[i]], int(t), int(pos), int(strand))
+            n_rows += 1
+    assert n_rows > 0
+
+    # PE: right mate = rc of a window downstream of the left window
+    from rapmap_tpu.index.encode import revcomp_codes
+
+    c2 = np.stack([revcomp_codes(c) for c in codes])
+    recsd2 = mapper.fetch(mapper.map_pe_async(codes, lens, c2, lens))
+    fixed2 = fb.remap_pe(recsd2, codes, lens, c2, lens, len(reads), idx, cfg, qm)
+    assert fixed2.recs.shape[1] == 9
+    assert fixed2.counters["host_fallback"] > 0
+    off = np.concatenate([[0], np.cumsum(fixed2.counts)])
+    n_rows = 0
+    for i in range(len(reads)):
+        for row in fixed2.recs[off[i] : off[i + 1]]:
+            t, p1, s1, h1, p2, s2, h2, sc1, sc2 = (int(x) for x in row)
+            if h1:
+                assert sc1 == want_score(codes[i][: lens[i]], t, p1, s1)
+                n_rows += 1
+            if h2:
+                assert sc2 == want_score(c2[i][: lens[i]], t, p2, s2)
+                n_rows += 1
+    assert n_rows > 0
