@@ -56,7 +56,11 @@ def main():
     S = L - k + 1
 
     def prep(reads):
-        lanes = jnp.concatenate([reads, denc.revcomp_batch(reads, jnp.asarray(lens_np))], axis=0)
+        # mirror the engine's packed_extension prep exactly (ops/mmp.py
+        # scan_batch_paired): rc lanes via the static comp_flip, NOT the
+        # per-row revcomp gather — an earlier profiler cut used revcomp_batch
+        # and overstated "pack+nb" ~4x vs what the engine actually runs
+        lanes = jnp.concatenate([reads, denc.comp_flip_batch(reads)], axis=0)
         nb = denc.next_bad_batch(lanes, L)
         pr = pack_reads(lanes)
         return lanes, nb, pr
