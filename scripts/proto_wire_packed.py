@@ -23,15 +23,16 @@ L/8 wide until the final per-position expansion):
   the complement masked by the validity word (N/pad bases must contribute
   0 bits, as pack_reads(comp_flip(...)) produces for NCODE).
 
-Measured motivation (BASELINE.md fine profile): pack+next_bad 0.40 +
-unpack-side share of 0.45 us/read; fusing removes the (2B, L) int8
-materialization and the 4-pass pack_reads combine.
+VERDICT: measured ~NEUTRAL on the chip — 498.5 ns/read fused vs 523.2
+unpack+comp_flip+pack_reads (B=65536, L=76, incl. dispatch + checksum
+reductions). XLA already fuses the elementwise unpack->pack chain, so the
+apparent round trip never materializes in HBM; the fused form saves ~5%,
+within tunnel noise. Kept as a verified bit-level reference (and for any
+future context where the int8 view is NOT otherwise needed), not wired
+into the engine. See BASELINE.md "Wire-unpack/pack_reads fusion".
 
 Bit-identity vs the production path is checked in __main__ across read
 lengths, N bases, and short rows (run: python scripts/proto_wire_packed.py).
-NOT yet wired into the engine: next_bad still needs the code/mask view
-(derivable from bm bits alone — same assoc-scan, byte-expanded input),
-and the dense-key slice kmer_keys_from_packed consumes fwd words as-is.
 """
 
 from __future__ import annotations
