@@ -115,8 +115,10 @@ def build_parser() -> argparse.ArgumentParser:
     qi.add_argument("--keepDuplicates", action="store_true")
     qi.add_argument(
         "-x", "--perfectHash", action="store_true",
-        help="accepted for reference CLI parity; the sorted k-mer table already "
-        "has the MPHF's memory profile, so this is a no-op",
+        help="require the CHD perfect hash (BooPHF role): the index always "
+        "tries to build one (maps use it when present); with -x a build whose "
+        "CHD construction fails errors out instead of falling back to the "
+        "binary-search probe",
     )
 
     pi = sub.add_parser("pseudoindex", help="build k-mer-only pseudo-mapping index")
@@ -143,6 +145,8 @@ def _cfg_from_args(args, k: int) -> MapConfig:
             raise SystemExit("--bandwidth must be >= 1")
         if not (0.0 <= args.minScoreFraction <= 1.0):
             raise SystemExit("--minScoreFraction must be in [0, 1]")
+    elif args.minScoreFraction > 0.0:
+        raise SystemExit("--minScoreFraction requires --mappingScore")
     return MapConfig(
         k=k,
         max_num_hits=args.maxNumHits,
@@ -399,6 +403,20 @@ def run_map(args, pseudo: bool) -> int:
             "(max_out < maxNumHits)", totals["out_truncated"],
         )
     if totals.get("reads_total"):
+        # Fallback-rate guardrail: the host oracle remap is a per-read Python
+        # loop — correct at any rate, but throughput craters if budgets are
+        # sized badly. Surface the fraction and warn loudly above 1%.
+        fb_frac = totals.get("host_fallback", 0) / totals["reads_total"]
+        totals["host_fallback_frac"] = round(fb_frac, 6)
+        if fb_frac > 0.01:
+            log.warning(
+                "host-oracle fallback handled %.2f%% of reads (%d of %d) — "
+                "device budgets are undersized for this workload; raise "
+                "--expandBudget/--maxOut or rebuild with a larger index "
+                "budget to restore device-side throughput",
+                100.0 * fb_frac, totals.get("host_fallback", 0),
+                totals["reads_total"],
+            )
         rate = 100.0 * totals.get("reads_mapped", 0) / totals["reads_total"]
         log.info(
             "Mapped %d of %d reads (%.2f%%) in %.1fs (%.0f reads/s)",
@@ -428,7 +446,7 @@ def main(argv: list[str] | None = None) -> int:
 
         build_quasi_index(
             args.transcripts, args.index, k=args.kmerLen, seed=args.seed,
-            dedup=not args.keepDuplicates,
+            dedup=not args.keepDuplicates, require_chd=args.perfectHash,
         )
         return 0
     if args.cmd == "pseudoindex":

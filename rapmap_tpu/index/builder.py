@@ -99,10 +99,15 @@ def build_quasi_index(
     seed: int = 0,
     dedup: bool = True,
     big_sa: bool | None = None,
+    require_chd: bool = False,
 ) -> QuasiIndex:
     """big_sa: force the int64 SA layout (upstream divsufsort64 dispatch,
     SURVEY.md §3.1). Default None = automatic by text size; True lets tests
-    exercise the bigSA device path on small texts."""
+    exercise the bigSA device path on small texts.
+
+    require_chd: `-x/--perfectHash` semantics — fail the build if the CHD
+    perfect hash cannot be constructed (instead of silently falling back to
+    the binary-search probe at map time)."""
     if not (1 <= k <= 32):
         raise ValueError("k must be in [1, 32]")
     t0 = time.time()
@@ -145,6 +150,12 @@ def build_quasi_index(
         chd_dir, chd_perm, chd_cls = chd["dir"], chd["perm"], chd["cls"]
         meta["chd"] = {k_: chd[k_] for k_ in ("seed", "m_bits", "t_bits", "canonical")}
         log.info("canonical CHD perfect hash built (%.1fs)", time.time() - t0)
+    elif require_chd:
+        raise RuntimeError(
+            "--perfectHash: CHD perfect hash construction failed for this "
+            "k-mer set (native builder unavailable or displacement search "
+            "exhausted); rebuild without -x to use the binary-search probe"
+        )
     idx = QuasiIndex(
         k=k, text=text, text2b=text2b, sa=sa, sa_txp=sa_txp,
         sa_tpos=sa_tpos,

@@ -15,13 +15,19 @@ import math
 
 import numpy as np
 
+from rapmap_tpu.ops.align import SCORE_BITS
 from rapmap_tpu.ops.wire import FLAG_MAPPED, WireResult
+
+# Scores ride the wire clamped to SCORE_BITS; thresholds above the clamp would
+# suppress even perfect alignments (ma * readLen > 4095), so clamp them too.
+_SCORE_MAX = (1 << SCORE_BITS) - 1
 
 
 def _thresholds(lens: np.ndarray, cfg) -> np.ndarray:
     f = float(cfg.min_score_fraction)
     ma = int(cfg.align_ma)
-    return np.ceil(f * ma * np.asarray(lens, dtype=np.float64)).astype(np.int64)
+    thr = np.ceil(f * ma * np.asarray(lens, dtype=np.float64)).astype(np.int64)
+    return np.minimum(thr, _SCORE_MAX)
 
 
 def _apply(recsd: WireResult, keep: np.ndarray) -> WireResult:
@@ -68,5 +74,6 @@ def filter_pe(recsd: WireResult, lens1: np.ndarray, lens2: np.ndarray, cfg) -> W
 
 
 def min_score_of(cfg, read_len: int) -> int:
-    """Threshold for one read (oracle/fallback paths)."""
-    return int(math.ceil(float(cfg.min_score_fraction) * cfg.align_ma * read_len))
+    """Threshold for one read (oracle/fallback paths), clamped to the wire max."""
+    thr = int(math.ceil(float(cfg.min_score_fraction) * cfg.align_ma * read_len))
+    return min(thr, _SCORE_MAX)

@@ -127,7 +127,15 @@ def _collate_core(
     if cfg.quasi_coverage > 0.0:
         cov = jnp.sum(jnp.where(hvalid_rows, hits.l, 0), axis=1)  # (R,)
         lens2 = jnp.concatenate([lens, lens])
-        strand_ok = cov.astype(jnp.float32) >= cfg.quasi_coverage * lens2.astype(jnp.float32)
+        # Exact integer threshold matching the oracle's f64 `cov >= qc * L`
+        # (for integer cov that is `cov >= ceil(qc * L)` in f64): a baked
+        # per-length table avoids f32 rounding flipping boundary cases.
+        _LMAX = 4096  # reads beyond this never reach the device engines
+        thr_tab = np.ceil(
+            np.float64(cfg.quasi_coverage) * np.arange(_LMAX + 1, dtype=np.float64)
+        ).astype(np.int32)
+        thr = jnp.asarray(thr_tab)[jnp.clip(lens2, 0, _LMAX)]
+        strand_ok = cov.astype(jnp.int32) >= thr
     else:
         strand_ok = hits.n >= 0
     hvalid_rows = hvalid_rows & strand_ok[:, None]

@@ -60,7 +60,15 @@ def _chd_lookup(
     d = _as_u32(flat_gather(didx.chd_dir, g))
     slot = (_mix32(hb + d) & np.uint32((1 << st.chd_t_bits) - 1)).astype(jnp.int32)
     row = row_gather_nd(didx.chd_rows, slot)
-    found = (_as_u32(row[..., 0]) == key_hi) & (_as_u32(row[..., 1]) == key_lo)
+    # The empty-slot sentinel key (-1, -1) equals the poly-T k-mer when k == 32;
+    # requiring a non-empty interval (sentinel rows carry b == e == 0) keeps an
+    # absent T^32 probe from false-hitting (and, sharded, from psum-shifting the
+    # global interval by a slot base).
+    found = (
+        (_as_u32(row[..., 0]) == key_hi)
+        & (_as_u32(row[..., 1]) == key_lo)
+        & (row[..., 3] > row[..., 2])
+    )
     b = jnp.where(found, row[..., 2], 0)
     e = jnp.where(found, row[..., 3], 0)
     return found, b, e
