@@ -279,32 +279,43 @@ def run_bench(batch: int, pe: bool = False, isoform: bool = False,
           f"mapped {wr.counters['reads_mapped']}/{BATCH}", file=sys.stderr)
 
     # production pipeline: DEPTH batches in flight so device compute and both
-    # transfer directions overlap (mirrors the CLI loop)
+    # transfer directions overlap (mirrors the CLI loop). N_REP timed repeats;
+    # the headline value is the MEDIAN (the axon tunnel swings same-code runs
+    # ~±15%, BASELINE.md variance notes — single-run reporting invites fiction)
     from collections import deque
 
     DEPTH = 6
+    N_REP = 5
     n_batches = max(1, n_src // BATCH)
-    t0 = time.time()
-    total = 0
-    mapped = 0
-    q: deque = deque()
-    for i in range(n_batches):
-        if (i + 1) * BATCH > n_src:
-            break
-        q.append(submit(i * BATCH))
-        if len(q) >= DEPTH:
+
+    def one_pass():
+        t0 = time.time()
+        total = 0
+        mapped = 0
+        q: deque = deque()
+        for i in range(n_batches):
+            if (i + 1) * BATCH > n_src:
+                break
+            q.append(submit(i * BATCH))
+            if len(q) >= DEPTH:
+                wr = mapper.fetch(q.popleft())
+                mapped += wr.counters["reads_mapped"]
+                total += BATCH
+        while q:
             wr = mapper.fetch(q.popleft())
             mapped += wr.counters["reads_mapped"]
             total += BATCH
-    while q:
-        wr = mapper.fetch(q.popleft())
-        mapped += wr.counters["reads_mapped"]
-        total += BATCH
-    dt = time.time() - t0
-    rps = total / dt
+        return total, mapped, time.time() - t0
+
+    rates = []
+    for rep in range(N_REP):
+        total, mapped, dt = one_pass()
+        rates.append(total / dt)
+        print(f"# rep {rep}: {total} in {dt:.2f}s = {total/dt:,.0f}/s, "
+              f"map rate {100.0*mapped/total:.1f}%", file=sys.stderr)
+    rates.sort()
+    rps = rates[len(rates) // 2]
     unit_name = "pairs" if pe else "reads"
-    print(f"# {total} {unit_name} in {dt:.2f}s, map rate {100.0*mapped/total:.1f}%",
-          file=sys.stderr)
     metric = "quasimap_pairs_per_s_per_chip" if pe else "quasimap_reads_per_s_per_chip"
     if isoform:
         metric += "_isoform"
@@ -313,6 +324,10 @@ def run_bench(batch: int, pe: bool = False, isoform: bool = False,
         "value": round(rps, 1),
         "unit": f"{unit_name}/s",
         "vs_baseline": round(rps / PROVISIONAL_BASELINE_READS_PER_S, 3),
+        "n_rep": N_REP,
+        "min": round(rates[0], 1),
+        "max": round(rates[-1], 1),
+        "spread_pct": round(100.0 * (rates[-1] - rates[0]) / rps, 1),
     }
 
 

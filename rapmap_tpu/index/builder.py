@@ -119,7 +119,10 @@ def build_quasi_index(
         sa = sa.astype(np.int64)
     log.info("suffix array built (%.1fs)", time.time() - t0)
     t0 = time.time()
-    khi, klo, kb, ke = build_kmer_table(text[:n_text], sa, k)
+    text2b, smask2b = pack_text_2bit(text)  # one pack serves scan + device text
+    khi, klo, kb, ke = build_kmer_table(
+        text[:n_text], sa, k, packed_smask=(text2b, smask2b)
+    )
     log.info("k-mer table: %d distinct %d-mers (%.1fs)", len(kb), k, time.time() - t0)
     t0 = time.time()
     if prefix_bases is None:
@@ -130,7 +133,6 @@ def build_quasi_index(
         nk = max(1, len(kb))
         prefix_bases = max(4, min(k, 12, _math.ceil(_math.log(nk, 4)) + 1))
     lut = build_prefix_lut(khi, klo, k, prefix_bases)
-    text2b, _ = pack_text_2bit(text)  # sentinel mask unused by the engines
     sa_txp = _sa_txp_of(sa, offsets, lens)
     sa_np = np.asarray(sa)
     if sa_np.dtype == np.int32:  # offsets fit int32 whenever the SA does

@@ -31,8 +31,13 @@ def mix32_np(x: np.ndarray) -> np.ndarray:
 
 
 def chd_params(n: int) -> tuple[int, int]:
-    """(m_bits, t_bits): ~4 keys/bucket, table load factor <= 0.85."""
-    m_bits = max(1, math.ceil(math.log2(max(n / 4.0, 1.0))))
+    """(m_bits, t_bits): ~2 keys/bucket, table load factor <= 0.85.
+
+    Bucket size trades directory memory against displacement-search time:
+    the sequential search tries ~1/(1-load)^s displacements per size-s
+    bucket, so halving s from 4 to 2 cuts the 100 Mbase build's CHD stage
+    ~10x (145 s -> ~14 s measured) for 2x the (tiny) dir array."""
+    m_bits = max(1, math.ceil(math.log2(max(n / 2.0, 1.0))))
     t_bits = max(1, math.ceil(math.log2(n / 0.85)))
     return m_bits, t_bits
 
@@ -146,12 +151,15 @@ def build_canonical_chd(khi, klo, k: int, seed0: int = 1):
     -> dict(dir, perm, cls (n_cls, 2) int32 [fwd_row, rc_row] (-1 = absent),
             seed, m_bits, t_bits, canonical=True) or None (no native lib /
     placement failure -> caller keeps per-strand probing or binary search)."""
+    import time as _time
+
     n = len(khi)
     if n == 0:
         return None
     if n >= 2**31:  # cls/perm are int32 row ids; genome-scale (>2^31 rows)
         return None  # indexes map via the sharded mode's per-shard CHDs
     res = None
+    t0 = _time.time()
     try:
         from rapmap_tpu.native import bindings as nat
 
@@ -186,6 +194,7 @@ def build_canonical_chd(khi, klo, k: int, seed0: int = 1):
         rc_row = np.where(pal, fwd_row, rc_row).astype(np.int32)
         chi = (classes >> np.uint64(32)).astype(np.uint32)
         clo = (classes & np.uint64(0xFFFFFFFF)).astype(np.uint32)
+    log.info("canonical classes: %d of %d keys (%.1fs)", len(chi), n, _time.time() - t0)
     chd = build_chd(chi, clo, seed0=seed0)
     if chd is None:
         return None

@@ -12,7 +12,8 @@ import numpy as np
 
 
 def build_kmer_table(
-    text_codes: np.ndarray, sa: np.ndarray, k: int, chunk: int = 1 << 22
+    text_codes: np.ndarray, sa: np.ndarray, k: int, chunk: int = 1 << 22,
+    packed_smask: tuple[np.ndarray, np.ndarray] | None = None,
 ) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
     """Single pass over the SA grouping suffixes by their first k chars
     (the reference indexer's SA->hash scan, SURVEY.md §3.1), chunked.
@@ -28,8 +29,14 @@ def build_kmer_table(
     t = np.asarray(text_codes, dtype=np.int8)
     n = len(sa)
     # packed words + sentinel mask; pad 2 words so gathers (sl>>4)+2 stay in
-    # range, with all-sentinel pad words so short suffixes read as invalid
-    packed, smask = pack_text_2bit(t)
+    # range, with all-sentinel pad words so short suffixes read as invalid.
+    # A caller that already packed a LONGER zero-padded text may pass it in
+    # (zero pad chars read as sentinels either way): word i of the longer
+    # pack equals word i of this pack for all words the scan touches.
+    if packed_smask is not None:
+        packed, smask = packed_smask
+    else:
+        packed, smask = pack_text_2bit(t)
     if n:
         try:
             from rapmap_tpu.native import bindings as nat

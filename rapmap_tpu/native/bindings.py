@@ -183,7 +183,18 @@ def kmer_table(sa: np.ndarray, packed: np.ndarray, smask: np.ndarray, k: int):
     )
     if ng < 0:
         raise ValueError(f"tqm_kmer_table failed with code {ng}")
-    return hi[:ng].copy(), lo[:ng].copy(), kb[:ng].copy(), ke[:ng].copy()
+    return _shrink(hi, ng), _shrink(lo, ng), _shrink(kb, ng), _shrink(ke, ng)
+
+
+def _shrink(arr: np.ndarray, n: int) -> np.ndarray:
+    """Truncate a freshly-allocated output buffer to n entries IN PLACE
+    (realloc) — `arr[:n].copy()` would re-touch the whole array, and fresh
+    GB-scale page faults are pathologically slow on this host (3-10 s per
+    op at 100 M-entry scale)."""
+    if n == len(arr):
+        return arr
+    arr.resize(n, refcheck=False)
+    return arr
 
 
 def canonical_classes(khi: np.ndarray, klo: np.ndarray, k: int):
@@ -205,7 +216,7 @@ def canonical_classes(khi: np.ndarray, klo: np.ndarray, k: int):
     )
     if ng < 0:
         raise ValueError(f"tqm_canonical_classes failed with code {ng}")
-    return chi[:ng].copy(), clo[:ng].copy(), fwd[:ng].copy(), rc[:ng].copy()
+    return _shrink(chi, ng), _shrink(clo, ng), _shrink(fwd, ng), _shrink(rc, ng)
 
 
 def chd_build(

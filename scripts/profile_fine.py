@@ -30,6 +30,7 @@ REPS = 3
 
 
 def main():
+    isoform = "--isoform" in sys.argv
     import jax
     import jax.numpy as jnp
     from jax import lax
@@ -43,11 +44,23 @@ def main():
     from rapmap_tpu.ops.lookup import kmer_lookup_2str
     from rapmap_tpu.ops.mmp import scan_dispatch
 
-    idx, codes = build_world()
-    from bench import bench_cfg
+    if isoform:
+        from bench import build_isoform_world
 
-    cfg = bench_cfg(idx, chunk=CHUNK)
+        idx, codes = build_isoform_world()
+        cfg = MapConfig(
+            k=idx.k, chunk=CHUNK,
+            max_hits_per_strand=8, expand_budget=0, max_out=32, rec_slots=4,
+        )
+    else:
+        idx, codes = build_world()
+        from bench import bench_cfg
+
+        cfg = bench_cfg(idx, chunk=CHUNK)
     mapper = QuasiMapper(idx, cfg)
+    cfg = mapper.cfg  # expand_budget=0 resolves to auto-sizing at mapper init
+    print(f"# cfg: H={cfg.max_hits_per_strand} expand_budget={cfg.expand_budget} "
+          f"rec_slots={cfg.rec_slots}", file=sys.stderr)
     didx, st = mapper.didx, mapper.st
     C, L = CHUNK, READ_LEN
     B = NCH * C
