@@ -248,11 +248,12 @@ def run_bench(batch: int, pe: bool = False, isoform: bool = False,
         }
     if isoform:
         idx, codes = build_isoform_world()
-        # repetitive regime: auto-size the expansion pool from index stats,
-        # keep deeper hit/output buffers for genuine multimapping
+        # repetitive regime: auto-size the expansion pool (+ pair expansion)
+        # from index stats; measured hits/lane maxes at 2 even here (NIP
+        # skipping doesn't care about interval width), so H=4 like uniform
         cfg = MapConfig(
             k=idx.k, chunk=CHUNK if batch > CHUNK else 0,
-            max_hits_per_strand=8, expand_budget=0, max_out=32, rec_slots=4,
+            max_hits_per_strand=4, expand_budget=0, max_out=32, rec_slots=4,
         )
     else:
         idx, codes = build_world()

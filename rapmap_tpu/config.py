@@ -48,6 +48,11 @@ class MapConfig:
     # global pool holds expand_budget * batch slots (ops.collate); typical
     # reads use 2-6, so 8 leaves ample headroom before over_budget flags.
     # 0 = auto-size from index stats at mapper init (auto_expand_budget)
+    expand_pairs: bool = False     # expansion pool slots cover TWO adjacent
+    # SA positions each (sa_meta pair rows, 16 B gathers): halves the
+    # per-slot gather count on repetitive indexes where intervals are wide
+    # (mean width >= ~2); pure overhead on near-unique indexes (odd widths
+    # round up). Auto-set by QuasiMapper when expand_budget auto-sizes.
     max_out: int = 0               # mapping records retained per read on device;
     # 0 (default) derives max_num_hits so -m's full record count is never
     # silently truncated; explicit smaller values trip the out_truncated counter
@@ -67,15 +72,27 @@ class MapConfig:
         return self.max_out if self.max_out > 0 else self.max_num_hits
 
 
-def auto_expand_budget(widths) -> int:
-    """expand_budget sized from the index's k-mer interval widths: average
-    slots/read ~ (MMPs per read, 2-6) x mean interval width. Uniform texts
-    (mean ~1) keep the historical 8; repetitive transcriptomes grow it so
-    over_budget (and the host oracle fallback) stays rare."""
-    import math
-
+def sampled_width(widths) -> float:
+    """Expected SA-interval width of a k-mer DRAWN FROM THE TEXT: reads
+    sample k-mers weighted by occurrence count, so the expectation is
+    E[w^2]/E[w] over the table, not the table mean. (Isoform bench index:
+    table mean 3.44 but sampled 4.40, matching the measured 4.39 expansion
+    slots per 1.06-hit read.)"""
     import numpy as np
 
-    w = np.asarray(widths, dtype=np.int64)
-    mean_w = float(w.mean()) if len(w) else 1.0
-    return int(min(64, max(8, math.ceil(8 * mean_w))))
+    w = np.asarray(widths, dtype=np.float64)
+    if len(w) == 0 or w.sum() == 0:
+        return 1.0
+    return float((w * w).mean() / w.mean())
+
+
+def auto_expand_budget(widths) -> int:
+    """expand_budget sized from the index's interval-width distribution:
+    average slots/read ~ (MMP hits/read, measured ~1-2) x sampled width,
+    with 2x headroom. The pool averages over the whole chunk (8k+ reads), so
+    per-read tails don't need covering — chunk-level demand concentrates at
+    ~hits x sampled width within a few percent; overflow degrades to flagged
+    reads + host fallback, never wrong output."""
+    import math
+
+    return int(min(64, max(4, math.ceil(2.0 * sampled_width(widths)))))

@@ -286,19 +286,21 @@ class QuasiMapper:
         if cfg.expand_budget == 0:
             from dataclasses import replace
 
-            from rapmap_tpu.config import auto_expand_budget
+            from rapmap_tpu.config import auto_expand_budget, sampled_width
 
+            widths = np.asarray(idx.kmer_e) - np.asarray(idx.kmer_b)
             cfg = replace(
                 cfg,
-                expand_budget=auto_expand_budget(
-                    np.asarray(idx.kmer_e) - np.asarray(idx.kmer_b)
-                ),
+                expand_budget=auto_expand_budget(widths),
+                # wide-interval (repetitive) indexes expand pairwise: one
+                # 16 B sa_meta gather resolves two adjacent SA positions
+                expand_pairs=cfg.expand_pairs or sampled_width(widths) >= 2.0,
             )
         self.cfg = cfg
         # lean upload drops the arrays the CHD + packed-extension hot path
         # never gathers (~halves HBM; required for human-scale indexes)
         lean = cfg.packed_extension and getattr(idx, "chd_dir", None) is not None
-        self.didx, self.st = upload_index(idx, lean=lean)
+        self.didx, self.st = upload_index(idx, lean=lean, meta_pairs=cfg.expand_pairs)
         self.host_index = idx  # oracle fallback for budget-degraded reads
         self.txp_names = idx.txp_names
         self.txp_lens = np.asarray(idx.txp_lens)

@@ -158,28 +158,42 @@ def _collate_core(
     # widths are always narrow (<= max_interval), so the pool bookkeeping
     # stays int32 and only the absolute slot resolution goes wide below
     slot64 = hb.dtype == jnp.int64
-    w = jnp.where(hv, (he - hb).astype(jnp.int32), 0).reshape(-1)  # (NH,)
+    # pair mode: each pool slot covers TWO adjacent SA positions resolved by
+    # one sa_meta pair-row gather (device_index meta_pairs) — halves the
+    # expansion gathers/bookkeeping on wide-interval (repetitive) indexes;
+    # the voting arrays below are the 2x unzip, so sort sizes are unchanged
+    pairs = (
+        cfg.expand_pairs
+        and expand_fn is None
+        and not slot64
+        and didx is not None
+        and didx.sa_meta.shape[1] >= 4
+    )
+    P = 2 if pairs else 1
+    CAPP = (CAPG + P - 1) // P      # pool size in slot units (pairs or singles)
+    w_el = jnp.where(hv, (he - hb).astype(jnp.int32), 0).reshape(-1)  # (NH,)
+    w = (w_el + (P - 1)) // P if pairs else w_el  # per-hit pool-slot demand
     cs = jnp.cumsum(w)
     sg = cs - w                     # global start of each hit's slot range
     total_global = cs[-1]
     ends_r = cs.reshape(B, H2)[:, -1]
     starts_r = jnp.concatenate([ends_r[:1] * 0, ends_r[:-1]])
-    over_budget = (ends_r > CAPG) & (ends_r > starts_r)
+    over_budget = (ends_r > CAPP) & (ends_r > starts_r)
     over_budget = over_budget | hits.truncated[:B] | hits.truncated[B:]
 
     # slot -> hit: scatter hit ids at their range starts, then running max
     hit_ids = np.arange(NH, dtype=np.int32)
-    valid_hit = (w > 0) & (sg < CAPG)
-    scat_idx = jnp.where(valid_hit, sg, CAPG)
+    valid_hit = (w > 0) & (sg < CAPP)
+    scat_idx = jnp.where(valid_hit, sg, CAPP)
     # init from a traced scalar so no device-resident constant is embedded
-    pool0 = jnp.broadcast_to(total_global * 0 - 1, (CAPG + 1,))
-    pool_hit = pool0.at[scat_idx].max(jnp.where(valid_hit, hit_ids, -1), mode="drop")[:CAPG]
+    pool0 = jnp.broadcast_to(total_global * 0 - 1, (CAPP + 1,))
+    pool_hit = pool0.at[scat_idx].max(jnp.where(valid_hit, hit_ids, -1), mode="drop")[:CAPP]
     pool_hit = lax.associative_scan(jnp.maximum, pool_hit)
-    g = np.arange(CAPG, dtype=np.int32)
-    slot_valid = (g < jnp.minimum(total_global, CAPG)) & (pool_hit >= 0)
+    g = np.arange(CAPP, dtype=np.int32)
+    slot_valid = (g < jnp.minimum(total_global, CAPP)) & (pool_hit >= 0)
     ph = jnp.clip(pool_hit, 0, NH - 1)
 
-    # one 4-column row-gather resolves the hit fields for every slot
+    # one multi-column row-gather resolves the hit fields for every slot
     rs_const = read_of_hit * 2 + hstrand.reshape(-1)  # host numpy
     if slot64:
         # int64 begins can't ride the int32 row stack: one extra 1-column
@@ -187,28 +201,43 @@ def _collate_core(
         hit_rows = jnp.stack(
             [sg, hq.reshape(-1), jnp.broadcast_to(rs_const, sg.shape)], axis=-1
         )  # (NH, 3)
-        g4 = jnp.take(hit_rows, ph, axis=0, mode="clip")  # (CAPG, 3)
+        g4 = jnp.take(hit_rows, ph, axis=0, mode="clip")  # (CAPP, 3)
         hb_at = jnp.take(hb.reshape(-1), ph, mode="clip")
         p = hb_at + (g - g4[:, 0])
         hq_slot = g4[:, 1]
         read = g4[:, 2] >> 1
         strand = g4[:, 2] & 1
     else:
-        hit_rows = jnp.stack(
-            [hb.reshape(-1), sg, hq.reshape(-1), jnp.broadcast_to(rs_const, sg.shape)],
-            axis=-1,
-        )  # (NH, 4)
-        g4 = jnp.take(hit_rows, ph, axis=0, mode="clip")  # (CAPG, 4)
-        p = g4[:, 0] + (g - g4[:, 1])
+        cols = [hb.reshape(-1), sg, hq.reshape(-1), jnp.broadcast_to(rs_const, sg.shape)]
+        if pairs:
+            cols.append(w_el)  # element width: bounds the pair's 2nd position
+        hit_rows = jnp.stack(cols, axis=-1)  # (NH, 4 or 5)
+        g4 = jnp.take(hit_rows, ph, axis=0, mode="clip")  # (CAPP, 4 or 5)
+        p = g4[:, 0] + P * (g - g4[:, 1])
         hq_slot = g4[:, 2]
         read = g4[:, 3] >> 1
         strand = g4[:, 3] & 1
     if expand_fn is None:
         meta = row_gather_nd(didx.sa_meta, jnp.clip(p, 0, didx.sa_meta.shape[0] - 1))
-        t = meta[:, 0]
-        tpos = meta[:, 1] - hq_slot
+        if pairs:
+            # unzip pair rows -> element arrays (length 2*CAPP >= CAPG); the
+            # element order equals the single-slot pool's SA-position order
+            def z2(a, b):
+                return jnp.stack([a, b], axis=1).reshape(-1)
+
+            off_in_hit = P * (g - g4[:, 1])
+            second_ok = slot_valid & (off_in_hit + 1 < g4[:, 4])
+            t = z2(meta[:, 0], meta[:, 2])
+            tpos = z2(meta[:, 1] - hq_slot, meta[:, 3] - hq_slot)
+            read = z2(read, read)
+            strand = z2(strand, strand)
+            slot_valid = z2(slot_valid, second_ok)
+        else:
+            t = meta[:, 0]
+            tpos = meta[:, 1] - hq_slot
     else:
         t, tpos = expand_fn(p, hq_slot)
+    NEL = P * CAPP                  # voting element count (== CAPG up to round-up)
 
     # sort-key packing: (read, t*2+strand, [negsup,] tpos) fit one 2-word
     # uint32 key pair whenever the index's static stats bound the fields
@@ -227,7 +256,7 @@ def _collate_core(
         hi0, lo0 = _pack2([(read, rb), (ts_val, tb), (tpos + np.int32(bias), pb)])
         hi0 = jnp.where(slot_valid, hi0, FULLW)
         lo0 = jnp.where(slot_valid, lo0, FULLW)
-        if cfg.bitonic_sort and CAPG >= 2 and (CAPG & (CAPG - 1)) == 0:
+        if cfg.bitonic_sort and NEL >= 2 and (NEL & (NEL - 1)) == 0:
             # no payload operands ride this sort (both words are keys), so the
             # unstable bitonic network is output-identical to lax.sort
             from rapmap_tpu.ops.pallas.sort2 import bitonic_sort_pairs
@@ -249,9 +278,9 @@ def _collate_core(
     run_start = valid1 & jnp.concatenate([np.ones(1, bool), ~prev_same])
     run_id = jnp.cumsum(run_start.astype(jnp.int32)) - 1
     seg = jax.ops.segment_sum(
-        valid1.astype(jnp.int32), jnp.clip(run_id, 0, CAPG - 1), num_segments=CAPG
+        valid1.astype(jnp.int32), jnp.clip(run_id, 0, NEL - 1), num_segments=NEL
     )
-    support = jnp.where(run_start, flat_gather(seg, jnp.clip(run_id, 0, CAPG - 1)), 0)
+    support = jnp.where(run_start, flat_gather(seg, jnp.clip(run_id, 0, NEL - 1)), 0)
 
     # ---- per-(read,t,strand) best position -----------------------------------
     if packed and (sb + pb) <= 31:
@@ -271,8 +300,8 @@ def _collate_core(
             (support << np.int32(pb)) | (pmax - (p1 + np.int32(bias))),
             0,
         )
-        gidc = jnp.clip(gid, 0, CAPG - 1)
-        gmax = jax.ops.segment_max(val, gidc, num_segments=CAPG)
+        gidc = jnp.clip(gid, 0, NEL - 1)
+        gmax = jax.ops.segment_max(val, gidc, num_segments=NEL)
         grp_start = run_start & (val == flat_gather(gmax, gidc))
     else:
         k1r = jnp.where(run_start, k1, BIG)

@@ -148,7 +148,7 @@ def sa_cmp_rows(sa, tend, k: int, t2b: np.ndarray) -> np.ndarray:
 
 
 def upload_index(
-    idx: QuasiIndex, lean: bool = False
+    idx: QuasiIndex, lean: bool = False, meta_pairs: bool = False
 ) -> tuple[DeviceQuasiIndex, EngineStatic]:
     """lean=True drops every HBM array the CHD + packed-extension hot path
     never gathers (charwise text/sa, the binary-search kmer/lut tables, and
@@ -171,7 +171,17 @@ def upload_index(
     if lean and getattr(idx, "chd_dir", None) is None:
         raise ValueError("lean upload requires a CHD-bearing index")
     sa_ext = None if lean else sa_ext_cols(idx.sa, tend, idx.k)
-    sa_meta = np.stack([sa_txp, sa_tpos], axis=1)
+    if meta_pairs:
+        # pair rows [t_i, p_i, t_{i+1}, p_{i+1}]: one 16 B gather resolves
+        # TWO adjacent SA positions of an expansion interval (ops.collate
+        # cfg.expand_pairs path); the first two columns still serve any
+        # single-position gather. Last row duplicates itself as its pair.
+        nxt = np.minimum(np.arange(1, len(sa_txp) + 1), len(sa_txp) - 1)
+        sa_meta = np.stack(
+            [sa_txp, sa_tpos, sa_txp[nxt], sa_tpos[nxt]], axis=1
+        )
+    else:
+        sa_meta = np.stack([sa_txp, sa_tpos], axis=1)
     kmer_rows = np.stack(
         [
             np.asarray(idx.kmer_hi, dtype=np.uint32).view(np.int32),

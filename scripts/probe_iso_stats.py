@@ -36,12 +36,14 @@ def main():
 
     B = CHUNK
     lens = jnp.full((B,), READ_LEN, jnp.int32)
-    fn = jax.jit(lambda r: scan_dispatch(didx, st, r, lens, cfg))
+    # didx/lens as ARGS, not closure constants: captured arrays get baked
+    # into the serialized HLO and blow the remote-compile request limit
+    fn = jax.jit(lambda dx, r, ln: scan_dispatch(dx, st, r, ln, cfg))
     N = 8
     ns, widths_sum, nhits_read, wmax = [], [], [], []
     for i in range(N):
         r = jnp.asarray(codes[i * B : (i + 1) * B])
-        h = jax.tree.map(np.asarray, fn(r))
+        h = jax.tree.map(np.asarray, fn(didx, r, lens))
         n = h.n  # (2B,)
         hv = np.arange(h.q.shape[1])[None, :] < n[:, None]
         wd = np.where(hv, h.e - h.b, 0)

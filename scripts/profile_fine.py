@@ -50,7 +50,7 @@ def main():
         idx, codes = build_isoform_world()
         cfg = MapConfig(
             k=idx.k, chunk=CHUNK,
-            max_hits_per_strand=8, expand_budget=0, max_out=32, rec_slots=4,
+            max_hits_per_strand=4, expand_budget=0, max_out=32, rec_slots=4,
         )
     else:
         idx, codes = build_world()
