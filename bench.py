@@ -308,6 +308,11 @@ def run_bench(batch: int, pe: bool = False, isoform: bool = False,
             total += BATCH
         return total, mapped, time.time() - t0
 
+    # one untimed full pass first: the tunnel/dispatch path warms over the
+    # first ~30 batches (measured: reps 0-2 of a cold run sit ~25% below
+    # reps 3-4), which would bias the median low
+    total, mapped, dt = one_pass()
+    print(f"# warmup: {total} in {dt:.2f}s = {total/dt:,.0f}/s", file=sys.stderr)
     rates = []
     for rep in range(N_REP):
         total, mapped, dt = one_pass()

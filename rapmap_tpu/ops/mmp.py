@@ -187,19 +187,15 @@ def scan_batch_paired(
     anc2f = anc2.reshape(-1)
     zscal = lens2[0] * 0
 
-    def walk(lane):
-        """Anchor walk over the given lane id set (width may be < R).
+    def _walk_machinery(lane):
+        """(cond, body) of the lockstep anchor walk over a static lane set.
 
-        Per-lane results are bit-identical to the full-width lockstep walk:
-        positions visited and hit order depend only on the lane's own data.
-        Hit fields ride one fused (R, H, 4) buffer -> ONE scatter per trip.
-        Returns (n, truncated, hitbuf) merged back to full (R,) shape.
-        """
+        Per-lane results are bit-identical at any width: positions visited
+        and hit order depend only on the lane's own data. Hit fields ride
+        one fused (R, H, 4) buffer -> ONE scatter per trip, indexed by
+        ABSOLUTE lane id so phases at different widths share it."""
         lane_is_rc = lane >= np.int32(B)
         lens_l = flat_gather(lens2, lane)
-        pos_l = flat_gather(pos_init, lane)
-        n0 = jnp.broadcast_to(zscal, lane.shape)
-        buf0 = jnp.broadcast_to(zscal, (R + 1, H, 4))
 
         def nap(nxt):
             col = jnp.where(lane_is_rc, lens_l - k - nxt, nxt)
@@ -247,14 +243,81 @@ def scan_batch_paired(
                 buf,
             )
 
+        return cond, body
+
+    def walk(lane):
+        """Anchor walk over the given lane id set (width may be < R).
+
+        Two-phase: trip 1 runs at full width (every active lane records its
+        first MMP hit), then the still-active lanes — typically the ~1-2%
+        whose reads have a second anchor — compact into a W4 = width/4 set
+        and the remaining trips run there, cutting the tail trips' gather
+        width 4x. If actives exceed W4 (unusual hit-dense data) the walk
+        falls back to continuing at full width, bit-identically.
+        Returns (n, truncated, hitbuf) merged back to full (R,) shape.
+        """
+        W0 = int(lane.shape[0])
+        pos_l = flat_gather(pos_init, lane)
+        n0 = jnp.broadcast_to(zscal, lane.shape)
+        buf0 = jnp.broadcast_to(zscal, (R + 1, H, 4))
         trunc0 = pos_l < 0
-        _, n_l, trunc_l, buf = lax.while_loop(cond, body, (pos_l, n0, trunc0, buf0))
-        n_full = jnp.broadcast_to(zscal, (R + 1,)).at[lane].set(n_l)[:R]
-        tr_full = (
-            jnp.broadcast_to(zscal, (R + 1,))
-            .at[lane].set(trunc_l.astype(jnp.int32))[:R]
-        )
-        return n_full, tr_full.astype(bool), buf[:R]
+        cond, body = _walk_machinery(lane)
+
+        # trip 1, full width (a no-op when nothing is active: writes masked)
+        st1 = body((pos_l, n0, trunc0, buf0))
+
+        def scatter_full(lane_ids, n_l, trunc_l):
+            n_full = jnp.broadcast_to(zscal, (R + 1,)).at[lane_ids].set(n_l)[:R]
+            tr_full = (
+                jnp.broadcast_to(zscal, (R + 1,))
+                .at[lane_ids].set(trunc_l.astype(jnp.int32))[:R]
+            )
+            return n_full, tr_full.astype(bool)
+
+        W4 = max(1, W0 // 4)
+
+        def narrow_tail():
+            pos1, n1, trunc1, buf1 = st1
+            act1 = (pos1 < S) & ~trunc1
+            ia1 = jnp.cumsum(act1.astype(jnp.int32)) - 1
+            na1 = ia1[-1] + 1
+            dest1 = jnp.where(act1, ia1, W0)
+            sel = (
+                jnp.broadcast_to(zscal, (W0 + 1,))
+                .at[dest1].set(np.arange(W0, dtype=np.int32) + zscal)[:W4]
+            )
+            lane4 = flat_gather(lane, sel)
+            # inactive tail slots of lane4 carry stale ids; empty their
+            # state so they neither walk nor scatter over live results
+            live4 = (np.arange(W4, dtype=np.int32) + zscal) < na1
+            lane4 = jnp.where(live4, lane4, np.int32(R))
+            pos4 = jnp.where(live4, flat_gather(pos1, sel), np.int32(S))
+            n4 = jnp.where(live4, flat_gather(n1, sel), 0)
+            trunc4 = jnp.where(live4, flat_gather(trunc1, sel), True)
+            cond4, body4 = _walk_machinery(jnp.clip(lane4, 0, R))
+            _, n4f, trunc4f, buf4 = lax.while_loop(
+                cond4, body4, (pos4, n4, trunc4, buf1)
+            )
+            n_full, tr_full = scatter_full(lane, n1, trunc1)
+            lane4c = jnp.where(live4, lane4, np.int32(R))
+            n_full = (
+                jnp.concatenate([n_full, zscal[None]])
+                .at[lane4c].set(jnp.where(live4, n4f, 0), mode="drop")[:R]
+            )
+            tr_full = (
+                jnp.concatenate([tr_full, (zscal < 0)[None]])
+                .at[lane4c].set(trunc4f & live4, mode="drop")[:R]
+            )
+            return n_full, tr_full, buf4[:R]
+
+        def full_tail():
+            _, n_l, trunc_l, buf = lax.while_loop(cond, body, st1)
+            n_full, tr_full = scatter_full(lane, n_l, trunc_l)
+            return n_full, tr_full, buf[:R]
+
+        pos1, _, trunc1, _ = st1
+        na_after1 = jnp.sum(((pos1 < S) & ~trunc1).astype(jnp.int32))
+        return lax.cond(na_after1 <= np.int32(W4), narrow_tail, full_tail)
 
     # dead-lane compaction: lanes with no anchor at all (typically the whole
     # wrong strand of every read) never enter the walk, halving both the
