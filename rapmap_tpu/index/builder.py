@@ -100,6 +100,7 @@ def build_quasi_index(
     dedup: bool = True,
     big_sa: bool | None = None,
     require_chd: bool = False,
+    with_chd: bool = True,
 ) -> QuasiIndex:
     """big_sa: force the int64 SA layout (upstream divsufsort64 dispatch,
     SURVEY.md §3.1). Default None = automatic by text size; True lets tests
@@ -107,7 +108,11 @@ def build_quasi_index(
 
     require_chd: `-x/--perfectHash` semantics — fail the build if the CHD
     perfect hash cannot be constructed (instead of silently falling back to
-    the binary-search probe at map time)."""
+    the binary-search probe at map time).
+
+    with_chd=False skips CHD construction entirely (genome-scale builds: a
+    ~2G-key table would need a 2^32-slot permutation; the staged/sharded
+    mappers build per-shard tables or use the binary-search probe)."""
     if not (1 <= k <= 32):
         raise ValueError("k must be in [1, 32]")
     t0 = time.time()
@@ -145,12 +150,17 @@ def build_quasi_index(
     t0 = time.time()
     from rapmap_tpu.index.chd import build_canonical_chd
 
-    chd = build_canonical_chd(khi, klo, k, seed0=seed + 1)
+    if with_chd:
+        chd = build_canonical_chd(khi, klo, k, seed0=seed + 1)
+    else:
+        if require_chd:
+            raise ValueError("require_chd and with_chd=False are incompatible")
+        chd = None
     meta = {}
     chd_dir = chd_perm = chd_cls = None
     if chd is not None:
         chd_dir, chd_perm, chd_cls = chd["dir"], chd["perm"], chd["cls"]
-        meta["chd"] = {k_: chd[k_] for k_ in ("seed", "m_bits", "t_bits", "canonical")}
+        meta["chd"] = {k_: chd[k_] for k_ in ("seed", "m_bits", "t_bits", "p_bits", "canonical")}
         log.info("canonical CHD perfect hash built (%.1fs)", time.time() - t0)
     elif require_chd:
         raise RuntimeError(
@@ -208,7 +218,7 @@ def build_pseudo_index(
     chd_dir = chd_perm = chd_cls = None
     if chd is not None:
         chd_dir, chd_perm, chd_cls = chd["dir"], chd["perm"], chd["cls"]
-        meta["chd"] = {k_: chd[k_] for k_ in ("seed", "m_bits", "t_bits", "canonical")}
+        meta["chd"] = {k_: chd[k_] for k_ in ("seed", "m_bits", "t_bits", "p_bits", "canonical")}
         log.info("canonical CHD perfect hash built (%.1fs)", time.time() - t0)
     idx = PseudoIndex(
         k=k, kmer_hi=q.kmer_hi, kmer_lo=q.kmer_lo, kmer_off=off,

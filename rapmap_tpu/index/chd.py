@@ -30,16 +30,20 @@ def mix32_np(x: np.ndarray) -> np.ndarray:
     return x
 
 
-def chd_params(n: int) -> tuple[int, int]:
-    """(m_bits, t_bits): ~2 keys/bucket, table load factor <= 0.85.
+def chd_params(n: int) -> tuple[int, int, int]:
+    """(m_bits, t_bits, p_bits): ~2 keys/bucket, load factor <= 0.85,
+    4-way-partitioned search on large key sets.
 
     Bucket size trades directory memory against displacement-search time:
     the sequential search tries ~1/(1-load)^s displacements per size-s
-    bucket, so halving s from 4 to 2 cuts the 100 Mbase build's CHD stage
-    ~10x (145 s -> ~14 s measured) for 2x the (tiny) dir array."""
+    bucket, so halving s from 4 to 2 cut the 100 Mbase build's CHD stage
+    ~4x (145 s -> ~39 s measured) for 2x the (tiny) dir array. p_bits > 0
+    splits buckets AND slots into 2^p independent stripes (slot formula
+    gains a stripe prefix — native/chd.cpp) so the search threads."""
     m_bits = max(1, math.ceil(math.log2(max(n / 2.0, 1.0))))
     t_bits = max(1, math.ceil(math.log2(n / 0.85)))
-    return m_bits, t_bits
+    p_bits = 2 if n >= (1 << 20) and m_bits > 3 and t_bits > 3 else 0
+    return m_bits, t_bits, p_bits
 
 
 def build_chd(khi: np.ndarray, klo: np.ndarray, seed0: int = 1):
@@ -55,13 +59,14 @@ def build_chd(khi: np.ndarray, klo: np.ndarray, seed0: int = 1):
             return None
     except Exception:  # pragma: no cover - import/runtime issues
         return None
-    m_bits, t_bits = chd_params(n)
+    m_bits, t_bits, p_bits = chd_params(n)
     for attempt in range(8):
         seed = (seed0 + attempt * 1000003) & 0xFFFFFFFF
-        res = nat.chd_build(khi, klo, m_bits, t_bits, seed, MAXD)
+        res = nat.chd_build(khi, klo, m_bits, t_bits, seed, MAXD, p_bits)
         if res is not None:
             dirv, perm = res
-            return dict(dir=dirv, perm=perm, seed=int(seed), m_bits=m_bits, t_bits=t_bits)
+            return dict(dir=dirv, perm=perm, seed=int(seed), m_bits=m_bits,
+                        t_bits=t_bits, p_bits=p_bits)
         log.warning("CHD placement failed for seed %d; reseeding", seed)
     log.warning("CHD build gave up after 8 seeds; falling back to binary search")
     return None
@@ -85,7 +90,7 @@ def attach_chd(idx, save_dir: str | None = None) -> bool:
     if chd is None:
         return False
     idx.chd_dir, idx.chd_perm, idx.chd_cls = chd["dir"], chd["perm"], chd["cls"]
-    idx.meta["chd"] = {k: chd[k] for k in ("seed", "m_bits", "t_bits", "canonical")}
+    idx.meta["chd"] = {k: chd[k] for k in ("seed", "m_bits", "t_bits", "p_bits", "canonical")}
     if save_dir:
         from rapmap_tpu.index.format import save_index
 
@@ -93,7 +98,8 @@ def attach_chd(idx, save_dir: str | None = None) -> bool:
     return True
 
 
-def chd_query_np(khi, klo, dirv, perm, seed: int, m_bits: int, t_bits: int):
+def chd_query_np(khi, klo, dirv, perm, seed: int, m_bits: int, t_bits: int,
+                 p_bits: int = 0):
     """Numpy reference of the device probe: -> row index or -1 (pre-verify).
 
     The caller must still compare the row's (hi, lo) against the key: alien
@@ -106,7 +112,12 @@ def chd_query_np(khi, klo, dirv, perm, seed: int, m_bits: int, t_bits: int):
     g = mix32_np(hi ^ mix32_np(lo ^ sa)) & np.uint32((1 << m_bits) - 1)
     hb = mix32_np(hi ^ mix32_np(lo ^ sb))
     d = dirv[g].astype(np.uint32)
-    slot = mix32_np(hb + d) & np.uint32((1 << t_bits) - 1)
+    s = mix32_np(hb + d)
+    if p_bits:
+        stripe = (g >> np.uint32(m_bits - p_bits)) << np.uint32(t_bits - p_bits)
+        slot = stripe | (s & np.uint32((1 << (t_bits - p_bits)) - 1))
+    else:
+        slot = s & np.uint32((1 << t_bits) - 1)
     return perm[slot]
 
 

@@ -25,7 +25,7 @@ _tried = False
 # must equal native/abi.cpp's tqm_abi_version(); a mismatched (stale) .so is
 # rebuilt once, and rejected if still stale — calling through a changed
 # signature corrupts memory silently, the numpy fallbacks are always safe
-ABI_VERSION = 4
+ABI_VERSION = 6
 
 
 def _abi_of(lib: ctypes.CDLL) -> int:
@@ -80,11 +80,16 @@ def _load() -> ctypes.CDLL | None:
         lib.tqm_sais_u8_i64.argtypes = [
             ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64,
         ]
+        for nm in ("tqm_sais2_u8_i32", "tqm_sais2_u8_i64"):
+            if hasattr(lib, nm):
+                fn = getattr(lib, nm)
+                fn.restype = ctypes.c_int
+                fn.argtypes = [ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64]
         lib.tqm_chd_build.restype = ctypes.c_int
         lib.tqm_chd_build.argtypes = [
             ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64,
             ctypes.c_int32, ctypes.c_int32, ctypes.c_uint32, ctypes.c_int32,
-            ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_int32, ctypes.c_void_p, ctypes.c_void_p,
         ]
         if hasattr(lib, "tqm_canonical_classes"):
             lib.tqm_canonical_classes.restype = ctypes.c_int64
@@ -142,7 +147,18 @@ def suffix_array(text_codes: np.ndarray) -> np.ndarray:
     t = np.ascontiguousarray(text_codes, dtype=np.uint8)
     n = len(t)
     big = n >= 2**31 - 2
-    sa = np.empty(n, dtype=np.int64 if big else np.int32)
+    dt = np.int64 if big else np.int32
+    # in-place entry (n+1 scratch slot, result shifted into [0, n)) skips a
+    # full result-copy pass — ~20 GB of fresh pages at genome scale
+    nm2 = "tqm_sais2_u8_i64" if big else "tqm_sais2_u8_i32"
+    if hasattr(lib, nm2):
+        sa = np.empty(n + 1, dtype=dt)
+        rc = getattr(lib, nm2)(t.ctypes.data, sa.ctypes.data, n)
+        if rc == 0:
+            return _shrink(sa, n)
+        if rc != -3:  # -3 = alphabet headroom missing; fall through to copy
+            raise RuntimeError(f"{nm2} failed with code {rc}")
+    sa = np.empty(n, dtype=dt)
     fn = lib.tqm_sais_u8_i64 if big else lib.tqm_sais_u8_i32
     rc = fn(t.ctypes.data, sa.ctypes.data, n)
     if rc != 0:
@@ -221,9 +237,13 @@ def canonical_classes(khi: np.ndarray, klo: np.ndarray, k: int):
 
 def chd_build(
     khi: np.ndarray, klo: np.ndarray, m_bits: int, t_bits: int, seed: int,
-    maxd: int = 65535,
+    maxd: int = 65535, p_bits: int = 0,
 ):
     """Perfect-hash displacement build over (hi, lo) keys.
+
+    p_bits > 0 partitions buckets and slots into 2^p independent stripes so
+    the displacement search threads (the slot formula gains a stripe
+    prefix — must match the probe's chd_p_bits).
 
     Returns (dir int32 (2^m_bits,), perm int32 (2^t_bits,) row index or -1),
     or None if no displacement assignment was found (caller reseeds)."""
@@ -236,7 +256,7 @@ def chd_build(
     perm = np.empty(1 << t_bits, dtype=np.int32)
     rc = lib.tqm_chd_build(
         hi.ctypes.data, lo.ctypes.data, len(hi),
-        m_bits, t_bits, seed & 0xFFFFFFFF, maxd,
+        m_bits, t_bits, seed & 0xFFFFFFFF, maxd, p_bits,
         dirv.ctypes.data, perm.ctypes.data,
     )
     if rc == -1:

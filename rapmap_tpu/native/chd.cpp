@@ -9,9 +9,16 @@
 // Scheme (Hash, displace, and compress — Belazzougui/Botelho/Dietzfelbinger,
 // simplified, no compression): keys hash into m buckets; buckets are placed
 // in decreasing-size order; bucket j stores one displacement d so that every
-// key i in it lands in a free slot mix32(hb_i + d) & (T-1). Query recomputes
-// g, d = dir[g], slot; a key/row compare verifies membership (alien keys
-// just miss the compare).
+// key i in it lands in a free slot. Query recomputes g, d = dir[g], slot; a
+// key/row compare verifies membership (alien keys just miss the compare).
+//
+// Partitioned mode (p_bits > 0): bucket j belongs to partition
+// j >> (m_bits - p_bits), which owns the slot-space stripe
+// [part << (t_bits - p_bits), ...). slot = stripe | (mix32(hb + d) & sub_mask).
+// Partitions are fully independent CHD instances (same load factor each), so
+// the sequential displacement search — the whole build's hot loop — runs
+// them on separate threads, deterministically, with per-partition bitsets
+// that stay cache-resident. p_bits = 0 reproduces the legacy formula.
 
 #include <algorithm>
 #include <cstdint>
@@ -33,12 +40,17 @@ static inline uint32_t mix32(uint32_t x) {
 
 extern "C" int tqm_chd_build(const uint32_t* hi, const uint32_t* lo, int64_t n,
                              int32_t m_bits, int32_t t_bits, uint32_t seed,
-                             int32_t maxd, int32_t* dir, int32_t* perm) {
+                             int32_t maxd, int32_t p_bits, int32_t* dir,
+                             int32_t* perm) {
   if (n <= 0 || m_bits < 1 || t_bits < 1 || (1ll << t_bits) < n) return -2;
+  if (p_bits < 0 || p_bits >= m_bits || p_bits >= t_bits) return -2;
   const uint32_t m_mask = (uint32_t)((1ll << m_bits) - 1);
   const int64_t m = 1ll << m_bits;
   const int64_t T = 1ll << t_bits;
-  const uint32_t t_mask = (uint32_t)(T - 1);
+  const uint32_t sub_mask = (uint32_t)((1ll << (t_bits - p_bits)) - 1);
+  const int32_t part_shift = m_bits - p_bits;   // bucket -> partition
+  const int32_t slot_shift = t_bits - p_bits;   // partition -> stripe base
+  const int64_t n_part = 1ll << p_bits;
   const uint32_t sa = seed * 0x9e3779b9u + 1u;
   const uint32_t sb = seed * 0x85ebca6bu + 2u;
 
@@ -68,63 +80,85 @@ extern "C" int tqm_chd_build(const uint32_t* hi, const uint32_t* lo, int64_t n,
 #pragma omp parallel for schedule(static)
 #endif
   for (int64_t i = 0; i < n; i++) hbs[i] = hb[items[i]];
-  // process buckets in decreasing-size order: counting sort by size (sizes
-  // are tiny), stable within a size class so results stay deterministic
-  int32_t max_s = 0;
-  for (int64_t j = 0; j < m; j++)
-    if (bcount[j] > max_s) max_s = bcount[j];
-  std::vector<int64_t> soff(max_s + 2, 0);
-  for (int64_t j = 0; j < m; j++) soff[max_s - bcount[j] + 1]++;
-  for (int32_t s = 0; s <= max_s; s++) soff[s + 1] += soff[s];
-  std::vector<int32_t> order(m);
-  {
-    std::vector<int64_t> cur(soff.begin(), soff.end() - 1);
-    for (int64_t j = 0; j < m; j++) order[cur[max_s - bcount[j]]++] = (int32_t)j;
-  }
 
-  // slot occupancy as a bitset: T/8 bytes keeps the displacement search's
-  // random probes cache-resident (a byte array at T = 2^25 is 32 MB and
-  // every probe misses; the bitset is 4 MB)
-  std::vector<uint64_t> used((T + 63) >> 6, 0);
   std::memset(perm, 0xFF, (size_t)T * sizeof(int32_t));  // all -1
-  std::vector<uint32_t> slots;
-  for (int64_t oj = 0; oj < m; oj++) {
-    const int32_t j = order[oj];
-    const int32_t s = bcount[j];
-    if (s == 0) {
-      dir[j] = 0;
-      continue;
+
+  // one independent displacement search per partition; partitions own
+  // disjoint bucket ranges AND disjoint slot stripes, so threads never
+  // touch shared state and the result is deterministic
+  int failed = 0;
+#if defined(_OPENMP)
+#pragma omp parallel for schedule(static) num_threads((int)n_part)
+#endif
+  for (int64_t part = 0; part < n_part; part++) {
+    if (failed) continue;
+    const int64_t j0 = part << part_shift;
+    const int64_t j1 = (part + 1) << part_shift;
+    const int64_t mp = j1 - j0;
+    const uint32_t stripe = (uint32_t)(part << slot_shift);
+    // process buckets in decreasing-size order: counting sort by size
+    // (sizes are tiny), stable within a size class -> deterministic
+    int32_t max_s = 0;
+    for (int64_t j = j0; j < j1; j++)
+      if (bcount[j] > max_s) max_s = bcount[j];
+    std::vector<int64_t> soff(max_s + 2, 0);
+    for (int64_t j = j0; j < j1; j++) soff[max_s - bcount[j] + 1]++;
+    for (int32_t s = 0; s <= max_s; s++) soff[s + 1] += soff[s];
+    std::vector<int32_t> order(mp);
+    {
+      std::vector<int64_t> cur(soff.begin(), soff.end() - 1);
+      for (int64_t j = j0; j < j1; j++)
+        order[cur[max_s - bcount[j]]++] = (int32_t)(j - j0);
     }
-    const int32_t* it = &items[boff[j]];
-    const uint32_t* hbj = &hbs[boff[j]];
-    bool placed = false;
-    for (int32_t d = 0; d < maxd && !placed; d++) {
-      slots.clear();
-      bool ok = true;
-      for (int32_t q = 0; q < s; q++) {
-        uint32_t sl = mix32(hbj[q] + (uint32_t)d) & t_mask;
-        if ((used[sl >> 6] >> (sl & 63)) & 1u) {
-          ok = false;
-          break;
-        }
-        for (uint32_t prev : slots)
-          if (prev == sl) {
+    // slot occupancy of this partition's stripe as a bitset (cache-resident)
+    const int64_t Tp = 1ll << slot_shift;
+    std::vector<uint64_t> used((Tp + 63) >> 6, 0);
+    std::vector<uint32_t> slots;
+    bool part_ok = true;
+    for (int64_t oj = 0; oj < mp && part_ok; oj++) {
+      const int64_t j = j0 + order[oj];
+      const int32_t s = bcount[j];
+      if (s == 0) {
+        dir[j] = 0;
+        continue;
+      }
+      const int32_t* it = &items[boff[j]];
+      const uint32_t* hbj = &hbs[boff[j]];
+      bool placed = false;
+      for (int32_t d = 0; d < maxd && !placed; d++) {
+        slots.clear();
+        bool ok = true;
+        for (int32_t q = 0; q < s; q++) {
+          uint32_t sl = mix32(hbj[q] + (uint32_t)d) & sub_mask;
+          if ((used[sl >> 6] >> (sl & 63)) & 1u) {
             ok = false;
             break;
           }
-        if (!ok) break;
-        slots.push_back(sl);
-      }
-      if (ok) {
-        for (int32_t q = 0; q < s; q++) {
-          used[slots[q] >> 6] |= 1ull << (slots[q] & 63);
-          perm[slots[q]] = it[q];
+          for (uint32_t prev : slots)
+            if (prev == sl) {
+              ok = false;
+              break;
+            }
+          if (!ok) break;
+          slots.push_back(sl);
         }
-        dir[j] = d;
-        placed = true;
+        if (ok) {
+          for (int32_t q = 0; q < s; q++) {
+            used[slots[q] >> 6] |= 1ull << (slots[q] & 63);
+            perm[stripe | slots[q]] = it[q];
+          }
+          dir[j] = d;
+          placed = true;
+        }
       }
+      if (!placed) part_ok = false;  // caller retries with a different seed
     }
-    if (!placed) return -1;  // caller retries with a different seed
+    if (!part_ok) {
+#if defined(_OPENMP)
+#pragma omp atomic write
+#endif
+      failed = 1;
+    }
   }
-  return 0;
+  return failed ? -1 : 0;
 }

@@ -80,6 +80,7 @@ class EngineStatic:
     chd_seed: int = 0
     chd_m_bits: int = 0
     chd_t_bits: int = 0
+    chd_p_bits: int = 0  # partitioned slot formula (0 = legacy, pre-partition)
     chd_canonical: bool = False  # rows carry both strands' intervals
 
     @staticmethod
@@ -103,6 +104,7 @@ class EngineStatic:
             chd_seed=int(chd["seed"]) if chd else 0,
             chd_m_bits=int(chd["m_bits"]) if chd else 0,
             chd_t_bits=int(chd["t_bits"]) if chd else 0,
+            chd_p_bits=int(chd.get("p_bits", 0)) if chd else 0,
             chd_canonical=bool(chd.get("canonical")) if chd else False,
         )
 

@@ -48,6 +48,21 @@ def _mix32(x: jnp.ndarray) -> jnp.ndarray:
     return x
 
 
+def chd_slot(st, g: jnp.ndarray, hb: jnp.ndarray, d: jnp.ndarray) -> jnp.ndarray:
+    """Displacement -> table slot; must match native/chd.cpp exactly.
+
+    Partitioned tables (st.chd_p_bits > 0) prefix the slot with the bucket's
+    partition stripe — the build then threads its displacement search over
+    independent stripes. p_bits == 0 is the legacy single-stripe formula."""
+    s = _mix32(hb + d)
+    pb = getattr(st, "chd_p_bits", 0)
+    if pb:
+        stb = st.chd_t_bits - pb
+        stripe = (_as_u32(g) >> np.uint32(st.chd_m_bits - pb)) << np.uint32(stb)
+        return (stripe | (s & np.uint32((1 << stb) - 1))).astype(jnp.int32)
+    return (s & np.uint32((1 << st.chd_t_bits) - 1)).astype(jnp.int32)
+
+
 def _chd_lookup(
     didx: DeviceQuasiIndex, st: EngineStatic, key_hi: jnp.ndarray, key_lo: jnp.ndarray
 ) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
@@ -58,7 +73,7 @@ def _chd_lookup(
     g = (_mix32(key_hi ^ _mix32(key_lo ^ sa_)) & np.uint32((1 << st.chd_m_bits) - 1)).astype(jnp.int32)
     hb = _mix32(key_hi ^ _mix32(key_lo ^ sb_))
     d = _as_u32(flat_gather(didx.chd_dir, g))
-    slot = (_mix32(hb + d) & np.uint32((1 << st.chd_t_bits) - 1)).astype(jnp.int32)
+    slot = chd_slot(st, g, hb, d)
     row = row_gather_nd(didx.chd_rows, slot)
     # The empty-slot sentinel key (-1, -1) equals the poly-T k-mer when k == 32;
     # requiring a non-empty interval (sentinel rows carry b == e == 0) keeps an
@@ -67,7 +82,9 @@ def _chd_lookup(
     found = (
         (_as_u32(row[..., 0]) == key_hi)
         & (_as_u32(row[..., 1]) == key_lo)
-        & (row[..., 3] > row[..., 2])
+        # width form, not e > b: big-occ pseudo tables carry uint32 bit
+        # patterns in int32, where a signed compare misorders across 2^31
+        & (row[..., 3] - row[..., 2] > 0)
     )
     b = jnp.where(found, row[..., 2], 0)
     e = jnp.where(found, row[..., 3], 0)
@@ -83,7 +100,7 @@ def _chd_probe_canonical(
     g = (_mix32(can_hi ^ _mix32(can_lo ^ sa_)) & np.uint32((1 << st.chd_m_bits) - 1)).astype(jnp.int32)
     hb = _mix32(can_hi ^ _mix32(can_lo ^ sb_))
     d = _as_u32(flat_gather(didx.chd_dir, g))
-    slot = (_mix32(hb + d) & np.uint32((1 << st.chd_t_bits) - 1)).astype(jnp.int32)
+    slot = chd_slot(st, g, hb, d)
     return row_gather_nd(didx.chd_rows, slot)
 
 
@@ -112,8 +129,9 @@ def kmer_lookup_2str(
     e_f = jnp.where(is_can, e_can, e_alt)
     b_r = jnp.where(is_can, b_alt, b_can)
     e_r = jnp.where(is_can, e_alt, e_can)
-    found_f = hit & (e_f > b_f)
-    found_r = hit & (e_r > b_r)
+    # width form (wrap-safe for big-occ uint32-in-int32 slot ids)
+    found_f = hit & (e_f - b_f > 0)
+    found_r = hit & (e_r - b_r > 0)
     z = b_f * 0
     return (
         found_f, jnp.where(found_f, b_f, z), jnp.where(found_f, e_f, z),

@@ -85,7 +85,7 @@ def _build_shard_chds(khi_u32, klo_u32, row_cuts, seed0: int):
     n_max = max(row_cuts[i + 1] - row_cuts[i] for i in range(P_))
     if n_max == 0:
         return None
-    m_bits, t_bits = chd_params(n_max)
+    m_bits, t_bits, p_bits = chd_params(n_max)
     for attempt in range(16):
         seed = (seed0 + attempt * 1000003) & 0xFFFFFFFF
         dirs, perms, ok = [], [], True
@@ -96,7 +96,7 @@ def _build_shard_chds(khi_u32, klo_u32, row_cuts, seed0: int):
                 perms.append(np.full(1 << t_bits, -1, np.int32))
                 continue
             res = nat.chd_build(
-                khi_u32[r0:r1], klo_u32[r0:r1], m_bits, t_bits, seed, MAXD
+                khi_u32[r0:r1], klo_u32[r0:r1], m_bits, t_bits, seed, MAXD, p_bits
             )
             if res is None:
                 ok = False
@@ -104,7 +104,7 @@ def _build_shard_chds(khi_u32, klo_u32, row_cuts, seed0: int):
             dirs.append(res[0])
             perms.append(res[1])
         if ok:
-            return np.stack(dirs), np.stack(perms), seed, m_bits, t_bits
+            return np.stack(dirs), np.stack(perms), seed, m_bits, t_bits, p_bits
     return None
 
 
@@ -156,7 +156,7 @@ def _build_class_shard_chds(idx: QuasiIndex, n_shards: int, seed0: int, slot_dt)
     n_max = max(cuts[i + 1] - cuts[i] for i in range(P_))
     if n_max == 0:
         return None
-    m_bits, t_bits = chd_params(n_max)
+    m_bits, t_bits, p_bits = chd_params(n_max)
     for attempt in range(16):
         seed = (seed0 + attempt * 1000003) & 0xFFFFFFFF
         dirs, rows, ok = [], [], True
@@ -168,7 +168,7 @@ def _build_class_shard_chds(idx: QuasiIndex, n_shards: int, seed0: int, slot_dt)
                     np.tile(np.array([-1, -1, 0, 0, 0, 0], slot_dt), (1 << t_bits, 1))
                 )
                 continue
-            res = nat.chd_build(chi[c0:c1], clo[c0:c1], m_bits, t_bits, seed, MAXD)
+            res = nat.chd_build(chi[c0:c1], clo[c0:c1], m_bits, t_bits, seed, MAXD, p_bits)
             if res is None:
                 ok = False
                 break
@@ -191,7 +191,7 @@ def _build_class_shard_chds(idx: QuasiIndex, n_shards: int, seed0: int, slot_dt)
             rows.append(np.where((perm >= 0)[:, None], r6, sentinel[None, :]))
             dirs.append(dirv)
         if ok:
-            return np.stack(dirs), np.stack(rows), seed, m_bits, t_bits
+            return np.stack(dirs), np.stack(rows), seed, m_bits, t_bits, p_bits
     return None
 
 
@@ -307,11 +307,12 @@ def shard_quasi_index(
         else None
     )
     if cres is not None:
-        dirs_c, rows_c, seed_c, mb_c, tb_c = cres
+        dirs_c, rows_c, seed_c, mb_c, tb_c, pb_c = cres
         chd_dir, chd_rows = dirs_c, rows_c
         st = replace(
             st, use_chd=True, chd_canonical=True,
             chd_seed=int(seed_c), chd_m_bits=mb_c, chd_t_bits=tb_c,
+            chd_p_bits=pb_c,
         )
         arrays = ShardedIndexArrays(
             text2q=text2q, sa_cmp=sa_cmp, sa_meta=sa_meta,
@@ -321,7 +322,7 @@ def shard_quasi_index(
         return arrays, st
     chd = _build_shard_chds(khi_u32, klo_u32, row_cuts, idx.seed + 7) if use_chd else None
     if chd is not None:
-        dirs, perms, seed, m_bits, t_bits = chd
+        dirs, perms, seed, m_bits, t_bits, p_bits = chd
         sentinel = np.array([-1, -1, 0, 0], dtype=np.int32)
         chd_rows = np.empty((P_, 1 << t_bits, 4), np.int32)
         for p in range(P_):
@@ -334,6 +335,7 @@ def shard_quasi_index(
         st = replace(
             st, use_chd=True, chd_canonical=False,
             chd_seed=int(seed), chd_m_bits=m_bits, chd_t_bits=t_bits,
+            chd_p_bits=p_bits,
         )
     else:
         st = replace(st, use_chd=False, chd_canonical=False)
@@ -462,7 +464,7 @@ def _probe_class_rows(didx, st, can_hi, can_lo):
 
     Hash math identical to ops.lookup._chd_probe_canonical; rows may be int64
     (slot64 regime), where the uint32 keys compare zero-extended."""
-    from rapmap_tpu.ops.lookup import _as_u32, _mix32
+    from rapmap_tpu.ops.lookup import _as_u32, _mix32, chd_slot
 
     sa_ = np.uint32((st.chd_seed * 0x9E3779B9 + 1) & 0xFFFFFFFF)
     sb_ = np.uint32((st.chd_seed * 0x85EBCA6B + 2) & 0xFFFFFFFF)
@@ -471,7 +473,7 @@ def _probe_class_rows(didx, st, can_hi, can_lo):
     ).astype(jnp.int32)
     hb = _mix32(can_hi ^ _mix32(can_lo ^ sb_))
     d = _as_u32(jnp.take(didx.chd_dir, g, mode="clip"))
-    slot = (_mix32(hb + d) & np.uint32((1 << st.chd_t_bits) - 1)).astype(jnp.int32)
+    slot = chd_slot(st, g, hb, d)
     row = row_gather_nd(didx.chd_rows, slot)
     if row.dtype == jnp.int64:
         hit = (row[..., 0] == can_hi.astype(jnp.int64)) & (
