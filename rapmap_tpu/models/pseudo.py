@@ -35,7 +35,10 @@ from rapmap_tpu.ops.pairs import merge_pairs_batch
 class DevicePseudoIndex(NamedTuple):
     kmer_rows: jnp.ndarray  # (K, 4) int32: [hi, lo, occ_b, occ_e]
     lut_rows: jnp.ndarray   # (4^p, 2)
-    occ_rows: jnp.ndarray   # (NOcc, 2) int32: [txp, pos]
+    # [txp, pos] occurrence rows: (NOcc, 2) normally; in the big-occ layout
+    # (st.occ_pairs) TWO occurrences per row, (ceil(NOcc/2), 4), so the row
+    # index (occ_id >> 1) stays a valid int32 gather index up to 2^32 occs
+    occ_rows: jnp.ndarray
     # per-strand CHD (2-gather probe); None = binary-search path
     chd_dir: jnp.ndarray | None = None   # int32 (2^m_bits,)
     chd_rows: jnp.ndarray | None = None  # int32 (2^t_bits, 4)
@@ -50,12 +53,29 @@ class PseudoStatic:
     chd_seed: int = 0
     chd_m_bits: int = 0
     chd_t_bits: int = 0
+    chd_p_bits: int = 0  # partitioned slot formula (ops.lookup.chd_slot)
     chd_canonical: bool = False  # pseudo tables are per-strand
+    occ_pairs: bool = False  # big-occ (>= 2^31) layout: occ ids are uint32
+    # bit patterns riding int32 arrays (wrap-safe arithmetic), occ_rows pairs
 
 
-def upload_pseudo_index(idx: PseudoIndex) -> tuple[DevicePseudoIndex, PseudoStatic]:
-    if int(np.asarray(idx.kmer_off)[-1]) >= 2**31:
-        raise NotImplementedError("pseudo index with >=2^31 occurrences unsupported")
+def _u32_i32(a: np.ndarray) -> np.ndarray:
+    """Values in [0, 2^32) -> their uint32 bit pattern as int32 (the device
+    does wrap-safe uint32 arithmetic on these; upstream bigSA analog for the
+    pseudo CSR, covering texts past the 2^31 int32 ceiling)."""
+    return (np.asarray(a, np.int64) & 0xFFFFFFFF).astype(np.uint32).view(np.int32)
+
+
+def upload_pseudo_index(
+    idx: PseudoIndex, force_pairs: bool = False
+) -> tuple[DevicePseudoIndex, PseudoStatic]:
+    n_occ = int(np.asarray(idx.kmer_off)[-1])
+    if n_occ >= 2**32:
+        raise ValueError(
+            "pseudo index with >= 2^32 occurrences exceeds the single-device "
+            "big-occ layout; shard the index (rapmap_tpu.parallel.sharded)"
+        )
+    occ_pairs = force_pairs or n_occ >= 2**31
     khi = np.asarray(idx.kmer_hi, dtype=np.uint32)
     klo = np.asarray(idx.kmer_lo, dtype=np.uint32)
     off = np.asarray(idx.kmer_off, dtype=np.int64)
@@ -67,11 +87,24 @@ def upload_pseudo_index(idx: PseudoIndex) -> tuple[DevicePseudoIndex, PseudoStat
     steps = max(1, math.ceil(math.log2(max_bucket + 1)) + 1)
     kmer_rows = np.stack(
         [khi.view(np.int32), klo.view(np.int32),
-         off[:-1].astype(np.int32), off[1:].astype(np.int32)], axis=1,
+         _u32_i32(off[:-1]), _u32_i32(off[1:])], axis=1,
     ) if K else np.zeros((1, 4), np.int32)
-    occ_rows = np.stack(
-        [np.asarray(idx.occ_txp, np.int32), np.asarray(idx.occ_pos, np.int32)], axis=1
-    ) if len(idx.occ_txp) else np.zeros((1, 2), np.int32)
+    if len(idx.occ_txp) == 0:
+        occ_rows = np.zeros((1, 4 if occ_pairs else 2), np.int32)
+    elif occ_pairs:
+        ot = np.asarray(idx.occ_txp, np.int32)
+        op = np.asarray(idx.occ_pos, np.int32)
+        n2 = (len(ot) + 1) // 2
+        occ_rows = np.zeros((n2, 4), np.int32)
+        occ_rows[:, 0] = ot[0::2]
+        occ_rows[:, 1] = op[0::2]
+        occ_rows[: len(ot) // 2, 2] = ot[1::2]
+        occ_rows[: len(ot) // 2, 3] = op[1::2]
+    else:
+        occ_rows = np.stack(
+            [np.asarray(idx.occ_txp, np.int32), np.asarray(idx.occ_pos, np.int32)],
+            axis=1,
+        )
     chd = idx.meta.get("chd") if getattr(idx, "chd_dir", None) is not None else None
     canonical = bool(chd.get("canonical")) if chd else False
     chd_dir = chd_rows = None
@@ -96,8 +129,8 @@ def upload_pseudo_index(idx: PseudoIndex) -> tuple[DevicePseudoIndex, PseudoStat
             rcl = np.clip(r, 0, Kc)
             valid = r >= 0
             return (
-                np.where(valid, off[:-1][rcl], 0).astype(np.int32),
-                np.where(valid, off[1:][rcl], 0).astype(np.int32),
+                _u32_i32(np.where(valid, off[:-1][rcl], 0)),
+                _u32_i32(np.where(valid, off[1:][rcl], 0)),
             )
 
         bf, ef = iv(fwd_r)
@@ -142,8 +175,37 @@ def upload_pseudo_index(idx: PseudoIndex) -> tuple[DevicePseudoIndex, PseudoStat
         chd_seed=int(chd["seed"]) if chd else 0,
         chd_m_bits=int(chd["m_bits"]) if chd else 0,
         chd_t_bits=int(chd["t_bits"]) if chd else 0,
+        chd_p_bits=int(chd.get("p_bits", 0)) if chd else 0,
         chd_canonical=canonical,
+        occ_pairs=occ_pairs,
     )
+
+
+def csr_expand_fn(didx: DevicePseudoIndex, st: PseudoStatic):
+    """collate expand hook: occurrence id p, query pos q -> (txp, tpos).
+
+    Big-occ layout (st.occ_pairs): p is a uint32 bit pattern riding int32
+    (ids 2^31..2^32 appear negative); the logical shift recovers a valid
+    int32 row index and the parity bit selects the row half. Covers the
+    upstream bigSA regime for the pseudo path without int64 device arrays."""
+    n_rows = didx.occ_rows.shape[0]
+    if st.occ_pairs:
+        def fn(p, q):
+            pu = lax.bitcast_convert_type(p, jnp.uint32)
+            r = (pu >> np.uint32(1)).astype(jnp.int32)
+            meta = row_gather_nd(didx.occ_rows, jnp.clip(r, 0, n_rows - 1))
+            odd = (pu & np.uint32(1)).astype(jnp.int32)
+            t = jnp.where(odd == 1, meta[..., 2], meta[..., 0])
+            pos = jnp.where(odd == 1, meta[..., 3], meta[..., 1])
+            return t, pos - q
+
+        return fn
+
+    def fn(p, q):
+        meta = row_gather_nd(didx.occ_rows, jnp.clip(p, 0, n_rows - 1))
+        return meta[..., 0], meta[..., 1] - q
+
+    return fn
 
 
 def pseudo_scan_batch(
@@ -307,12 +369,7 @@ def pseudo_map_batch_se(
     didx: DevicePseudoIndex, st: PseudoStatic, reads, lens, n_valid, cfg: MapConfig
 ) -> tuple[MapOut, Counters]:
     hits = pseudo_scan_dispatch(didx, st, reads, lens, cfg)
-
-    def expand_fn(p, q):
-        meta = row_gather_nd(didx.occ_rows, jnp.clip(p, 0, didx.occ_rows.shape[0] - 1))
-        return meta[..., 0], meta[..., 1] - q
-
-    out = collate_batch(None, None, hits, lens, cfg, expand_fn=expand_fn)
+    out = collate_batch(None, None, hits, lens, cfg, expand_fn=csr_expand_fn(didx, st))
     B = reads.shape[0]
     real = np.arange(B, dtype=np.int32) < n_valid
     ctr = Counters(
@@ -386,15 +443,8 @@ def pseudo_map_batch_se_wire_chunked(
         r, l = xs
         nv = jnp.clip(n_valid - rows_done, 0, C)
         hits = pseudo_scan_dispatch(didx, st, r, l, cfg)
-
-        def expand_fn(p, q):
-            meta = row_gather_nd(
-                didx.occ_rows, jnp.clip(p, 0, didx.occ_rows.shape[0] - 1)
-            )
-            return meta[..., 0], meta[..., 1] - q
-
         se, flags = collate_records_se(
-            None, None, hits, l, cfg, capc, expand_fn=expand_fn
+            None, None, hits, l, cfg, capc, expand_fn=csr_expand_fn(didx, st)
         )
         ctr = _se_counters(flags, nv, C)
         fbits = encode_read_flags(
@@ -436,7 +486,8 @@ def pseudo_map_batch_pe_wire(didx, st, wire_in, cfg: MapConfig, cap: int, B: int
 class PseudoMapper:
     """Host-side driver for the pseudo path (same interface as QuasiMapper)."""
 
-    def __init__(self, idx: PseudoIndex, cfg: MapConfig | None = None):
+    def __init__(self, idx: PseudoIndex, cfg: MapConfig | None = None,
+                 force_big_occ: bool = False):
         if cfg is None:
             cfg = MapConfig(k=idx.k)
         if cfg.k != idx.k:
@@ -451,7 +502,7 @@ class PseudoMapper:
                 expand_budget=auto_expand_budget(np.diff(np.asarray(idx.kmer_off))),
             )
         self.cfg = cfg
-        self.didx, self.st = upload_pseudo_index(idx)
+        self.didx, self.st = upload_pseudo_index(idx, force_pairs=force_big_occ)
         self.host_index = idx  # oracle fallback for budget-degraded reads
         self.txp_names = idx.txp_names
         self.txp_lens = np.asarray(idx.txp_lens)

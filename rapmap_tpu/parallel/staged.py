@@ -1,0 +1,381 @@
+"""Host-staged sharded quasi-mapping for indexes past one chip's HBM
+(genome-scale / >= 2^31-char texts; upstream:src/RapMapSAIndexer.cpp
+divsufsort64 regime, SURVEY.md §3.1 + §5.7).
+
+The mesh engine (parallel/sharded.py) keeps every shard resident and unions
+per-walk-step with psum — ideal with P devices, impossible with ONE chip and
+an index bigger than its HBM. This module restages the same exact algorithm
+so each shard visits the chip ONCE per read-batch group:
+
+  stage A (device, per shard):  dense per-lane k-mer lookups over the
+      shard's local sorted table + anchor-parallel packed extension of the
+      shard's anchors -> dense (lane, window) partial (anchor, mlen, b, e).
+      Each window's k-mer lives in exactly one shard, so partials union by
+      masked addition — ON THE HOST, after the shard leaves the chip.
+  stage B (host, numpy): the NIP walk needs no index data given the dense
+      unioned mlen map — pointer-chasing per lane reconstructs exactly the
+      anchors the reference's serial loop visits (SEMANTICS.md §3).
+  stage C (host, numpy): interval expansion via the host-resident
+      sa_txp/sa_tpos arrays + the SEMANTICS.md §4 vote (lexsort runs,
+      support, best-per-(read,txp,strand)).
+
+Anchor-parallel extension does extend windows the walk would skip (the cost
+of single-pass shard residency); the VISITED subset and all results are
+bit-identical to the replicated engine / oracle (tests/test_staged.py).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import NamedTuple
+
+import numpy as np
+
+from rapmap_tpu.config import MapConfig
+from rapmap_tpu.index.format import QuasiIndex
+from rapmap_tpu.ops.device_index import DeviceQuasiIndex, EngineStatic, sa_cmp_rows
+
+
+class StagedGeometry(NamedTuple):
+    row_cuts: list[int]   # k-mer table row ranges per shard
+    slot_cuts: list[int]  # SA slot ranges per shard (prefix-aligned)
+    K_pad: int
+    S_pad: int
+    lookup_steps: int     # max over shards (one compiled program serves all)
+    prefix_bases: int
+    max_interval_idx: int
+
+
+def staged_geometry(idx: QuasiIndex, n_shards: int) -> StagedGeometry:
+    """Prefix-boundary cuts (as parallel/sharded.py): every k-mer's interval
+    — and anything extension narrows it to — lies wholly inside one shard."""
+    lut = np.asarray(idx.prefix_lut, dtype=np.int64)
+    kb = np.asarray(idx.kmer_b)
+    K = len(kb)
+    n = len(idx.sa)
+    targets = [round(i * K / n_shards) for i in range(n_shards + 1)]
+    pv = [int(np.searchsorted(lut, t, side="left")) for t in targets]
+    pv[0], pv[-1] = 0, len(lut) - 1
+    row_cuts = [int(lut[v]) for v in pv]
+    slot_cuts = [int(kb[r]) if r < K else n for r in row_cuts]
+    slot_cuts[0], slot_cuts[-1] = 0, n
+    K_pad = max(row_cuts[i + 1] - row_cuts[i] for i in range(n_shards)) or 1
+    S_pad = max(slot_cuts[i + 1] - slot_cuts[i] for i in range(n_shards)) or 1
+    # per-shard local prefix LUTs share one step bound (max local bucket)
+    steps = 1
+    p = idx.prefix_bases
+    lut_d = np.diff(lut)
+    steps = max(1, int(math.ceil(math.log2(int(lut_d.max()) + 1))) + 1) if len(lut_d) else 1
+    widths = np.asarray(idx.kmer_e) - np.asarray(idx.kmer_b)
+    max_w = int(widths.max()) if len(widths) else 1
+    return StagedGeometry(row_cuts, slot_cuts, K_pad, S_pad, steps, p, max_w)
+
+
+def shard_device_arrays(idx: QuasiIndex, geo: StagedGeometry, p: int):
+    """Shard p's device arrays (numpy; caller uploads + frees per shard).
+
+    The k-mer table slice keeps LOCAL int32 interval slots; sa_cmp rows are
+    derived for the slice only. text2q is a 1-row dummy: suffix_cmp never
+    continues past the sa_cmp fused words when L <= k + 16*SA_CMP_WORDS
+    (the staged runner enforces that read-length bound)."""
+    r0, r1 = geo.row_cuts[p], geo.row_cuts[p + 1]
+    s0, s1 = geo.slot_cuts[p], geo.slot_cuts[p + 1]
+    khi = np.asarray(idx.kmer_hi[r0:r1], dtype=np.uint32)
+    klo = np.asarray(idx.kmer_lo[r0:r1], dtype=np.uint32)
+    kb = (np.asarray(idx.kmer_b[r0:r1], dtype=np.int64) - s0).astype(np.int32)
+    ke = (np.asarray(idx.kmer_e[r0:r1], dtype=np.int64) - s0).astype(np.int32)
+    K_pad = geo.K_pad
+    kmer_rows = np.zeros((K_pad, 4), np.int32)
+    kmer_rows[: r1 - r0, 0] = khi.view(np.int32)
+    kmer_rows[: r1 - r0, 1] = klo.view(np.int32)
+    kmer_rows[: r1 - r0, 2] = kb
+    kmer_rows[: r1 - r0, 3] = ke
+    if r1 > r0:  # pad rows: all-ones keys (> any real key), empty intervals
+        kmer_rows[r1 - r0 :, 0] = -1
+        kmer_rows[r1 - r0 :, 1] = -1
+    # local prefix LUT over the slice, offset to local rows
+    from rapmap_tpu.index.kmer_table import build_prefix_lut
+
+    lut = build_prefix_lut(khi, klo, idx.k, geo.prefix_bases).astype(np.int64)
+    lut_rows = np.stack([lut[:-1], lut[1:]], axis=1).astype(np.int32)
+    # sa_cmp rows for the slot slice
+    sa_sl = np.asarray(idx.sa[s0:s1])
+    sa_txp = np.asarray(idx.sa_txp[s0:s1], dtype=np.int64)
+    off = np.asarray(idx.txp_offsets, dtype=np.int64)
+    tl = np.asarray(idx.txp_lens, dtype=np.int64)
+    tend = off[sa_txp] + tl[sa_txp]
+    t2b = np.asarray(idx.text2b, dtype=np.uint32)
+    cmp_rows = sa_cmp_rows(sa_sl, tend, idx.k, t2b)
+    S_pad = geo.S_pad
+    if len(cmp_rows) < S_pad:
+        pad = np.zeros((S_pad - len(cmp_rows), cmp_rows.shape[1]), np.int32)
+        cmp_rows = np.concatenate([cmp_rows, pad])
+    didx = DeviceQuasiIndex(
+        text2q=np.zeros((1, 4), np.int32),
+        sa_meta=np.zeros((1, 2), np.int32),  # expansion happens on host
+        kmer_rows=kmer_rows,
+        lut_rows=lut_rows,
+        sa_cmp=cmp_rows,
+    )
+    st = EngineStatic(
+        k=idx.k, prefix_bases=geo.prefix_bases, lookup_steps=geo.lookup_steps,
+        pad_tail=len(idx.text) - idx.n_text, max_interval_idx=geo.max_interval_idx,
+        n_txps=int(idx.n_txps), use_chd=False,
+    )
+    return didx, st, s0
+
+
+def make_stage_a(st: EngineStatic, cfg: MapConfig, C: int, L: int, A_max: int):
+    """Compiled stage-A fn: (didx, lanes (2C, L) int8, lens (2C,)) ->
+    (anch (2C,S) bool, mine (2C,S) bool, mlen, b1, e1 (2C,S) int32,
+     n_anch int32) — all shard-local partials, unioned on host."""
+    import jax
+    import jax.numpy as jnp
+
+    from rapmap_tpu.ops import encode as denc
+    from rapmap_tpu.ops.extend_packed import extend_packed, pack_reads
+    from rapmap_tpu.ops.lookup import kmer_lookup
+
+    k = st.k
+    S = L - k + 1
+    R = 2 * C
+    eff_w = min(cfg.max_interval, st.max_interval_idx)
+    ext_steps = max(1, math.ceil(math.log2(eff_w + 1)) + 1)
+
+    def fn(didx, lanes, lens2):
+        next_bad = denc.next_bad_batch(lanes, L)
+        preads = pack_reads(lanes)
+        key_hi, key_lo, kvalid = denc.kmer_keys_from_packed(preads, next_bad, k, S)
+        found, db, de = kmer_lookup(didx, st, key_hi, key_lo)
+        in_len = (np.arange(S, dtype=np.int32)[None, :] + k) <= lens2[:, None]
+        anch = found & kvalid & in_len & ((de - db) <= cfg.max_interval)
+        flat = anch.reshape(-1)
+        ia = jnp.cumsum(flat.astype(jnp.int32)) - 1
+        n_anch = ia[-1] + 1
+        dest = jnp.where(flat, jnp.minimum(ia, A_max - 1), A_max)
+        src = (
+            jnp.zeros((A_max + 1,), jnp.int32)
+            .at[dest].set(np.arange(R * S, dtype=np.int32) + n_anch * 0, mode="drop")[:A_max]
+        )
+        live = (np.arange(A_max, dtype=np.int32) + n_anch * 0) < jnp.minimum(n_anch, A_max)
+        lane = jnp.where(live, src // S, R)
+        pos = jnp.where(live, src % S, 0)
+        lane_c = jnp.clip(lane, 0, R - 1)
+        b0 = db.reshape(-1)[jnp.clip(src, 0, R * S - 1)]
+        e0 = de.reshape(-1)[jnp.clip(src, 0, R * S - 1)]
+        b1, e1, mlen = extend_packed(
+            didx, preads, next_bad, lens2,
+            jnp.where(live, b0, 0), jnp.where(live, e0, 0), pos, live, k,
+            ext_steps, L, lane=lane_c,
+        )
+        # scatter back dense
+        didx_flat = jnp.where(live, lane_c * S + pos, R * S)
+
+        def dense(vals):
+            return (
+                jnp.zeros((R * S + 1,), jnp.int32)
+                .at[didx_flat].set(jnp.where(live, vals, 0), mode="drop")[: R * S]
+                .reshape(R, S)
+            )
+
+        return anch, dense(mlen), dense(b1), dense(e1), n_anch
+
+    import jax
+
+    return jax.jit(fn)
+
+
+def walk_hits_np(anch, mlen, k: int, S: int, H: int):
+    """Host NIP walk over the unioned dense anchor/mlen maps.
+
+    anch (R, S) bool, mlen (R, S) int32 -> (q (R, H), n (R,), trunc (R,))
+    listing, per lane, the anchor positions the reference's serial loop
+    visits (SEMANTICS.md §3): pos starts at the first anchor; each visit
+    records, then jumps to the next anchor >= pos + max(1, mlen - k + 1)."""
+    R = anch.shape[0]
+    # next_anchor[l, s] = smallest anchor position >= s (else S)
+    na = np.where(anch, np.arange(S, dtype=np.int32)[None, :], S)
+    na = np.minimum.accumulate(na[:, ::-1], axis=1)[:, ::-1]
+    na = np.concatenate([na, np.full((R, 1), S, np.int32)], axis=1)  # pos S -> S
+    q = np.zeros((R, H), np.int32)
+    n = np.zeros(R, np.int32)
+    trunc = np.zeros(R, bool)
+    pos = na[:, 0].copy()
+    lanes = np.arange(R)
+    while True:
+        act = (pos < S) & ~trunc
+        if not act.any():
+            break
+        overflow = act & (n >= H)
+        trunc |= overflow
+        write = act & ~overflow
+        q[lanes[write], n[write]] = pos[write]
+        n[write] += 1
+        m = mlen[lanes, np.clip(pos, 0, S - 1)]
+        nxt = np.clip(pos + np.maximum(1, m - k + 1), 0, S)
+        pos = np.where(write, na[lanes, nxt], pos)
+    return q, n, trunc
+
+
+def collate_np(q, n, b, e, mlen_at, lens, sa_txp, sa_tpos, cfg: MapConfig):
+    """SEMANTICS.md §4 default-path collation in numpy (host expansion via
+    the full sa_txp/sa_tpos arrays — the staged analog of the sa_meta
+    gathers). Returns per-read lists [(t, tpos, strand, support)] in
+    (t*2+strand, tpos-of-best) order, plus too_ambiguous flags."""
+    if cfg.consistent_hits or cfg.strict_check or cfg.quasi_coverage > 0:
+        raise NotImplementedError(
+            "staged collate covers the default path; use the mesh engine "
+            "(parallel.sharded) for -c/-s/-z at genome scale"
+        )
+    R, H = q.shape
+    B = R // 2
+    hv = np.arange(H)[None, :] < n[:, None]
+    w = np.where(hv, e - b, 0)
+    flat_w = w.reshape(-1)
+    tot = int(flat_w.sum())
+    hit_read = np.tile(np.repeat(np.arange(B, dtype=np.int32), H), 2)
+    hit_strand = np.repeat(np.array([0, 1], np.int32), B * H)
+    starts = np.repeat(b.reshape(-1), flat_w)
+    offs = np.arange(tot, dtype=np.int64) - np.repeat(
+        np.cumsum(flat_w) - flat_w, flat_w
+    )
+    slots = starts + offs
+    sq = np.repeat(q.reshape(-1), flat_w)
+    sread = np.repeat(hit_read, flat_w)
+    sstrand = np.repeat(hit_strand, flat_w)
+    t = sa_txp[slots].astype(np.int64)
+    tpos = sa_tpos[slots].astype(np.int64) - sq
+    ts = t * 2 + sstrand
+    order = np.lexsort((tpos, ts, sread))
+    rs, tss, ps = sread[order], ts[order], tpos[order]
+    newrun = np.concatenate([[True], (rs[1:] != rs[:-1]) | (tss[1:] != tss[:-1]) | (ps[1:] != ps[:-1])])
+    rid = np.cumsum(newrun) - 1
+    support = np.bincount(rid)
+    rr, rts, rp = rs[newrun], tss[newrun], ps[newrun]
+    # best per (read, ts): max support, tie -> smallest tpos
+    o2 = np.lexsort((rp, -support, rts, rr))
+    r2, ts2, p2, s2 = rr[o2], rts[o2], rp[o2], support[o2]
+    grp = np.concatenate([[True], (r2[1:] != r2[:-1]) | (ts2[1:] != ts2[:-1])])
+    wr, wts, wp, wsup = r2[grp], ts2[grp], p2[grp], s2[grp]
+    ordw = np.lexsort((wts, wr))  # read-major, ts order (device/oracle order)
+    wr, wts, wp, wsup = wr[ordw], wts[ordw], wp[ordw], wsup[ordw]
+    counts = np.bincount(wr, minlength=B)
+    too_amb = counts > cfg.max_num_hits
+    out = [[] for _ in range(B)]
+    for r_, ts_, p_, su in zip(wr, wts, wp, wsup):
+        if not too_amb[r_]:
+            out[r_].append((int(ts_ // 2), int(p_), int(ts_ & 1), int(su)))
+    return out, too_amb
+
+
+class StagedMapper:
+    """Sequential-shard genome-scale mapper on one chip.
+
+    Shard residency: uploads shard p once, runs stage A for EVERY queued
+    batch, frees, moves on — index size is bounded by host RAM, not HBM."""
+
+    def __init__(self, idx: QuasiIndex, cfg: MapConfig, n_shards: int,
+                 read_len: int, batch: int, anchor_budget: int | None = None):
+        from rapmap_tpu.ops.device_index import SA_CMP_WORDS
+
+        if read_len > idx.k + 16 * SA_CMP_WORDS:
+            raise ValueError(
+                f"staged mapper reads cap at k+{16*SA_CMP_WORDS} bases "
+                "(suffix compares must stay inside the fused sa_cmp rows)"
+            )
+        self.idx = idx
+        self.cfg = cfg
+        self.geo = staged_geometry(idx, n_shards)
+        self.n_shards = n_shards
+        self.L = read_len
+        self.C = batch
+        S = read_len - idx.k + 1
+        self.A_max = anchor_budget or (2 * batch * S)  # worst case: all anchors
+        self.sa_txp = np.asarray(idx.sa_txp)
+        self.sa_tpos = np.asarray(idx.sa_tpos)
+        st_probe = EngineStatic(
+            k=idx.k, prefix_bases=self.geo.prefix_bases,
+            lookup_steps=self.geo.lookup_steps,
+            pad_tail=len(idx.text) - idx.n_text,
+            max_interval_idx=self.geo.max_interval_idx, n_txps=int(idx.n_txps),
+        )
+        self.stage_a = make_stage_a(st_probe, cfg, batch, read_len, self.A_max)
+
+    def map_batches(self, batches: list[np.ndarray]):
+        """batches: list of (C, L) int8 code arrays. Returns (mappings per
+        batch — list of per-read [(t, pos, strand, support)] — and stats)."""
+        import jax
+        import jax.numpy as jnp
+
+        from rapmap_tpu.ops import encode as denc
+
+        k = self.idx.k
+        S = self.L - k + 1
+        C = self.C
+        R = 2 * C
+        lens = np.full(C, self.L, np.int32)
+        lens2_np = np.concatenate([lens, lens])
+        lanes_all = []
+        for codes in batches:
+            rc = np.where((codes >= 1) & (codes <= 4), 5 - codes, codes)[:, ::-1]
+            lanes_all.append(np.concatenate([codes, rc.astype(np.int8)], axis=0))
+        # accumulators (int64 b/e carry global slots)
+        acc = [
+            dict(
+                anch=np.zeros((R, S), bool),
+                mlen=np.zeros((R, S), np.int32),
+                b=np.zeros((R, S), np.int64),
+                e=np.zeros((R, S), np.int64),
+            )
+            for _ in batches
+        ]
+        overflow = 0
+        lens2 = jnp.asarray(lens2_np)
+        import logging
+        import time as _time
+
+        _log = logging.getLogger("tqm.staged")
+        for p in range(self.n_shards):
+            t0 = _time.time()
+            didx_np, st, s0 = shard_device_arrays(self.idx, self.geo, p)
+            t1 = _time.time()
+            didx = jax.tree.map(jnp.asarray, didx_np)
+            jax.block_until_ready(didx)
+            del didx_np
+            t2 = _time.time()
+            t_dev = t_host = 0.0
+            for bi, lanes in enumerate(lanes_all):
+                td = _time.time()
+                out = self.stage_a(didx, jnp.asarray(lanes), lens2)
+                jax.block_until_ready(out)
+                anch, mlen, b1, e1, n_anch = jax.tree.map(np.asarray, out)
+                t_dev += _time.time() - td
+                td = _time.time()
+                if int(n_anch) > self.A_max:
+                    overflow += 1
+                a = acc[bi]
+                m = anch
+                a["anch"] |= m
+                a["mlen"][m] = mlen[m]
+                a["b"][m] = b1[m].astype(np.int64) + s0
+                a["e"][m] = e1[m].astype(np.int64) + s0
+                t_host += _time.time() - td
+            del didx
+            _log.info(
+                "shard %d: slice %.1fs upload %.1fs device %.1fs union %.1fs",
+                p, t1 - t0, t2 - t1, t_dev, t_host,
+            )
+        results = []
+        H = self.cfg.max_hits_per_strand
+        for a in acc:
+            q, n, trunc = walk_hits_np(a["anch"], a["mlen"], k, S, H)
+            lanesix = np.arange(R)[:, None]
+            qc = np.clip(q, 0, S - 1)
+            hb = a["b"][lanesix, qc]
+            he = a["e"][lanesix, qc]
+            hm = a["mlen"][lanesix, qc]
+            out, too_amb = collate_np(
+                q, n, hb, he, hm, lens, self.sa_txp, self.sa_tpos, self.cfg
+            )
+            results.append(out)
+        return results, dict(anchor_overflow=overflow)

@@ -1,0 +1,164 @@
+"""Genome-scale (>= 2^31 chars) build + map on ONE chip via the host-staged
+sharded engine (VERDICT r2 item 2; upstream:src/RapMapSAIndexer.cpp
+divsufsort64 bigSA regime, SURVEY.md §3.1/§5.7).
+
+Builds a ~2.2 Gbase synthetic transcriptome (forcing the int64 SA + int64
+k-mer-interval layout), maps read batches with parallel/staged.StagedMapper
+(sequential shard residency: the 50+ GB index never has to fit the 16 GB
+HBM), and verifies a read sample bit-exactly against the host oracle.
+
+Memory plan (125 GB host): text 2.2 + SA 17.6 + kmer (hi/lo/b/e) 52 +
+sa_txp/sa_tpos 17.6 + text2b 0.6 ~= 90 GB live; per-shard staging adds a
+~5 GB transient. Run alone.
+
+Usage: python scripts/genome_scale.py [--gbase 2.2] [--shards 12]
+       [--reads 32768] [--batch 8192] [--oracle-sample 96]
+"""
+
+import argparse
+import os
+import resource
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np  # noqa: E402
+
+from rapmap_tpu.utils.jaxenv import setup as _setup  # noqa: E402
+
+_setup()
+
+READ_LEN = 76
+
+
+def log(msg):
+    print(f"# [{time.strftime('%H:%M:%S')}] {msg}", file=sys.stderr, flush=True)
+
+
+def rss_gb():
+    return resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1e6
+
+
+def gen_fasta(path: str, target_chars: int, seed: int = 5):
+    rng = np.random.default_rng(seed)
+    bases = np.frombuffer(b"ACGT", dtype=np.uint8)
+    total = 0
+    i = 0
+    with open(path, "w") as f:
+        while total < target_chars:
+            L = int(np.clip(rng.lognormal(9.5, 0.8), 2_000, 200_000))
+            seq = bases[rng.integers(0, 4, L)].tobytes().decode()
+            f.write(f">g{i}\n{seq}\n")
+            total += L
+            i += 1
+    return i, total
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--gbase", type=float, default=2.2)
+    ap.add_argument("--shards", type=int, default=12)
+    ap.add_argument("--reads", type=int, default=32768)
+    ap.add_argument("--batch", type=int, default=8192)
+    ap.add_argument("--oracle-sample", type=int, default=96)
+    ap.add_argument("--workdir", default="/tmp/tqm_genome")
+    ap.add_argument("--allow-small", action="store_true",
+                    help="smoke mode: skip the >= 2^31 size assertions")
+    args = ap.parse_args()
+
+    from rapmap_tpu.config import MapConfig
+    from rapmap_tpu.index.builder import build_quasi_index
+    from rapmap_tpu.oracle import quasimap as qm
+    from rapmap_tpu.parallel.staged import StagedMapper
+
+    os.makedirs(args.workdir, exist_ok=True)
+    fa = os.path.join(args.workdir, "genome.fa")
+    target = int(args.gbase * 1e9)
+    assert args.allow_small or target >= 2**31, (
+        "this demo exists to exercise the >= 2^31 regime"
+    )
+
+    t0 = time.time()
+    if not os.path.exists(fa) or os.path.getsize(fa) < target:
+        n_seq, total = gen_fasta(fa, target)
+        log(f"fasta: {n_seq} seqs, {total/1e9:.2f} Gbase ({time.time()-t0:.0f}s)")
+
+    t0 = time.time()
+    idx = build_quasi_index(fa, k=31, with_chd=False)
+    t_build = time.time() - t0
+    n_text = idx.n_text
+    sa_dtype = np.asarray(idx.sa).dtype
+    log(f"index built: n_text={n_text:,} ({n_text/2**31:.2f} x 2^31), "
+        f"SA dtype {sa_dtype}, {len(idx.kmer_b):,} k-mers, "
+        f"{t_build:.0f}s, peak RSS {rss_gb():.1f} GB")
+    assert args.allow_small or (n_text >= 2**31 and sa_dtype == np.int64)
+
+    # reads sampled from the text (1% error), full length
+    rng = np.random.default_rng(6)
+    text = np.asarray(idx.text[:n_text])
+    n_reads = args.reads
+    codes = np.empty((n_reads, READ_LEN), np.int8)
+    starts = rng.integers(0, n_text - READ_LEN, size=n_reads)
+    for i, p in enumerate(starts):
+        w = text[p : p + READ_LEN].copy()
+        bad = w < 1
+        if bad.any():
+            w[bad] = rng.integers(1, 5, int(bad.sum()))
+        nerr = rng.binomial(READ_LEN, 0.01)
+        if nerr:
+            pos = rng.integers(0, READ_LEN, nerr)
+            w[pos] = rng.integers(1, 5, nerr)
+        codes[i] = w
+    half = n_reads // 2
+    rcb = codes[:half]
+    codes[:half] = np.where((rcb >= 1) & (rcb <= 4), 5 - rcb, rcb)[:, ::-1].astype(np.int8)
+    del text
+
+    cfg = MapConfig(k=31, max_hits_per_strand=8)
+    sm = StagedMapper(idx, cfg, n_shards=args.shards,
+                      read_len=READ_LEN, batch=args.batch)
+    geo = sm.geo
+    log(f"geometry: {args.shards} shards, S_pad={geo.S_pad:,} slots "
+        f"(per-shard sa_cmp ~{geo.S_pad*6*4/1e9:.1f} GB)")
+
+    batches = [codes[i : i + args.batch] for i in range(0, n_reads, args.batch)]
+    t0 = time.time()
+    results, stats = sm.map_batches(batches)
+    t_map = time.time() - t0
+    mapped = sum(sum(1 for r in batch_out if r) for batch_out in results)
+    log(f"mapped {mapped}/{n_reads} reads "
+        f"({100.0*mapped/n_reads:.1f}%) in {t_map:.1f}s "
+        f"= {n_reads/t_map:,.0f} reads/s (incl. {args.shards} shard "
+        f"uploads); stats={stats}; peak RSS {rss_gb():.1f} GB")
+
+    # oracle parity on a sample
+    t0 = time.time()
+    ns = min(args.oracle_sample, n_reads)
+    sel = rng.choice(n_reads, ns, replace=False)
+    bad = 0
+    for i in sel:
+        bi, ri = divmod(int(i), args.batch)
+        want = [(m.txp, m.pos, 0 if m.fwd else 1, m.score)
+                for m in qm.map_read(idx, codes[i], cfg)]
+        if results[bi][ri] != want:
+            bad += 1
+            log(f"MISMATCH read {i}: staged {results[bi][ri][:3]} oracle {want[:3]}")
+    log(f"oracle parity: {ns - bad}/{ns} reads exact ({time.time()-t0:.0f}s)")
+    import json
+
+    print(json.dumps({
+        "metric": "genome_scale_staged",
+        "n_text": int(n_text),
+        "build_s": round(t_build, 1),
+        "map_reads_per_s": round(n_reads / t_map, 1),
+        "map_rate_pct": round(100.0 * mapped / n_reads, 2),
+        "oracle_parity": f"{ns - bad}/{ns}",
+        "peak_rss_gb": round(rss_gb(), 1),
+    }))
+    if bad:
+        raise SystemExit("oracle parity failed")
+
+
+if __name__ == "__main__":
+    main()
