@@ -61,6 +61,10 @@ class ShardedIndexArrays(NamedTuple):
     #     both strands of a window. int64 rows in the slot64 regime.
     chd_dir: jnp.ndarray | None = None   # (P, 2^m_bits) int32
     chd_rows: jnp.ndarray | None = None  # (P, 2^t_bits, 4|6)
+    # (P, n_txps, 3) replicated ops.align.make_txp_align rows: text2q is
+    # replicated too, so the mapping-score band DP runs shard-locally (no
+    # psum; every idx shard computes identical scores)
+    txp_align: jnp.ndarray | None = None
 
 
 def _build_shard_chds(khi_u32, klo_u32, row_cuts, seed0: int):
@@ -295,6 +299,10 @@ def shard_quasi_index(
         lut_rows[p, :, 0] = lr[:-1]
         lut_rows[p, :, 1] = lr[1:]
 
+    from rapmap_tpu.ops.align import make_txp_align
+
+    ta1 = make_txp_align(off, tl)
+    txp_align_p = np.broadcast_to(ta1, (P_,) + ta1.shape).copy()
     st = EngineStatic.for_index(idx)
     chd_dir = chd_rows = None
     if canonical is None:
@@ -318,6 +326,7 @@ def shard_quasi_index(
             text2q=text2q, sa_cmp=sa_cmp, sa_meta=sa_meta,
             kmer_rows=kmer_rows, lut_rows=lut_rows,
             slot_base=bases, chd_dir=chd_dir, chd_rows=chd_rows,
+            txp_align=txp_align_p,
         )
         return arrays, st
     chd = _build_shard_chds(khi_u32, klo_u32, row_cuts, idx.seed + 7) if use_chd else None
@@ -343,6 +352,7 @@ def shard_quasi_index(
         text2q=text2q, sa_cmp=sa_cmp, sa_meta=sa_meta,
         kmer_rows=kmer_rows, lut_rows=lut_rows,
         slot_base=bases, chd_dir=chd_dir, chd_rows=chd_rows,
+        txp_align=txp_align_p,
     )
     return arrays, st
 
@@ -354,6 +364,7 @@ def _local_didx(sh) -> DeviceQuasiIndex:
         kmer_rows=sh.kmer_rows[0], lut_rows=sh.lut_rows[0],
         chd_dir=None if sh.chd_dir is None else sh.chd_dir[0],
         chd_rows=None if sh.chd_rows is None else sh.chd_rows[0],
+        txp_align=None if sh.txp_align is None else sh.txp_align[0],
     )
 
 
@@ -615,6 +626,26 @@ didx_base_holder = [None]
 didx_nlocal_holder = [None]
 
 
+def _score_mapout(didx, cfg, reads, lens, out):
+    """MapOut.score <- banded alignment scores (--mappingScore, SEMANTICS §9)
+    for the slotted sharded layout. text2q/txp_align are replicated across
+    idx shards, so every shard computes identical scores locally — no
+    collective. Scores all B x MO slots (masked), so sharded scoring runs
+    should configure a modest cfg.max_out."""
+    from rapmap_tpu.ops.align import score_records
+
+    B, MO = out.t.shape
+    rid = np.repeat(np.arange(B, dtype=np.int32), MO)
+    valid = (out.t != -1).reshape(-1)
+    sc = score_records(
+        didx, cfg, reads, lens, rid,
+        jnp.maximum(out.t.reshape(-1), 0),
+        jnp.where(valid, out.pos.reshape(-1), 0),
+        out.strand.reshape(-1), valid,
+    )
+    return out._replace(score=jnp.where(valid, sc, 0).reshape(B, MO))
+
+
 def _se_shard2d(sh: ShardedIndexArrays, st, reads, lens, nv, cfg):
     didx = _local_didx(sh)
     base = sh.slot_base[0, 0]
@@ -645,6 +676,8 @@ def _se_shard2d(sh: ShardedIndexArrays, st, reads, lens, nv, cfg):
         return t1 - 1, tp - q
 
     out = collate_batch(None, None, hits, lens, cfg, expand_fn=expand_fn)
+    if cfg.mapping_score:
+        out = _score_mapout(didx, cfg, reads, lens, out)
     B = reads.shape[0]
     real = np.arange(B, dtype=np.int32) < nv
     ctr = Counters(
