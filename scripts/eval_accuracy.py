@@ -35,23 +35,53 @@ BASES = np.frombuffer(b"ACGT", dtype=np.uint8)
 COMP = bytes.maketrans(b"ACGT", b"TGCA")
 
 
-def simulate(txps, n_reads, read_len, err, n_rate, rng, chimera_frac=0.0):
+def simulate(txps, n_reads, read_len, err, n_rate, rng, chimera_frac=0.0,
+             indel_rate=0.0):
+    """-> (reads, truth) with truth rows (txp, pos, rc, pos_tol): pos_tol is
+    the net coordinate slack an indel read's reported position may carry —
+    quasi-mapping has no gapped alignment (CIGAR is <len>M, paper §2), so an
+    MMP chain broken by an indel legitimately votes positions shifted by up
+    to the total indel length (SEMANTICS.md §3/§4)."""
     reads, truth = [], []
     lens = np.array([len(s) for _, s in txps])
-    ok = np.nonzero(lens >= read_len)[0]
+    ok = np.nonzero(lens >= read_len + 16)[0]
     for i in range(n_reads):
         t = int(ok[rng.integers(0, len(ok))])
         seq = txps[t][1]
-        p = int(rng.integers(0, len(seq) - read_len + 1))
-        r = bytearray(seq[p : p + read_len])
         if chimera_frac and rng.random() < chimera_frac:
             # half-true/half-random junction read: SHOULD stay unmapped, but
             # its true half anchors MMPs — the --minScoreFraction testbed
+            p = int(rng.integers(0, len(seq) - read_len + 1))
+            r = bytearray(seq[p : p + read_len])
             half = read_len // 2
             r[half:] = BASES[rng.integers(0, 4, read_len - half)].tobytes()
             reads.append(bytes(r))
-            truth.append((-1, -1, False))
+            truth.append((-1, -1, False, 0))
             continue
+        tol = 0
+        if indel_rate:
+            # copy reference bases from p, injecting indel events, until
+            # exactly read_len read bases exist; tol = total indel length
+            p = int(rng.integers(0, len(seq) - read_len - 12))
+            r = bytearray()
+            sp = p
+            while len(r) < read_len and sp < len(seq):
+                if rng.random() < indel_rate:
+                    ilen = min(int(rng.geometric(0.6)), 3)
+                    tol += ilen
+                    if rng.random() < 0.5:  # insertion: novel bases
+                        r += BASES[rng.integers(0, 4, ilen)].tobytes()
+                        continue
+                    sp += ilen  # deletion: skip reference bases
+                    continue
+                r.append(seq[sp])
+                sp += 1
+            if len(r) < read_len:  # ran off the transcript: degenerate, retry
+                r += BASES[rng.integers(0, 4, read_len - len(r))].tobytes()
+            r = r[:read_len]
+        else:
+            p = int(rng.integers(0, len(seq) - read_len + 1))
+            r = bytearray(seq[p : p + read_len])
         for j in range(read_len):
             u = rng.random()
             if u < err:
@@ -62,7 +92,7 @@ def simulate(txps, n_reads, read_len, err, n_rate, rng, chimera_frac=0.0):
         if rc:
             r = bytearray(bytes(r).translate(COMP)[::-1])
         reads.append(bytes(r))
-        truth.append((t, p, rc))
+        truth.append((t, p, rc, tol))
     return reads, truth
 
 
@@ -85,6 +115,10 @@ def main() -> None:
     ap.add_argument("--chimeraFrac", type=float, default=0.0,
                     help="fraction of half-true/half-random junction reads "
                     "(no true locus; should be reported unmapped)")
+    ap.add_argument("--indelRate", type=float, default=0.0,
+                    help="per-base probability of an indel event (1-3 bp, "
+                    "ins/del 50/50); recall then tolerates the indel-induced "
+                    "position shift (quasi-mapping emits no gapped alignment)")
     ap.add_argument("--mappingScore", action="store_true",
                     help="score mappings (SEMANTICS.md §9)")
     ap.add_argument("--minScoreFraction", type=float, default=0.0)
@@ -116,7 +150,7 @@ def main() -> None:
     idx = build_quasi_index(args.transcripts, k=args.kmerLen)
     name_to_id = {n: i for i, n in enumerate(idx.txp_names)}
     reads, truth = simulate(txps, args.numReads, args.readLen, args.errorRate,
-                            args.nRate, rng, args.chimeraFrac)
+                            args.nRate, rng, args.chimeraFrac, args.indelRate)
 
     cfg = MapConfig(k=idx.k, mapping_score=args.mappingScore,
                     min_score_fraction=args.minScoreFraction)
@@ -151,24 +185,28 @@ def main() -> None:
                 for j in range(c)
             }
             off += c
-            t, p, rc = truth[s + i]
+            t, p, rc, tol = truth[s + i]
             if t == -1:  # chimeric read: any mapping is a false positive
                 chim_total += 1
                 chim_mapped += int(bool(locs))
                 continue
             s_true = 1 if rc else 0
-            want = (name_to_id[txps[t][0]], p, s_true)
+            tid = name_to_id[txps[t][0]]
             true_w = txps[t][1][p : p + L]
             true_w_rc = true_w.translate(COMP)[::-1]
             reported += len(locs)
+            hit = False
             for t2, p2, s2 in locs:
+                # pos_tol-window match (exact for substitution-only reads)
+                if t2 == tid and s2 == s_true and abs(p2 - p) <= tol:
+                    hit = True
+                    correct_reported += 1
                 w2 = id_to_seq.get(t2, b"")[p2 : p2 + L]
                 if w2 == (true_w if s2 == s_true else true_w_rc):
                     equivalent_reported += 1  # sequence-identical locus:
                     # a correct mapping under real multimapping
-            if want in locs:
+            if hit:
                 tp += 1
-                correct_reported += 1
             else:
                 fn += 1
     recall = tp / max(tp + fn, 1)

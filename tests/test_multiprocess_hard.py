@@ -1,0 +1,162 @@
+"""Multi-process hardening (VERDICT r2 item 3; SURVEY.md §4 item 4, §5.3):
+paired-end at worldSize 4, and rank-failure recovery — one rank's shard is
+reset to a mid-run crash state, the whole job re-runs with --resume, and
+the record union still equals the single-process run exactly."""
+
+import json
+import os
+import socket
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+from tests.util import random_transcriptome, sample_reads, write_fasta, write_fastq
+
+ENV = dict(
+    os.environ,
+    TQM_FORCE_CPU="1",
+    XLA_FLAGS=os.environ.get("XLA_FLAGS", "")
+    + " --xla_force_host_platform_device_count=1 --xla_cpu_parallel_codegen_split_count=1",
+)
+
+
+def _free_port() -> int:
+    with socket.socket() as s:
+        s.bind(("localhost", 0))
+        return s.getsockname()[1]
+
+
+def _records(path: str) -> list[str]:
+    with open(path) as f:
+        return sorted(ln for ln in f.read().splitlines()
+                      if ln and not ln.startswith("@"))
+
+
+def _run_world(base, out, tmp_path, world, timeout=540, extra=()):
+    port = _free_port()
+    procs = []
+    for rank in range(world):
+        procs.append(subprocess.Popen(
+            [sys.executable, "-m", "rapmap_tpu.cli", *base, "-o", out,
+             "--statsJson", str(tmp_path / f"w{world}r{rank}.json"),
+             "--worldSize", str(world), "--rank", str(rank),
+             "--coordinator", f"localhost:{port}", *extra],
+            stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
+            env=ENV, cwd="/root/repo",
+        ))
+    errs = []
+    for p in procs:
+        try:
+            _, err = p.communicate(timeout=timeout)
+        except subprocess.TimeoutExpired:
+            p.kill()
+            _, err = p.communicate()
+        errs.append(err)
+    for p, err in zip(procs, errs):
+        assert p.returncode == 0, err[-2000:]
+    return errs
+
+
+@pytest.fixture(scope="module")
+def pe_world(tmp_path_factory):
+    tmp = tmp_path_factory.mktemp("mp_pe")
+    rng = np.random.default_rng(51)
+    txps = random_transcriptome(rng, n_txps=5, min_len=200, max_len=320)
+    fa = write_fasta(str(tmp / "txome.fa"), txps)
+    comp = bytes.maketrans(b"ACGT", b"TGCA")
+    L, FRAG = 36, 120
+    p1s, p2s = [], []
+    for i in range(64):
+        t = int(rng.integers(0, len(txps)))
+        seq = txps[t][1]
+        a = int(rng.integers(0, len(seq) - FRAG))
+        p1s.append((f"p{i}", seq[a : a + L]))
+        p2s.append((f"p{i}", seq[a + FRAG - L : a + FRAG].translate(comp)[::-1]))
+    f1 = write_fastq(str(tmp / "r1.fq"), p1s)
+    f2 = write_fastq(str(tmp / "r2.fq"), p2s)
+    idx = str(tmp / "idx")
+    r = subprocess.run(
+        [sys.executable, "-m", "rapmap_tpu.cli", "quasiindex", "-t", fa,
+         "-i", idx, "-k", "11"],
+        capture_output=True, text=True, env=ENV, cwd="/root/repo", timeout=300,
+    )
+    assert r.returncode == 0, r.stderr
+    return tmp, idx, f1, f2
+
+
+def test_pe_world4_matches_single(pe_world):
+    tmp, idx, f1, f2 = pe_world
+    base = ["quasimap", "-i", idx, "-1", f1, "-2", f2, "--batchSize", "8"]
+    single = str(tmp / "single_pe.sam")
+    r = subprocess.run(
+        [sys.executable, "-m", "rapmap_tpu.cli", *base, "-o", single,
+         "--statsJson", str(tmp / "single_pe.json")],
+        capture_output=True, text=True, env=ENV, cwd="/root/repo", timeout=560,
+    )
+    assert r.returncode == 0, r.stderr
+
+    world = 4
+    multi = str(tmp / "multi_pe.sam")
+    errs = _run_world(base, multi, tmp, world)
+    shards = []
+    for rank in range(world):
+        recs = _records(multi + f".{rank:04d}")
+        assert recs, f"rank {rank} produced no records"
+        shards += recs
+    assert sorted(shards) == _records(single)
+    single_stats = json.load(open(tmp / "single_pe.json"))
+    for rank in range(world):
+        stats = json.load(open(tmp / f"w{world}r{rank}.json"))
+        for key in ("reads_total", "reads_mapped", "records"):
+            assert stats[key] == single_stats[key], (key, rank, errs[rank][-500:])
+
+
+def test_rank_failure_resume_union_exact(tmp_path):
+    """Kill-and-recover: rank 1's output is reset to a crash state (its
+    progress after only its first batch); re-running the whole world with
+    --resume completes exactly — per-rank resume is local, no rank re-emits
+    or loses records."""
+    rng = np.random.default_rng(52)
+    txps = random_transcriptome(rng, n_txps=4, min_len=150, max_len=260)
+    fa = write_fasta(str(tmp_path / "txome.fa"), txps)
+    reads = sample_reads(rng, txps, 48, read_len=36, error_rate=0.02)
+    fq = write_fastq(str(tmp_path / "reads.fq"), reads)
+    idx = str(tmp_path / "idx")
+    r = subprocess.run(
+        [sys.executable, "-m", "rapmap_tpu.cli", "quasiindex", "-t", fa,
+         "-i", idx, "-k", "11"],
+        capture_output=True, text=True, env=ENV, cwd="/root/repo", timeout=300,
+    )
+    assert r.returncode == 0, r.stderr
+    base = ["quasimap", "-i", idx, "-r", fq, "--batchSize", "8"]
+
+    single = str(tmp_path / "single.sam")
+    r = subprocess.run(
+        [sys.executable, "-m", "rapmap_tpu.cli", *base, "-o", single],
+        capture_output=True, text=True, env=ENV, cwd="/root/repo", timeout=560,
+    )
+    assert r.returncode == 0, r.stderr
+
+    # crash state: run the 2-rank world on the 16-read PREFIX — batch
+    # boundaries align with the full run, so rank 1's shard + progress are
+    # byte-identical to a crash right after its first batch (batch 1)
+    out = str(tmp_path / "multi.sam")
+    fq16 = write_fastq(str(tmp_path / "r16.fq"), reads[:16])
+    base16 = ["quasimap", "-i", idx, "-r", fq16, "--batchSize", "8"]
+    _run_world(base16, out, tmp_path, 2)
+    crashed_shard = out + ".0001"
+    crashed_bytes = os.path.getsize(crashed_shard)
+    with open(crashed_shard, "a") as f:
+        f.write("TRUNCATED MID-RECORD GARBAG")  # partial batch tail
+    # rank 0's prefix state stays too — resume must also complete IT
+
+    # full-world restart with --resume
+    _run_world(base, out, tmp_path, 2, extra=("--resume",))
+    recs = _records(out + ".0000") + _records(out + ".0001")
+    assert sorted(recs) == _records(single)
+    # the crashed rank kept its pre-crash bytes (no re-emission)
+    with open(crashed_shard) as f:
+        head = f.read(crashed_bytes)
+    assert "GARBAG" not in head and "TRUNCATED" not in open(crashed_shard).read()
