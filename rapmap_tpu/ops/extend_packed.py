@@ -31,6 +31,11 @@ from rapmap_tpu.ops.gather import flat_gather, row_gather
 U32 = np.uint32
 FULL = np.uint32(0xFFFFFFFF)
 
+# minimum lane-stack width for the staged (compact-the-unconverged) bound
+# search; below this the bookkeeping costs more than the tail trips save.
+# Tests monkeypatch this down to force the staged path on small worlds.
+_STAGE_MIN_WIDTH = 1024
+
 
 def pack_reads(reads: jnp.ndarray) -> jnp.ndarray:
     """(R, L) int8 codes -> (R, L) uint32: word of 16 bases starting at each
@@ -154,25 +159,102 @@ def _bound_stacked(didx, qwords, qlen, b, e, upper, W: int, steps: int):
     trip count tracks the widest interval realized in this batch, not the
     static worst case `steps` (which only bounds it) — on indexes where most
     k-mers are near-unique the loop ends after 1-2 trips instead of
-    log2(max_interval)."""
+    log2(max_interval).
+
+    Repetitive-regime staging: the lockstep loop pays batch-MAX trips at FULL
+    gather width, but on an isoform-class index most lanes converge in ~3
+    trips (interval widths p50 ~4) while the p99 tail (width <= ~18) holds
+    the loop open for ~6. After PRE trips the unconverged lanes — measured
+    ~a few % — compact to width/4 and finish there, cutting the tail trips'
+    gather width 4x. Per-lane searches are independent, so compaction is
+    bit-identical; if unconverged lanes exceed the quarter-width budget the
+    loop continues at full width, identically to the unstaged form."""
     n_sa = (didx.sa_cmp if didx.sa_cmp is not None else didx.sa_ext).shape[0]
 
-    def cond(iv):
-        lo, hi = iv
-        return jnp.any(lo < hi)
+    def mk_step(qw, ql, up):
+        def step2(lo, hi):
+            mid = (lo + hi) >> 1
+            cmp, _ = suffix_cmp(didx, qw, ql, jnp.clip(mid, 0, n_sa - 1), W)
+            less = (cmp < 0) | (up & (cmp == 0))
+            cont = lo < hi
+            lo2 = jnp.where(less, mid + 1, lo)
+            hi2 = jnp.where(less, hi, mid)
+            return (jnp.where(cont, lo2, lo), jnp.where(cont, hi2, hi))
 
-    def step(iv):
-        lo, hi = iv
-        mid = (lo + hi) >> 1
-        cmp, _ = suffix_cmp(didx, qwords, qlen, jnp.clip(mid, 0, n_sa - 1), W)
-        less = (cmp < 0) | (upper & (cmp == 0))
-        cont = lo < hi
-        lo2 = jnp.where(less, mid + 1, lo)
-        hi2 = jnp.where(less, hi, mid)
-        return (jnp.where(cont, lo2, lo), jnp.where(cont, hi2, hi))
+        return step2
 
-    lo_f, _ = lax.while_loop(cond, step, (b, e))
-    return lo_f
+    step_full = mk_step(qwords, qlen, upper)
+    Rw = int(b.shape[0])
+
+    if Rw < _STAGE_MIN_WIDTH:
+        # small widths (tests, host staging): plain early-exit loop — the
+        # compaction bookkeeping would cost more than the tail trips save
+        def cond(iv):
+            return jnp.any(iv[0] < iv[1])
+
+        def body(iv):
+            return step_full(*iv)
+
+        lo_f, _ = lax.while_loop(cond, body, (b, e))
+        return lo_f
+
+    PRE = 3                      # resolves interval widths <= 4 (p50 regime)
+    WC = max(1, Rw // 4)
+    z = qlen[0] * 0              # traced int32 zero (no device constants)
+
+    def condA(iv):
+        lo, hi, t = iv
+        return jnp.any(lo < hi) & (t < PRE)
+
+    def bodyA(iv):
+        lo, hi, t = iv
+        lo2, hi2 = step_full(lo, hi)
+        return lo2, hi2, t + 1
+
+    lo1, hi1, _ = lax.while_loop(condA, bodyA, (b, e, z))
+    un = lo1 < hi1
+    nu = jnp.sum(un.astype(jnp.int32))
+
+    def full_tail():
+        def cond(iv):
+            return jnp.any(iv[0] < iv[1])
+
+        def body(iv):
+            return step_full(*iv)
+
+        lo_f, _ = lax.while_loop(cond, body, (lo1, hi1))
+        return lo_f
+
+    def narrow_tail():
+        ia = jnp.cumsum(un.astype(jnp.int32)) - 1
+        dest = jnp.where(un, ia, Rw)
+        sel = (
+            jnp.broadcast_to(z, (Rw + 1,))
+            .at[dest].set(np.arange(Rw, dtype=np.int32) + z)[:WC]
+        )
+        live = (np.arange(WC, dtype=np.int32) + z) < nu
+        selc = jnp.where(live, sel, 0)
+        qw_c = [flat_gather(q, selc) for q in qwords]
+        ql_c = flat_gather(qlen, selc)
+        up_c = flat_gather(upper.astype(jnp.int32), selc) > 0
+        lo_c = jnp.where(live, flat_gather(lo1, selc), 0)
+        hi_c = jnp.where(live, flat_gather(hi1, selc), 0)
+        stepC = mk_step(qw_c, ql_c, up_c)
+
+        def cond(iv):
+            return jnp.any(iv[0] < iv[1])
+
+        def body(iv):
+            return stepC(*iv)
+
+        lo_cf, _ = lax.while_loop(cond, body, (lo_c, hi_c))
+        selw = jnp.where(live, selc, np.int32(Rw))
+        return (
+            jnp.concatenate([lo1, z[None]])
+            .at[selw].set(jnp.where(live, lo_cf, 0), mode="drop")[:Rw]
+        )
+
+    return lax.cond(nu <= np.int32(WC), narrow_tail, full_tail)
 
 
 def extend_packed(

@@ -112,3 +112,27 @@ def test_keys_from_packed_equal_charwise(k):
     m = np.asarray(v0)
     assert np.array_equal(np.asarray(hi0)[m], np.asarray(hi1)[m])
     assert np.array_equal(np.asarray(lo0)[m], np.asarray(lo1)[m])
+
+
+def test_staged_bound_search_matches_unstaged(tmp_path, monkeypatch):
+    """The width-compacted (staged) bound search is bit-identical to the
+    plain early-exit loop: force the staged path onto a small repetitive
+    world (wide intervals keep lanes unconverged past PRE trips so the
+    quarter-width tail actually runs) and compare whole scan outputs."""
+    import rapmap_tpu.ops.extend_packed as ep
+
+    rng = np.random.default_rng(79)
+    idx, txps = toy_index(
+        tmp_path, rng, n_txps=12, min_len=150, max_len=320, k=11,
+        shared_prefix=60,
+    )
+    reads = sample_reads(rng, txps, 64, read_len=52, error_rate=0.03, n_frac=0.02)
+    L = 52
+    codes, lens = batch_of([r[1] for r in reads], L)
+    cfg = parity_cfg(idx, L)
+
+    out_plain, _ = QuasiMapper(idx, cfg).map_se(codes, lens)
+    monkeypatch.setattr(ep, "_STAGE_MIN_WIDTH", 1)
+    out_staged, _ = QuasiMapper(idx, cfg).map_se(codes, lens)
+    for f in ("t", "pos", "strand", "score", "n_mappings", "mapped"):
+        assert np.array_equal(getattr(out_plain, f), getattr(out_staged, f)), f
