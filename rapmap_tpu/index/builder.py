@@ -119,17 +119,56 @@ def build_quasi_index(
     text, n_text, names, offsets, lens = concat_transcriptome(fasta_path, seed, dedup)
     log.info("concat %d transcripts, %d bases (%.1fs)", len(names), n_text, time.time() - t0)
     t0 = time.time()
-    sa = _build_sa(text, n_text)
+    # SA-IS runs in a worker thread (the native call releases the GIL) while
+    # the main thread packs the text — the pack only needs `text` and the
+    # single-threaded SA build leaves cores idle otherwise
+    import threading
+
+    sa_box: dict = {}
+
+    def _sa_job():
+        try:
+            sa_box["sa"] = _build_sa(text, n_text)
+        except BaseException as exc:  # re-raised at join
+            sa_box["exc"] = exc
+
+    th_sa = threading.Thread(target=_sa_job, name="tqm-sa")
+    th_sa.start()
+    text2b, smask2b = pack_text_2bit(text)  # one pack serves scan + device text
+    th_sa.join()
+    if "exc" in sa_box:
+        raise sa_box["exc"]
+    sa = sa_box["sa"]
     if big_sa:
         sa = sa.astype(np.int64)
-    log.info("suffix array built (%.1fs)", time.time() - t0)
+    log.info("suffix array + text pack built (%.1fs, overlapped)", time.time() - t0)
     t0 = time.time()
-    text2b, smask2b = pack_text_2bit(text)  # one pack serves scan + device text
     khi, klo, kb, ke = build_kmer_table(
         text[:n_text], sa, k, packed_smask=(text2b, smask2b)
     )
     log.info("k-mer table: %d distinct %d-mers (%.1fs)", len(kb), k, time.time() - t0)
     t0 = time.time()
+    # canonical-class CHD perfect hash (BooPHF role): the device resolves
+    # BOTH strands of a window with one 2-gather probe (ops/lookup.py).
+    # It only needs the k-mer keys, so it runs in a worker thread (native,
+    # internally OpenMP) overlapped with the derived-array stage below.
+    from rapmap_tpu.index.chd import build_canonical_chd
+
+    chd_box: dict = {}
+    th_chd = None
+    if with_chd:
+
+        def _chd_job():
+            try:
+                chd_box["chd"] = build_canonical_chd(khi, klo, k, seed0=seed + 1)
+            except BaseException as exc:
+                chd_box["exc"] = exc
+
+        th_chd = threading.Thread(target=_chd_job, name="tqm-chd")
+        th_chd.start()
+    elif require_chd:
+        raise ValueError("require_chd and with_chd=False are incompatible")
+
     if prefix_bases is None:
         # aim for ~1 entry/bucket: p ~ log4(#kmers)+1, capped to keep the LUT
         # small relative to the table (4^p ints <= ~2x entries), and <= 12
@@ -145,23 +184,23 @@ def build_quasi_index(
     else:
         sa_tpos = (sa_np - offsets[sa_txp]).astype(np.int32)
     log.info("lut/pack/sa_txp derived (%.1fs)", time.time() - t0)
-    # canonical-class CHD perfect hash (BooPHF role): the device resolves
-    # BOTH strands of a window with one 2-gather probe (ops/lookup.py)
     t0 = time.time()
-    from rapmap_tpu.index.chd import build_canonical_chd
-
-    if with_chd:
-        chd = build_canonical_chd(khi, klo, k, seed0=seed + 1)
+    if th_chd is not None:
+        th_chd.join()
+        if "exc" in chd_box:
+            raise chd_box["exc"]
+        chd = chd_box.get("chd")
     else:
-        if require_chd:
-            raise ValueError("require_chd and with_chd=False are incompatible")
         chd = None
     meta = {}
     chd_dir = chd_perm = chd_cls = None
     if chd is not None:
         chd_dir, chd_perm, chd_cls = chd["dir"], chd["perm"], chd["cls"]
         meta["chd"] = {k_: chd[k_] for k_ in ("seed", "m_bits", "t_bits", "p_bits", "canonical")}
-        log.info("canonical CHD perfect hash built (%.1fs)", time.time() - t0)
+        log.info(
+            "canonical CHD perfect hash built (overlapped; %.1fs beyond the "
+            "derived stage)", time.time() - t0,
+        )
     elif require_chd:
         raise RuntimeError(
             "--perfectHash: CHD perfect hash construction failed for this "
