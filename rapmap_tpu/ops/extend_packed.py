@@ -254,7 +254,13 @@ def _bound_stacked(didx, qwords, qlen, b, e, upper, W: int, steps: int):
             .at[selw].set(jnp.where(live, lo_cf, 0), mode="drop")[:Rw]
         )
 
-    return lax.cond(nu <= np.int32(WC), narrow_tail, full_tail)
+    # near-unique regimes converge entirely within PRE trips — skip the
+    # compaction bookkeeping outright there
+    return lax.cond(
+        nu == 0,
+        lambda: lo1,
+        lambda: lax.cond(nu <= np.int32(WC), narrow_tail, full_tail),
+    )
 
 
 def extend_packed(
