@@ -137,11 +137,11 @@ def build_isoform_world():
     return idx, np.load(reads_npz)["codes"]
 
 
-def build_pe_reads(idx):
-    """Mate pairs from ~250 bp fragments of the bench txome: mate1 = fragment
+def build_pe_reads(idx, tag: str = "pe_v1"):
+    """Mate pairs from ~250 bp fragments of the given txome: mate1 = fragment
     start (fwd), mate2 = rc of the fragment end — the reference's standard
-    inward-facing library orientation."""
-    pe_npz = os.path.join(CACHE, "reads_pe_v1.npz")
+    inward-facing library orientation. `tag` keys the read cache per world."""
+    pe_npz = os.path.join(CACHE, f"reads_{tag}.npz")
     if not os.path.exists(pe_npz):
         rng = np.random.default_rng(2)
         text = np.asarray(idx.text[: idx.n_text])
@@ -262,8 +262,7 @@ def run_bench(batch: int, pe: bool = False, isoform: bool = False,
     BATCH = batch
     lens = np.full(BATCH, READ_LEN, dtype=np.int32)
     if pe:
-        assert not isoform, "PE isoform bench not wired; run one mode at a time"
-        c1, c2 = build_pe_reads(idx)
+        c1, c2 = build_pe_reads(idx, tag="pe_iso_v1" if isoform else "pe_v1")
         submit = lambda lo: mapper.map_pe_async(
             c1[lo : lo + BATCH], lens, c2[lo : lo + BATCH], lens
         )
