@@ -65,15 +65,21 @@ def main():
     ap.add_argument("--workdir", default="/tmp/tqm_genome")
     ap.add_argument("--allow-small", action="store_true",
                     help="smoke mode: skip the >= 2^31 size assertions")
+    ap.add_argument("--save-index", action="store_true",
+                    help="save the built index under workdir/idx (~90 GB on "
+                         "disk) so a mapping-phase retry — e.g. after a TPU "
+                         "tunnel outage — skips the ~45 min rebuild")
     args = ap.parse_args()
 
     from rapmap_tpu.config import MapConfig
     from rapmap_tpu.index.builder import build_quasi_index
+    from rapmap_tpu.index.format import load_index, save_index
     from rapmap_tpu.oracle import quasimap as qm
     from rapmap_tpu.parallel.staged import StagedMapper
 
     os.makedirs(args.workdir, exist_ok=True)
     fa = os.path.join(args.workdir, "genome.fa")
+    idx_dir = os.path.join(args.workdir, "idx")
     target = int(args.gbase * 1e9)
     assert args.allow_small or target >= 2**31, (
         "this demo exists to exercise the >= 2^31 regime"
@@ -85,8 +91,16 @@ def main():
         log(f"fasta: {n_seq} seqs, {total/1e9:.2f} Gbase ({time.time()-t0:.0f}s)")
 
     t0 = time.time()
-    idx = build_quasi_index(fa, k=31, with_chd=False)
-    t_build = time.time() - t0
+    if os.path.exists(os.path.join(idx_dir, "header.json")):
+        idx = load_index(idx_dir, mmap=True)
+        t_build = time.time() - t0
+        log(f"index loaded from {idx_dir} ({t_build:.0f}s, mmap)")
+    else:
+        idx = build_quasi_index(
+            fa, outdir=idx_dir if args.save_index else None, k=31,
+            with_chd=False,
+        )
+        t_build = time.time() - t0
     n_text = idx.n_text
     sa_dtype = np.asarray(idx.sa).dtype
     log(f"index built: n_text={n_text:,} ({n_text/2**31:.2f} x 2^31), "
