@@ -185,6 +185,20 @@ def build_quasi_index(
         sa_tpos = (sa_np - offsets[sa_txp]).astype(np.int32)
     log.info("lut/pack/sa_txp derived (%.1fs)", time.time() - t0)
     t0 = time.time()
+    pre_hashes: dict = {}
+    if outdir and th_chd is not None:
+        # stream the big non-CHD arrays to disk while the CHD displacement
+        # search finishes; save_index below skips the already-written names
+        from rapmap_tpu.index.format import save_arrays
+
+        pre_hashes = save_arrays(outdir, {
+            "text": text, "text2b": text2b, "sa": sa, "sa_txp": sa_txp,
+            "sa_tpos": sa_tpos, "kmer_hi": khi, "kmer_lo": klo,
+            "kmer_b": kb, "kmer_e": ke, "prefix_lut": lut,
+            "txp_offsets": offsets, "txp_lens": lens,
+        })
+        log.info("non-CHD arrays saved under the CHD join (%.1fs)", time.time() - t0)
+        t0 = time.time()
     if th_chd is not None:
         th_chd.join()
         if "exc" in chd_box:
@@ -216,7 +230,7 @@ def build_quasi_index(
         chd_dir=chd_dir, chd_perm=chd_perm, chd_cls=chd_cls, meta=meta,
     )
     if outdir:
-        save_index(idx, outdir)
+        save_index(idx, outdir, pre_hashes=pre_hashes)
         log.info("index written to %s", outdir)
     return idx
 

@@ -94,7 +94,19 @@ _QUASI_OPTIONAL = ["chd_dir", "chd_perm", "chd_cls"]
 _PSEUDO_OPTIONAL = ["chd_dir", "chd_perm", "chd_cls"]
 
 
-def save_index(idx, outdir: str) -> None:
+def save_arrays(outdir: str, arrays: dict) -> dict:
+    """Write named arrays as .npy + return their content hashes. Lets the
+    builder stream the big non-CHD arrays to disk while the CHD displacement
+    search finishes (save_index then skips the already-written names)."""
+    os.makedirs(outdir, exist_ok=True)
+    hashes = {}
+    for name, arr in arrays.items():
+        np.save(os.path.join(outdir, f"{name}.npy"), arr)
+        hashes[name] = _sha(arr)
+    return hashes
+
+
+def save_index(idx, outdir: str, pre_hashes: dict | None = None) -> None:
     os.makedirs(outdir, exist_ok=True)
     is_quasi = isinstance(idx, QuasiIndex)
     names = list(_QUASI_ARRAYS) if is_quasi else list(_PSEUDO_ARRAYS)
@@ -102,6 +114,9 @@ def save_index(idx, outdir: str) -> None:
     names += [n for n in opt if getattr(idx, n, None) is not None]
     hashes = {}
     for name in names:
+        if pre_hashes and name in pre_hashes:
+            hashes[name] = pre_hashes[name]
+            continue
         arr = getattr(idx, name)
         np.save(os.path.join(outdir, f"{name}.npy"), arr)
         hashes[name] = _sha(arr)
