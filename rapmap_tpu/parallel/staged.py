@@ -36,6 +36,37 @@ from rapmap_tpu.index.format import QuasiIndex
 from rapmap_tpu.ops.device_index import DeviceQuasiIndex, EngineStatic, sa_cmp_rows
 
 
+# Max bytes per single host->device transfer when staging a shard. Both TPU
+# tunnel outages this round began at the staged mapper's FIRST device call
+# with ~4.4 GB single-array uploads pending, while the 0.2 GB-per-array smoke
+# run sailed through — multi-GB messages are the prime wedge suspect on the
+# relay, so big arrays upload as row-sliced device_puts stitched by one
+# on-device concatenate (peak device overhead: one extra copy of the array).
+# Tunable via TQM_STAGED_XFER_MB; tests force it tiny to cover the path.
+import os as _os
+
+_MAX_XFER = int(_os.environ.get("TQM_STAGED_XFER_MB", "256")) << 20
+
+
+def _chunked_upload(arr: np.ndarray):
+    import jax
+    import jax.numpy as jnp
+
+    a = np.asarray(arr)
+    if a.ndim == 0 or a.nbytes <= _MAX_XFER or a.shape[0] <= 1:
+        return jnp.asarray(a)
+    row_b = max(1, a.nbytes // a.shape[0])
+    step = max(1, _MAX_XFER // row_b)
+    parts = []
+    for i in range(0, a.shape[0], step):
+        p = jax.device_put(np.ascontiguousarray(a[i : i + step]))
+        jax.block_until_ready(p)
+        parts.append(p)
+    out = jnp.concatenate(parts, axis=0)
+    jax.block_until_ready(out)
+    return out
+
+
 class StagedGeometry(NamedTuple):
     row_cuts: list[int]   # k-mer table row ranges per shard
     slot_cuts: list[int]  # SA slot ranges per shard (prefix-aligned)
@@ -339,7 +370,7 @@ class StagedMapper:
             t0 = _time.time()
             didx_np, st, s0 = shard_device_arrays(self.idx, self.geo, p)
             t1 = _time.time()
-            didx = jax.tree.map(jnp.asarray, didx_np)
+            didx = jax.tree.map(_chunked_upload, didx_np)
             jax.block_until_ready(didx)
             del didx_np
             t2 = _time.time()

@@ -41,3 +41,23 @@ def test_staged_read_len_cap(tmp_path):
     idx = build_quasi_index(fa, k=11)
     with pytest.raises(ValueError, match="sa_cmp"):
         StagedMapper(idx, MapConfig(k=11), n_shards=2, read_len=120, batch=4)
+
+
+def test_staged_chunked_upload_parity(tmp_path, monkeypatch):
+    """Row-sliced shard uploads (relay-friendly multi-part transfers) are
+    result-identical to whole-array uploads: force a tiny per-transfer cap
+    so every shard array goes up in many pieces."""
+    import rapmap_tpu.parallel.staged as stg
+
+    rng = np.random.default_rng(33)
+    txps = random_transcriptome(rng, n_txps=5, min_len=150, max_len=240)
+    fa = write_fasta(str(tmp_path / "c.fa"), txps)
+    idx = build_quasi_index(fa, k=11)
+    L = 40
+    reads = [r[1] for r in sample_reads(rng, txps, 24, read_len=L, error_rate=0.02)]
+    codes, lens = batch_of(reads, L)
+    cfg = MapConfig(k=idx.k, max_hits_per_strand=16, expand_budget=256, max_out=64)
+    whole, _ = StagedMapper(idx, cfg, n_shards=2, read_len=L, batch=len(reads)).map_batches([codes])
+    monkeypatch.setattr(stg, "_MAX_XFER", 4096)
+    parts, _ = StagedMapper(idx, cfg, n_shards=2, read_len=L, batch=len(reads)).map_batches([codes])
+    assert whole == parts
