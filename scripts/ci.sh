@@ -22,16 +22,7 @@ else
 fi
 
 echo "== test pyramid =="
-# xdist workers can abort (XLA:CPU allocator SIGABRT) when a co-resident
-# process holds most of the host RAM (e.g. a genome-scale build); fall back
-# to a serial run under memory pressure — slower but stable
-AVAIL_KB=$(awk '/MemAvailable/{print $2}' /proc/meminfo)
-if [ "${AVAIL_KB:-0}" -lt 50000000 ]; then
-  echo "low available memory ($((AVAIL_KB / 1024 / 1024)) GB): running serially"
-  python -m pytest tests/ -q -x -n 0
-else
-  python -m pytest tests/ -q -x
-fi
+python -m pytest tests/ -q -x
 
 echo "== CLI smoke =="
 TMP=$(mktemp -d)
