@@ -1,6 +1,16 @@
 """Benchmark: quasi-mapping reads/s on one chip.
 
-Prints ONE JSON line {"metric", "value", "unit", "vs_baseline"}.
+Prints ONE JSON line. Headline fields {"metric", "value", "unit",
+"vs_baseline"} stay the uniform-SE quasimap median for cross-round
+continuity; the same line now carries (VERDICT r3 item 4, machine-honest
+benching):
+  "rows":    per-regime medians — uniform_se, isoform_se (PRIMARY: the
+             realistic multimapping regime), pe, pseudo — each median-of-5
+             with min/max/spread and the compile+first-batch cost
+  "canary":  a PINNED tiny program (HBM random-gather probe, the engine's
+             bottleneck op) with its recorded healthy range, so a sick
+             tunnel/compile-server day is a field, not a prose caveat
+  "primary_row": "isoform_se"
 
 Baseline note (BASELINE.md): the reference binary could not be built this round
 (/root/reference has been an empty mount), so vs_baseline is computed against a
@@ -197,6 +207,50 @@ def build_pseudo_world():
     return load_index(pidx_dir), codes
 
 
+# Canary healthy range (ns per random gather index, 4M int32x8-row gathers
+# incl. one dispatch): the engine is transaction-bound at ~13-15 ns/index on a
+# healthy chip+tunnel (BASELINE.md gather economics); round-3's sick sessions
+# measured the same code ~30% slower. Outside this range, treat the day's
+# absolute numbers as tunnel-degraded and compare map rates / other rows.
+CANARY_HEALTHY_NS = (9.0, 22.0)
+
+
+def run_canary() -> dict:
+    """Frozen micro-program: one jitted 4M-index random gather over a 128 MB
+    HBM table (the probe/walk bottleneck op). Median-of-5, compile excluded."""
+    import jax
+    import jax.numpy as jnp
+
+    t0 = time.time()
+    rows = 1 << 22
+    tab = jnp.asarray(np.arange(rows * 8, dtype=np.int32).reshape(rows, 8))
+    ix = jnp.asarray(
+        np.random.default_rng(9).integers(0, rows, size=1 << 22).astype(np.int32)
+    )
+
+    @jax.jit
+    def g(t, i):
+        return jnp.take(t, i, axis=0).sum(dtype=jnp.int32)
+
+    g(tab, ix).block_until_ready()
+    compile_s = time.time() - t0
+    reps = []
+    for _ in range(5):
+        t0 = time.time()
+        g(tab, ix).block_until_ready()
+        reps.append(time.time() - t0)
+    reps.sort()
+    ns = reps[2] / ix.shape[0] * 1e9
+    return {
+        "gather_ns": round(ns, 2),
+        "healthy_range": list(CANARY_HEALTHY_NS),
+        "healthy": CANARY_HEALTHY_NS[0] <= ns <= CANARY_HEALTHY_NS[1],
+        "min_ns": round(reps[0] / ix.shape[0] * 1e9, 2),
+        "max_ns": round(reps[-1] / ix.shape[0] * 1e9, 2),
+        "compile_s": round(compile_s, 1),
+    }
+
+
 def run_bench(batch: int, pe: bool = False, isoform: bool = False,
               pseudo: bool = False) -> dict:
     t_setup = time.time()
@@ -218,7 +272,8 @@ def run_bench(batch: int, pe: bool = False, isoform: bool = False,
         print(f"# setup {time.time()-t_setup:.1f}s", file=sys.stderr)
         t0 = time.time()
         wr = mapper.fetch(submit(0))
-        print(f"# compile+first batch {time.time()-t0:.1f}s; "
+        compile_s = time.time() - t0
+        print(f"# compile+first batch {compile_s:.1f}s; "
               f"mapped {wr.counters['reads_mapped']}/{BATCH}", file=sys.stderr)
         from collections import deque
 
@@ -245,6 +300,8 @@ def run_bench(batch: int, pe: bool = False, isoform: bool = False,
             "value": round(total / dt, 1),
             "unit": "reads/s",
             "vs_baseline": round(total / dt / PROVISIONAL_BASELINE_READS_PER_S, 3),
+            "map_rate_pct": round(100.0 * mapped / total, 2),
+            "compile_s": round(compile_s, 1),
         }
     if isoform:
         idx, codes = build_isoform_world()
@@ -275,7 +332,8 @@ def run_bench(batch: int, pe: bool = False, isoform: bool = False,
     # warmup / compile
     t0 = time.time()
     wr = mapper.fetch(submit(0))
-    print(f"# compile+first batch {time.time()-t0:.1f}s; "
+    compile_s = time.time() - t0
+    print(f"# compile+first batch {compile_s:.1f}s; "
           f"mapped {wr.counters['reads_mapped']}/{BATCH}", file=sys.stderr)
 
     # production pipeline: DEPTH batches in flight so device compute and both
@@ -333,30 +391,18 @@ def run_bench(batch: int, pe: bool = False, isoform: bool = False,
         "min": round(rates[0], 1),
         "max": round(rates[-1], 1),
         "spread_pct": round(100.0 * (rates[-1] - rates[0]) / rps, 1),
+        "map_rate_pct": round(100.0 * mapped / max(total, 1), 2),
+        "compile_s": round(compile_s, 1),
     }
 
 
-def main() -> None:
-    """Try the fast config in a child process with a compile watchdog (the
-    axon compile server's latency varies 280 s - 20+ min for the same
-    program); fall back to the smaller batch on timeout."""
+def _run_child(mode_flags: list, ladder) -> dict | None:
+    """One regime in a child process with a compile watchdog (the axon
+    compile server's latency varies 280 s - 20+ min for the same program);
+    falls down the batch ladder on timeout/failure. None = all rungs failed."""
     import subprocess
 
-    pe = "--pe" in sys.argv
-    iso = "--isoform" in sys.argv
-    pseudo = "--pseudo" in sys.argv
-    argv = [a for a in sys.argv[1:] if a not in ("--pe", "--isoform", "--pseudo")]
-    if argv:  # child mode: bench.py [--pe|--isoform|--pseudo] <batch>
-        print(json.dumps(run_bench(int(argv[0]), pe=pe, isoform=iso, pseudo=pseudo)))
-        return
-    mode_flags = (
-        (["--pe"] if pe else [])
-        + (["--isoform"] if iso else [])
-        + (["--pseudo"] if pseudo else [])
-    )
-    # measured sweep (BASELINE.md): B=32768 456.8k > B=65536 391-396k >
-    # B=16384 325.6k — lead with the sweet spot; fallbacks shrink compile risk
-    for batch, timeout_s in ((BATCH // 2, 900), (BATCH // 4, 1200), (BATCH // 8, 1800)):
+    for batch, timeout_s in ladder:
         try:
             res = subprocess.run(
                 [sys.executable, os.path.abspath(__file__), *mode_flags, str(batch)],
@@ -365,13 +411,61 @@ def main() -> None:
             sys.stderr.write(res.stderr[-2000:])
             line = [l for l in res.stdout.splitlines() if l.startswith("{")]
             if res.returncode == 0 and line:
-                print(line[-1])
-                return
+                return json.loads(line[-1])
             print(f"# batch {batch} failed rc={res.returncode}", file=sys.stderr)
         except subprocess.TimeoutExpired:
             print(f"# batch {batch} timed out after {timeout_s}s; falling back",
                   file=sys.stderr)
-    raise SystemExit("bench failed at all batch sizes")
+    return None
+
+
+def main() -> None:
+    pe = "--pe" in sys.argv
+    iso = "--isoform" in sys.argv
+    pseudo = "--pseudo" in sys.argv
+    canary_only = "--canary" in sys.argv
+    argv = [a for a in sys.argv[1:]
+            if a not in ("--pe", "--isoform", "--pseudo", "--canary")]
+    if canary_only:  # child mode: frozen health probe
+        print(json.dumps(run_canary()))
+        return
+    if argv:  # child mode: bench.py [--pe|--isoform|--pseudo] <batch>
+        print(json.dumps(run_bench(int(argv[0]), pe=pe, isoform=iso, pseudo=pseudo)))
+        return
+    if pe or iso or pseudo:  # single-regime parent (manual runs)
+        flags = ((["--pe"] if pe else []) + (["--isoform"] if iso else [])
+                 + (["--pseudo"] if pseudo else []))
+        row = _run_child(flags, ((BATCH // 2, 900), (BATCH // 4, 1200), (BATCH // 8, 1800)))
+        if row is None:
+            raise SystemExit("bench failed at all batch sizes")
+        print(json.dumps(row))
+        return
+
+    # ---- full matrix (the driver's default invocation) ----------------------
+    # Canary first: a sick tunnel/compile-server day becomes a recorded field.
+    canary = _run_child(["--canary"], ((0, 600),)) or {"error": "canary failed"}
+    print(f"# canary: {json.dumps(canary)}", file=sys.stderr)
+    # measured sweep (BASELINE.md): B=32768 456.8k > B=65536 391-396k >
+    # B=16384 325.6k — lead with the sweet spot; fallbacks shrink compile risk
+    ladder_main = ((BATCH // 2, 1500), (BATCH // 4, 1500), (BATCH // 8, 1800))
+    ladder_side = ((BATCH // 2, 1500), (BATCH // 8, 1500))
+    rows = {}
+    rows["uniform_se"] = _run_child([], ladder_main)
+    if rows["uniform_se"] is None:
+        raise SystemExit("bench failed at all batch sizes (uniform SE)")
+    for name, flags in (("isoform_se", ["--isoform"]), ("pe", ["--pe"]),
+                        ("pseudo", ["--pseudo"])):
+        row = _run_child(flags, ladder_side)
+        rows[name] = row if row is not None else {"error": "all rungs failed"}
+    head = rows["uniform_se"]
+    out = {
+        "metric": head["metric"], "value": head["value"], "unit": head["unit"],
+        "vs_baseline": head["vs_baseline"],
+        "n_rep": head.get("n_rep"), "min": head.get("min"),
+        "max": head.get("max"), "spread_pct": head.get("spread_pct"),
+        "rows": rows, "canary": canary, "primary_row": "isoform_se",
+    }
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

@@ -75,6 +75,13 @@ def _add_map_flags(p: argparse.ArgumentParser) -> None:
     )
     p.add_argument("--batchSize", type=int, default=4096)
     p.add_argument(
+        "--engine", choices=["auto", "replicated", "staged"], default="auto",
+        help="quasimap device engine: auto picks by index size vs HBM "
+        "(TQM_HBM_GB, default 16) — replicated keeps the whole index "
+        "chip-resident; staged streams genome-scale indexes over the chip "
+        "shard by shard (the reference's invisible bigSA dispatch)",
+    )
+    p.add_argument(
         "--chunkSize", type=int, default=0,
         help="device inner chunk (reads); compile cost scales with this, not "
         "batchSize. 0 = one program over the whole batch",
@@ -167,6 +174,30 @@ def _cfg_from_args(args, k: int) -> MapConfig:
     )
 
 
+def _choose_quasi_engine(args, idx) -> str:
+    """Header/size-driven engine dispatch (upstream:src/RapMapSAMapper.cpp
+    bigSA load-time branch, SURVEY.md §1 L6->L5): the user types the same
+    `tqm quasimap` whether the index fits one chip's HBM (replicated) or is
+    genome-scale (host-staged shard streaming). TQM_HBM_GB overrides the
+    assumed per-chip HBM (tests force it tiny to drive the staged path)."""
+    if args.engine != "auto":
+        return args.engine
+    from rapmap_tpu.ops.device_index import device_bytes_estimate
+
+    n_slots = len(idx.sa)
+    est = device_bytes_estimate(idx)
+    budget = float(os.environ.get("TQM_HBM_GB", "16")) * 2**30 * 0.85
+    if n_slots >= 2**31 or est > budget:
+        log.info(
+            "index needs ~%.2f GB on device (budget %.2f GB%s) -> "
+            "host-staged engine",
+            est / 2**30, budget / 2**30,
+            "" if n_slots < 2**31 else "; >= 2^31 SA slots",
+        )
+        return "staged"
+    return "replicated"
+
+
 def run_map(args, pseudo: bool) -> int:
     import contextlib
     import json
@@ -199,10 +230,31 @@ def run_map(args, pseudo: bool) -> int:
     idx = load_index(args.index)
     cfg = _cfg_from_args(args, idx.k)
     if pseudo:
-        from rapmap_tpu.models.pseudo import PseudoMapper as Mapper
+        if args.engine == "staged":
+            log.error("--engine staged is quasimap-only (pseudo indexes fit "
+                      "HBM or need the sharded mesh engine)")
+            return 1
+        from rapmap_tpu.models.pseudo import PseudoMapper
+
+        mapper = PseudoMapper(idx, cfg)
     else:
-        from rapmap_tpu.models.quasi import QuasiMapper as Mapper
-    mapper = Mapper(idx, cfg)
+        engine = _choose_quasi_engine(args, idx)
+        if engine == "staged":
+            from rapmap_tpu.ops.device_index import SA_CMP_WORDS
+            from rapmap_tpu.parallel.staged import StagedQuasiMapper
+
+            cap = idx.k + 16 * SA_CMP_WORDS
+            if args.maxReadLen > cap:
+                log.info("staged engine caps reads at %d bases (k=%d); "
+                         "longer reads will be refused", cap, idx.k)
+            mapper = StagedQuasiMapper(
+                idx, cfg, batch=args.batchSize,
+                read_len=min(args.maxReadLen, cap),
+            )
+        else:
+            from rapmap_tpu.models.quasi import QuasiMapper
+
+            mapper = QuasiMapper(idx, cfg)
 
     cl = " ".join(sys.argv)
     t0 = time.time()

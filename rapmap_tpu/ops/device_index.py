@@ -149,6 +149,25 @@ def sa_cmp_rows(sa, tend, k: int, t2b: np.ndarray) -> np.ndarray:
     return np.stack(cols, axis=1)
 
 
+def device_bytes_estimate(idx: QuasiIndex) -> int:
+    """HBM footprint the replicated engine's upload_index would need,
+    computed from array SHAPES only (safe on mmap'd genome-scale indexes —
+    no data is read). Drives the CLI's replicated-vs-staged engine dispatch
+    (the reference's invisible bigSA template branch,
+    upstream:src/RapMapSAMapper.cpp load-time dispatch, SURVEY.md §3.2)."""
+    n = len(idx.sa)
+    nw = len(idx.text2b)
+    has_chd = getattr(idx, "chd_dir", None) is not None
+    b = n * (3 + SA_CMP_WORDS) * 4   # sa_cmp fused rows
+    b += n * 16                      # sa_meta (pair rows worst case)
+    b += nw * 16                     # text2q quad rows
+    if has_chd:
+        b += len(idx.chd_dir) * 4 + len(idx.chd_cls) * 24
+    if not has_chd:  # full upload: binary-search tables + sa_ext
+        b += len(idx.kmer_b) * 16 + max(0, len(idx.prefix_lut) - 1) * 8 + n * 12
+    return int(b)
+
+
 def upload_index(
     idx: QuasiIndex, lean: bool = False, meta_pairs: bool = False
 ) -> tuple[DeviceQuasiIndex, EngineStatic]:

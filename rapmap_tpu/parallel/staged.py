@@ -17,7 +17,10 @@ so each shard visits the chip ONCE per read-batch group:
       anchors the reference's serial loop visits (SEMANTICS.md §3).
   stage C (host, numpy): interval expansion via the host-resident
       sa_txp/sa_tpos arrays + the SEMANTICS.md §4 vote (lexsort runs,
-      support, best-per-(read,txp,strand)).
+      support, best-per-(read,txp,strand)), the full flag surface
+      (-c/-f/-s/-z), the SEMANTICS.md §5 pair merge, and the §9 banded
+      alignment score — all against the same oracle the replicated engine
+      answers to (tests/test_staged.py config sweeps).
 
 Anchor-parallel extension does extend windows the walk would skip (the cost
 of single-pass shard residency); the VISITED subset and all results are
@@ -248,19 +251,35 @@ def walk_hits_np(anch, mlen, k: int, S: int, H: int):
     return q, n, trunc
 
 
+def _rc_lanes(codes: np.ndarray, lens: np.ndarray) -> np.ndarray:
+    """Length-aware reverse-complement lanes: row i holds revcomp of
+    codes[i, :lens[i]] left-aligned (0 pad past the length) — per-row
+    index.encode.revcomp_codes, vectorized."""
+    B, L = codes.shape
+    j = lens[:, None].astype(np.int64) - 1 - np.arange(L, dtype=np.int64)[None, :]
+    g = codes[np.arange(B)[:, None], np.clip(j, 0, L - 1)]
+    rc = np.where((g >= 1) & (g <= 4), 5 - g, 5)
+    return np.where(j >= 0, rc, 0).astype(np.int8)
+
+
 def collate_np(q, n, b, e, mlen_at, lens, sa_txp, sa_tpos, cfg: MapConfig):
-    """SEMANTICS.md §4 default-path collation in numpy (host expansion via
-    the full sa_txp/sa_tpos arrays — the staged analog of the sa_meta
-    gathers). Returns per-read lists [(t, tpos, strand, support)] in
-    (t*2+strand, tpos-of-best) order, plus too_ambiguous flags."""
-    if cfg.consistent_hits or cfg.strict_check or cfg.quasi_coverage > 0:
-        raise NotImplementedError(
-            "staged collate covers the default path; use the mesh engine "
-            "(parallel.sharded) for -c/-s/-z at genome scale"
-        )
+    """SEMANTICS.md §4 collation in numpy (host expansion via the full
+    sa_txp/sa_tpos arrays — the staged analog of the sa_meta gathers),
+    covering the FULL flag surface: -z coverage, -c/-f consensus, -s strand
+    curb (oracle.quasimap.collate parity, tested by the staged config
+    sweeps). Returns (per-read lists [(t, tpos, strand, support)] in
+    (t*2+strand) order, too_ambiguous flags)."""
     R, H = q.shape
     B = R // 2
     hv = np.arange(H)[None, :] < n[:, None]
+    if cfg.quasi_coverage > 0.0:
+        # -z: a strand-lane's VISITED MMP lengths must cover >= z * readLen
+        # (oracle: sum(h.length) < z*L drops the strand). Exact f64 compare —
+        # both sides are small-int-valued products, so this matches the
+        # oracle's Python-float comparison bit for bit.
+        cov = np.where(hv, mlen_at, 0).sum(axis=1).astype(np.float64)
+        L2 = np.concatenate([lens, lens]).astype(np.float64)
+        hv &= (cov >= cfg.quasi_coverage * L2)[:, None]
     w = np.where(hv, e - b, 0)
     flat_w = w.reshape(-1)
     tot = int(flat_w.sum())
@@ -290,6 +309,22 @@ def collate_np(q, n, b, e, mlen_at, lens, sa_txp, sa_tpos, cfg: MapConfig):
     wr, wts, wp, wsup = r2[grp], ts2[grp], p2[grp], s2[grp]
     ordw = np.lexsort((wts, wr))  # read-major, ts order (device/oracle order)
     wr, wts, wp, wsup = wr[ordw], wts[ordw], wp[ordw], wsup[ordw]
+    keep = np.ones(len(wr), bool)
+    if cfg.consistent_hits and len(wr):
+        # -c: a mapping survives only with support >= (visited hits on its
+        # strand) - fuzzy (oracle: need = len(hits) - fuzzy)
+        lane = wr + (wts & 1).astype(wr.dtype) * B
+        need = n[lane].astype(np.int64) - (1 if cfg.fuzzy else 0)
+        keep &= wsup.astype(np.int64) >= need
+    if cfg.strict_check and len(wr):
+        # -s: keep only the strand(s) whose best surviving support equals the
+        # read's overall best (oracle collate strand curb)
+        key = (wr * 2 + (wts & 1)).astype(np.int64)
+        smax = np.zeros(2 * B, np.int64)
+        np.maximum.at(smax, key[keep], wsup[keep].astype(np.int64))
+        best = np.maximum(smax[0::2], smax[1::2])
+        keep &= smax[key] == best[wr]
+    wr, wts, wp, wsup = wr[keep], wts[keep], wp[keep], wsup[keep]
     counts = np.bincount(wr, minlength=B)
     too_amb = counts > cfg.max_num_hits
     out = [[] for _ in range(B)]
@@ -297,6 +332,95 @@ def collate_np(q, n, b, e, mlen_at, lens, sa_txp, sa_tpos, cfg: MapConfig):
         if not too_amb[r_]:
             out[r_].append((int(ts_ // 2), int(p_), int(ts_ & 1), int(su)))
     return out, too_amb
+
+
+# ---- host banded alignment scorer (SEMANTICS.md §9, --mappingScore) --------
+# Batched transliteration of ops.align.banded_scores (same closed form:
+# three-state Gotoh over the band, within-row F as an exclusive prefix-max,
+# valid for go >= ge); per-record parity with oracle.align.score_mapping_np
+# is pinned in tests/test_staged.py.
+
+_NEG = -(1 << 20)
+
+
+def _banded_scores_np(rcodes, rlens, wcodes, band, ma, mp, go, ge):
+    N, L = rcodes.shape
+    Wb = 2 * band + 1
+    dge = (np.arange(Wb, dtype=np.int64) * ge)[None, :]
+    H = np.zeros((N, Wb), np.int64)
+    E = np.full((N, Wb), _NEG, np.int64)
+    negc = np.full((N, 1), _NEG, np.int64)
+    for i in range(L):
+        r = rcodes[:, i : i + 1]
+        w = wcodes[:, i : i + Wb]
+        sub = np.where((w == r) & (r <= 3), ma, mp)
+        Hs = np.concatenate([H[:, 1:], negc], axis=1)
+        Es = np.concatenate([E[:, 1:], negc], axis=1)
+        E2 = np.maximum(Hs - go, Es - ge)
+        Hnf = np.maximum(H + sub, E2)
+        a = Hnf + dge
+        p = np.concatenate([negc, a[:, :-1]], axis=1)
+        s = 1
+        while s < Wb:
+            p = np.maximum(
+                p, np.concatenate([np.full((N, s), _NEG, np.int64), p[:, :-s]], axis=1)
+            )
+            s <<= 1
+        F = p - dge - (go - ge)
+        Hn = np.maximum(Hnf, F)
+        act = (i < rlens)[:, None]
+        H = np.where(act, Hn, H)
+        E = np.where(act, E2, E)
+    return H.max(axis=1)
+
+
+def score_mappings_np(idx, cfg: MapConfig, codes, lens, rid, t, pos, strand):
+    """AS:i scores for host-collated records — mirrors ops.align.score_records
+    (window extraction, rc orientation, out-of-transcript masking, the wire
+    clamp) against the host text arrays. -> (N,) int64 in [0, 2^12 - 1]."""
+    from rapmap_tpu.ops.align import SCORE_BITS
+
+    N = len(t)
+    if N == 0:
+        return np.zeros(0, np.int64)
+    band = cfg.align_band
+    L = codes.shape[1]
+    rc = _rc_lanes(codes, lens)
+    rrow = np.where((strand == 1)[:, None], rc[rid], codes[rid]).astype(np.int64)
+    r03 = np.where((rrow >= 1) & (rrow <= 4), rrow - 1, 4)
+    off = np.asarray(idx.txp_offsets, dtype=np.int64)[t]
+    tl = np.asarray(idx.txp_lens, dtype=np.int64)[t]
+    W = L + 2 * band
+    p = (np.asarray(pos, np.int64) - band)[:, None] + np.arange(W, dtype=np.int64)[None, :]
+    g = off[:, None] + np.clip(p, 0, np.maximum(tl - 1, 0)[:, None])
+    text = idx.text
+    w = np.asarray(text[np.clip(g, 0, len(text) - 1)], dtype=np.int64) - 1
+    w = np.where((p >= 0) & (p < tl[:, None]), w, 5)
+    sc = _banded_scores_np(
+        r03, np.asarray(lens, np.int64)[rid], w, band,
+        cfg.align_ma, cfg.align_mp, cfg.align_go, cfg.align_ge,
+    )
+    return np.clip(sc, 0, (1 << SCORE_BITS) - 1)
+
+
+def _score_lists_np(idx, cfg, codes, lens, lists):
+    """Replace each (t, pos, strand, support) record's 4th field with its
+    banded AS score (the replicated wire engine's --mappingScore contract)."""
+    nrec = [len(x) for x in lists]
+    if sum(nrec) == 0:
+        return lists
+    rid = np.repeat(np.arange(len(lists)), nrec)
+    flat = [rec for lst in lists for rec in lst]
+    t = np.array([r[0] for r in flat], np.int64)
+    pos = np.array([r[1] for r in flat], np.int64)
+    strand = np.array([r[2] for r in flat], np.int64)
+    sc = score_mappings_np(idx, cfg, codes, lens, rid, t, pos, strand)
+    out = []
+    i = 0
+    for lst in lists:
+        out.append([(r[0], r[1], r[2], int(sc[i + j])) for j, r in enumerate(lst)])
+        i += len(lst)
+    return out
 
 
 class StagedMapper:
@@ -332,25 +456,23 @@ class StagedMapper:
         )
         self.stage_a = make_stage_a(st_probe, cfg, batch, read_len, self.A_max)
 
-    def map_batches(self, batches: list[np.ndarray]):
-        """batches: list of (C, L) int8 code arrays. Returns (mappings per
-        batch — list of per-read [(t, pos, strand, support)] — and stats)."""
+    # ---- stage A sweep: every shard visits the chip once per group ---------
+
+    def _sweep(self, lane_batches: list[tuple[np.ndarray, np.ndarray]]):
+        """lane_batches: [(codes (C, L), lens (C,)), ...]. Returns per entry
+        the host-unioned dense maps dict(anch, mlen, b, e) plus the
+        anchor-overflow count."""
         import jax
         import jax.numpy as jnp
 
-        from rapmap_tpu.ops import encode as denc
-
         k = self.idx.k
         S = self.L - k + 1
-        C = self.C
-        R = 2 * C
-        lens = np.full(C, self.L, np.int32)
-        lens2_np = np.concatenate([lens, lens])
+        R = 2 * self.C
         lanes_all = []
-        for codes in batches:
-            rc = np.where((codes >= 1) & (codes <= 4), 5 - codes, codes)[:, ::-1]
-            lanes_all.append(np.concatenate([codes, rc.astype(np.int8)], axis=0))
-        # accumulators (int64 b/e carry global slots)
+        lens2_all = []
+        for codes, lens in lane_batches:
+            lanes_all.append(np.concatenate([codes, _rc_lanes(codes, lens)], axis=0))
+            lens2_all.append(jnp.asarray(np.concatenate([lens, lens]).astype(np.int32)))
         acc = [
             dict(
                 anch=np.zeros((R, S), bool),
@@ -358,10 +480,9 @@ class StagedMapper:
                 b=np.zeros((R, S), np.int64),
                 e=np.zeros((R, S), np.int64),
             )
-            for _ in batches
+            for _ in lane_batches
         ]
         overflow = 0
-        lens2 = jnp.asarray(lens2_np)
         import logging
         import time as _time
 
@@ -377,7 +498,7 @@ class StagedMapper:
             t_dev = t_host = 0.0
             for bi, lanes in enumerate(lanes_all):
                 td = _time.time()
-                out = self.stage_a(didx, jnp.asarray(lanes), lens2)
+                out = self.stage_a(didx, jnp.asarray(lanes), lens2_all[bi])
                 jax.block_until_ready(out)
                 anch, mlen, b1, e1, n_anch = jax.tree.map(np.asarray, out)
                 t_dev += _time.time() - td
@@ -396,17 +517,263 @@ class StagedMapper:
                 "shard %d: slice %.1fs upload %.1fs device %.1fs union %.1fs",
                 p, t1 - t0, t2 - t1, t_dev, t_host,
             )
-        results = []
+        return acc, overflow
+
+    def _collate_one(self, a: dict, lens: np.ndarray):
+        """Walk + expand + vote one lane batch -> (lists, too_amb, trunc)."""
+        k = self.idx.k
+        S = self.L - k + 1
+        R = 2 * self.C
         H = self.cfg.max_hits_per_strand
-        for a in acc:
-            q, n, trunc = walk_hits_np(a["anch"], a["mlen"], k, S, H)
-            lanesix = np.arange(R)[:, None]
-            qc = np.clip(q, 0, S - 1)
-            hb = a["b"][lanesix, qc]
-            he = a["e"][lanesix, qc]
-            hm = a["mlen"][lanesix, qc]
-            out, too_amb = collate_np(
-                q, n, hb, he, hm, lens, self.sa_txp, self.sa_tpos, self.cfg
+        q, n, trunc = walk_hits_np(a["anch"], a["mlen"], k, S, H)
+        lanesix = np.arange(R)[:, None]
+        qc = np.clip(q, 0, S - 1)
+        hb = a["b"][lanesix, qc]
+        he = a["e"][lanesix, qc]
+        hm = a["mlen"][lanesix, qc]
+        out, too_amb = collate_np(
+            q, n, hb, he, hm, lens, self.sa_txp, self.sa_tpos, self.cfg
+        )
+        trunc_read = trunc[: self.C] | trunc[self.C :]
+        return out, too_amb, trunc_read
+
+    # ---- public drivers ------------------------------------------------------
+
+    def map_batches(self, batches: list[np.ndarray], lens: list[np.ndarray] | None = None):
+        """batches: list of (C, L) int8 code arrays (lens default: full L).
+        Returns (mappings per batch — list of per-read
+        [(t, pos, strand, support-or-AS)] — and stats)."""
+        items = [
+            ("se", codes, (lens[i] if lens is not None
+                           else np.full(self.C, self.L, np.int32)))
+            for i, codes in enumerate(batches)
+        ]
+        results = self.map_group(items)
+        stats = dict(anchor_overflow=results[-1]["anchor_overflow"]) if results else {}
+        return [r["recs"] for r in results], stats
+
+    def map_group(self, items: list[tuple]):
+        """items: ("se", codes, lens) | ("pe", c1, l1, c2, l2); all code
+        arrays (C, L). One shard sweep serves every mate of every item.
+        Returns per-item dicts:
+          SE: recs (per-read record lists), too_amb, trunc
+          PE: recs (per-read [(t,p1,s1,has1,p2,s2,has2[,sc1,sc2])]),
+              conc, too_amb, trunc
+        plus anchor_overflow on each."""
+        lane_batches = []
+        backref = []  # per item: indices into lane_batches
+        for it in items:
+            if it[0] == "se":
+                backref.append((len(lane_batches),))
+                lane_batches.append((it[1], it[2]))
+            else:
+                backref.append((len(lane_batches), len(lane_batches) + 1))
+                lane_batches.append((it[1], it[2]))
+                lane_batches.append((it[3], it[4]))
+        acc, overflow = self._sweep(lane_batches)
+        results = []
+        for it, refs in zip(items, backref):
+            if it[0] == "se":
+                lists, too_amb, trunc = self._collate_one(acc[refs[0]], it[2])
+                if self.cfg.mapping_score:
+                    lists = _score_lists_np(self.idx, self.cfg, it[1], it[2], lists)
+                results.append(dict(
+                    recs=lists, too_amb=too_amb, trunc=trunc,
+                    anchor_overflow=overflow,
+                ))
+            else:
+                _, c1, l1, c2, l2 = it
+                lists1, _, trunc1 = self._collate_one(acc[refs[0]], l1)
+                lists2, _, trunc2 = self._collate_one(acc[refs[1]], l2)
+                recs, conc, too_amb = self._merge_pe(lists1, lists2)
+                if self.cfg.mapping_score:
+                    recs = self._score_pe(recs, c1, l1, c2, l2)
+                results.append(dict(
+                    recs=recs, conc=conc, too_amb=too_amb,
+                    trunc=trunc1 | trunc2, anchor_overflow=overflow,
+                ))
+        return results
+
+    def _merge_pe(self, lists1, lists2):
+        """SEMANTICS.md §5 pair merge, read by read, via the oracle's own
+        merge (guaranteed parity with the spec)."""
+        from rapmap_tpu.oracle.quasimap import Mapping, merge_pairs
+
+        B = self.C
+        recs = []
+        conc = np.zeros(B, bool)
+        too_amb = np.zeros(B, bool)
+        for r in range(B):
+            left = [Mapping(t, p, s == 0, su) for t, p, s, su in lists1[r]]
+            right = [Mapping(t, p, s == 0, su) for t, p, s, su in lists2[r]]
+            ms, c = merge_pairs(left, right, self.cfg)
+            if len(ms) > self.cfg.max_num_hits:
+                too_amb[r] = True
+                ms, c = [], False
+            conc[r] = c
+            recs.append([
+                (m.txp,
+                 m.pos1 if m.pos1 is not None else 0, 0 if m.fwd1 else 1,
+                 int(m.pos1 is not None),
+                 m.pos2 if m.pos2 is not None else 0, 0 if m.fwd2 else 1,
+                 int(m.pos2 is not None))
+                for m in ms
+            ])
+        return recs, conc, too_amb
+
+    def _score_pe(self, recs, c1, l1, c2, l2):
+        """Append per-mate AS fields to PE rows (absent mate scores 0)."""
+        nrec = [len(x) for x in recs]
+        rid = np.repeat(np.arange(len(recs)), nrec)
+        flat = [row for lst in recs for row in lst]
+        if not flat:
+            return recs
+        t = np.array([r[0] for r in flat], np.int64)
+        sc1 = np.zeros(len(flat), np.int64)
+        sc2 = np.zeros(len(flat), np.int64)
+        for mate, (codes, lens, pcol, scol, hcol, out) in enumerate([
+            (c1, l1, 1, 2, 3, sc1), (c2, l2, 4, 5, 6, sc2)
+        ]):
+            has = np.array([r[hcol] for r in flat], bool)
+            if has.any():
+                pos = np.array([r[pcol] for r in flat], np.int64)[has]
+                strand = np.array([r[scol] for r in flat], np.int64)[has]
+                out[has] = score_mappings_np(
+                    self.idx, self.cfg, codes, lens, rid[has], t[has], pos, strand
+                )
+        out = []
+        i = 0
+        for lst in recs:
+            out.append([
+                row + (int(sc1[i + j]), int(sc2[i + j]))
+                for j, row in enumerate(lst)
+            ])
+            i += len(lst)
+        return out
+
+
+class StagedQuasiMapper:
+    """CLI-facing adapter: QuasiMapper's async interface over the host-staged
+    engine, so `tqm quasimap` maps genome-scale indexes with the SAME command
+    it uses for HBM-resident ones (the reference's invisible bigSA template
+    dispatch, upstream:src/RapMapSAMapper.cpp load-time branch, SURVEY §3.2).
+
+    map_*_async enqueues; the first fetch() of an uncomputed batch maps EVERY
+    queued batch in one shard sweep — with the CLI's depth-D pipeline the
+    index streams over the chip once per D batches, not once per batch."""
+
+    def __init__(self, idx: QuasiIndex, cfg: MapConfig, batch: int,
+                 read_len: int, n_shards: int | None = None):
+        from rapmap_tpu.ops.device_index import SA_CMP_WORDS
+
+        cap = idx.k + 16 * SA_CMP_WORDS
+        if read_len > cap:
+            raise ValueError(
+                f"staged engine caps reads at {cap} bases for k={idx.k} "
+                f"(--maxReadLen {read_len}); pass --maxReadLen <= {cap}"
             )
-            results.append(out)
-        return results, dict(anchor_overflow=overflow)
+        if n_shards is None:
+            per = float(_os.environ.get("TQM_STAGED_SHARD_GB", "2")) * 2**30
+            n = len(idx.sa)
+            dev_bytes = n * (3 + SA_CMP_WORDS) * 4 + len(idx.kmer_b) * 16
+            n_shards = max(1, math.ceil(dev_bytes / per))
+        self.sm = StagedMapper(idx, cfg, n_shards=n_shards,
+                               read_len=read_len, batch=batch)
+        self.cfg = cfg
+        self.host_index = idx
+        self.txp_names = idx.txp_names
+        self.txp_lens = np.asarray(idx.txp_lens)
+        self._pending: dict[int, tuple] = {}
+        self._done: dict[int, object] = {}
+        self._next = 0
+
+    def _pad(self, codes: np.ndarray, lens: np.ndarray):
+        codes = np.asarray(codes, np.int8)
+        lens = np.asarray(lens, np.int32)
+        B, L = codes.shape
+        C, Ls = self.sm.C, self.sm.L
+        if L > Ls:
+            if int(lens.max(initial=0)) > Ls:
+                raise ValueError(
+                    f"read of length {int(lens.max())} exceeds the staged "
+                    f"engine's {Ls}-base cap"
+                )
+            codes = codes[:, :Ls]
+        elif L < Ls:
+            codes = np.pad(codes, ((0, 0), (0, Ls - L)))
+        if B > C:
+            raise ValueError(f"batch of {B} reads exceeds the staged batch size {C}")
+        if B < C:
+            codes = np.pad(codes, ((0, C - B), (0, 0)))
+            lens = np.pad(lens, (0, C - B))
+        return codes, lens
+
+    def map_se_async(self, codes, lens, n_valid: int | None = None):
+        B = codes.shape[0]
+        nv = n_valid if n_valid is not None else B
+        pc, pl = self._pad(codes, lens)
+        h = self._next
+        self._next += 1
+        self._pending[h] = ("se", pc, pl, B, nv)
+        return h
+
+    def map_pe_async(self, c1, l1, c2, l2, n_valid: int | None = None):
+        B = c1.shape[0]
+        nv = n_valid if n_valid is not None else B
+        p1, q1 = self._pad(c1, l1)
+        p2, q2 = self._pad(c2, l2)
+        h = self._next
+        self._next += 1
+        self._pending[h] = ("pe", p1, q1, p2, q2, B, nv)
+        return h
+
+    def _flush(self):
+        from rapmap_tpu.ops.wire import (
+            FLAG_MAPPED, FLAG_OVER_BUDGET, FLAG_TOO_AMBIGUOUS, WireResult,
+        )
+
+        handles = sorted(self._pending)
+        items = []
+        for h in handles:
+            p = self._pending[h]
+            if p[0] == "se":
+                items.append(("se", p[1], p[2]))
+            else:
+                items.append(("pe", p[1], p[2], p[3], p[4]))
+        group = self.sm.map_group(items)
+        for h, res in zip(handles, group):
+            p = self._pending.pop(h)
+            kind, B, nv = p[0], p[-2], p[-1]
+            lists = res["recs"][:B]
+            counts = np.array([len(x) for x in lists], np.int32)
+            width = (4 if kind == "se" else (9 if self.cfg.mapping_score else 7))
+            flat = [row for lst in lists for row in lst]
+            recs = np.array(flat, np.int32).reshape(-1, width)
+            too_amb = res["too_amb"][:B]
+            # anchor overflow (custom anchor_budget only; the default budget
+            # covers the worst case) degrades every read of the group — flag
+            # them all so the host-oracle fallback re-resolves
+            trunc = res["trunc"][:B] | bool(res["anchor_overflow"])
+            flags = (
+                trunc.astype(np.int32) * FLAG_OVER_BUDGET
+                | too_amb.astype(np.int32) * FLAG_TOO_AMBIGUOUS
+                | (counts > 0).astype(np.int32) * FLAG_MAPPED
+            )
+            valid = np.arange(B) < nv
+            counters = dict(
+                reads_total=int(nv),
+                reads_mapped=int(((counts > 0) & valid).sum()),
+                too_ambiguous=int((too_amb & valid).sum()),
+                over_budget=int((trunc & valid).sum()),
+                records=int(counts[valid].sum()),
+                out_truncated=0,
+            )
+            self._done[h] = WireResult(
+                recs=recs, counts=counts, flags=flags,
+                total=int(counts.sum()), overflowed=False, counters=counters,
+            )
+
+    def fetch(self, handle: int):
+        if handle not in self._done:
+            self._flush()
+        return self._done.pop(handle)

@@ -22,7 +22,15 @@ else
 fi
 
 echo "== test pyramid =="
-python -m pytest tests/ -q -x
+# XLA:CPU segfaults a worker process nondeterministically once it has
+# compiled ~140 programs (environment defect — see pytest.ini). A crashed
+# worker marks its in-flight test failed even though it passes isolated, so
+# a red first pass gets ONE serial --last-failed retry in a fresh process;
+# CI is green iff the retry (or the first pass) is green.
+if ! python -m pytest tests/ -q; then
+  echo "== first pass red; retrying last-failed serially (worker-crash guard) =="
+  python -m pytest tests/ -q --last-failed -p no:xdist
+fi
 
 echo "== CLI smoke =="
 TMP=$(mktemp -d)

@@ -55,6 +55,68 @@ def gen_fasta(path: str, target_chars: int, seed: int = 5):
     return i, total
 
 
+def load_or_repair_index(idx_dir: str, fasta_path: str):
+    """Load the saved index; if derivable arrays were dropped (e.g. deleted to
+    free disk after the round-3 save — text/text2b/sa_txp/sa_tpos/offsets are
+    all reconstructible from FASTA + the saved SA), rebuild them in RAM and
+    verify bit-exactness against the header's content hashes before mapping."""
+    from rapmap_tpu.index.format import (
+        _QUASI_ARRAYS, QuasiIndex, _sha, load_header, load_index,
+    )
+
+    header = load_header(idx_dir)
+    missing = [
+        n for n in _QUASI_ARRAYS
+        if not os.path.exists(os.path.join(idx_dir, f"{n}.npy"))
+    ]
+    names_missing = not os.path.exists(os.path.join(idx_dir, "txp_names.txt"))
+    if not missing and not names_missing:
+        return load_index(idx_dir, mmap=True)
+    if "sa" in missing or any(n.startswith("kmer") for n in missing):
+        raise FileNotFoundError(
+            f"index at {idx_dir} is missing non-derivable arrays: {missing}"
+        )
+    log(f"index incomplete (missing {missing}); reconstructing from FASTA + SA")
+    from rapmap_tpu.index.builder import _sa_txp_of, concat_transcriptome
+    from rapmap_tpu.index.kmer_table import pack_text_2bit
+
+    t0 = time.time()
+    text, n_text, names, offsets, lens = concat_transcriptome(
+        fasta_path, seed=header["seed"], dedup=True
+    )
+    assert n_text == header["n_text"], (n_text, header["n_text"])
+    arrays = {"text": text, "txp_offsets": offsets, "txp_lens": lens}
+    log(f"concat reconstructed: {n_text:,} bases ({time.time()-t0:.0f}s)")
+    if "text2b" in missing:
+        arrays["text2b"], _ = pack_text_2bit(text)
+    sa = np.load(os.path.join(idx_dir, "sa.npy"), mmap_mode="r")
+    if "sa_txp" in missing or "sa_tpos" in missing:
+        t0 = time.time()
+        sa_txp = _sa_txp_of(sa, offsets, lens)
+        if np.asarray(sa).dtype == np.int32:
+            sa_tpos = np.asarray(sa) - offsets.astype(np.int32)[sa_txp]
+        else:
+            sa_tpos = (np.asarray(sa) - offsets[sa_txp]).astype(np.int32)
+        arrays["sa_txp"], arrays["sa_tpos"] = sa_txp, sa_tpos
+        log(f"sa_txp/sa_tpos rederived ({time.time()-t0:.0f}s)")
+    t0 = time.time()
+    for n in missing:
+        got = _sha(np.ascontiguousarray(arrays[n]))
+        want = header["hashes"][n]
+        if got != want:
+            raise ValueError(f"reconstructed {n} hash {got} != saved {want}")
+    log(f"reconstruction verified bit-exact vs header hashes ({time.time()-t0:.0f}s)")
+    present = {
+        n: np.load(os.path.join(idx_dir, f"{n}.npy"), mmap_mode="r")
+        for n in _QUASI_ARRAYS if n not in missing
+    }
+    return QuasiIndex(
+        k=header["k"], txp_names=names, seed=header["seed"],
+        meta=header.get("meta", {}), n_text=header["n_text"],
+        prefix_bases=header["prefix_bases"], **present, **arrays,
+    )
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--gbase", type=float, default=2.2)
@@ -92,7 +154,7 @@ def main():
 
     t0 = time.time()
     if os.path.exists(os.path.join(idx_dir, "header.json")):
-        idx = load_index(idx_dir, mmap=True)
+        idx = load_or_repair_index(idx_dir, fa)
         t_build = time.time() - t0
         log(f"index loaded from {idx_dir} ({t_build:.0f}s, mmap)")
     else:

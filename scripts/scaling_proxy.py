@@ -1,26 +1,40 @@
-"""Virtual-mesh scaling-efficiency proxy (VERDICT r2 item 3; BASELINE.json
+"""Virtual-mesh scaling rehearsal (VERDICT r3 item 8; BASELINE.json
 ">= 80% scaling efficiency at N >= 2 hosts" target rehearsal).
 
-Real multi-chip hardware is unavailable here (one chip), so this measures
-the two things that determine scaling on a real pod, on an 8-device virtual
-CPU mesh:
+Round-3's weak-scaling wall-time proxy reported 89-140% "efficiency" — >100%
+means the methodology measured host-CPU utilization headroom, not scaling,
+and a gate that can't fail gates nothing. Real multi-chip hardware is still
+unavailable (one chip), so this version measures the three things that ARE
+falsifiable on an 8-device virtual CPU mesh, each with an asserted bound:
 
-  1. WEAK-SCALING WORK INVARIANCE: per-device read shard fixed, mesh grown
-     1 -> 8. All virtual devices share the same host CPUs, so ideal scaling
-     shows as wall time growing ~linearly with n (total work ~ n x const,
-     constant-width machine); the proxy efficiency is t(1) * n / t(n) — a
-     sub-linear t(n) means per-device work is NOT constant (hidden
-     replication or collective blowup) and real hardware would scale badly.
-  2. COLLECTIVE FOOTPRINT: the only cross-device traffic in the DP design
-     is the counters psum — 6 int32 scalars per batch, independent of B.
-     Anything else appearing in the compiled HLO is a red flag. The compiled
-     module is grepped for collective ops and their operand shapes.
+  1. PER-DEVICE COMPILED-COST INVARIANCE (the real weak-scaling invariant):
+     XLA cost analysis of the per-device SPMD program at n = 1/2/4/8. If
+     per-device flops or bytes grow with the mesh, work is being replicated
+     and real hardware would scale badly. Asserted: cost(n)/cost(1) <= 1.02.
+     Reported as `invariance_eff` = cost(1)/cost(n) — <= ~100% by
+     construction, < 98% fails.
+  2. COLLECTIVE COST (psum ablation A/B): the DP step's ONLY collective is
+     the 6-scalar counters psum. Per-step wall time with vs without it,
+     mean +/- stdev over REP reps; asserted: the psum adds < 5% or less
+     than 2 sigma (the virtual mesh's collectives are memcpys; on hardware
+     the same scalars ride one ICI round).
+  3. COLLECTIVE FOOTPRINT: the compiled HLO is grepped for collective ops;
+     any operand past scalar-counter size fails.
+
+Wall times per mesh size are still printed (mean +/- stdev) as context, but
+carry no pass/fail weight on shared host cores.
+
+HARDWARE PASS THRESHOLD (for the day N >= 2 hosts exist): run bench.py's
+uniform-SE regime per host count; PASS iff
+    reads_per_s(N) / reads_per_s(N/2) >= 1.6   (>= 80% incremental efficiency)
+at matched per-host batch/chunk config, median-of-5 each, canary-healthy day.
 
 Run with: JAX_PLATFORMS=cpu XLA_FLAGS=--xla_force_host_platform_device_count=8
 """
 
 import os
 import re
+import statistics
 import sys
 import time
 
@@ -41,10 +55,11 @@ def main():
     # backend init reliably selects CPU (same trick as tests/conftest.py)
     jax.config.update("jax_platforms", "cpu")
     import jax.numpy as jnp
+    from jax.sharding import PartitionSpec as P
 
     from rapmap_tpu.config import MapConfig
     from rapmap_tpu.index.builder import build_quasi_index
-    from rapmap_tpu.models.quasi import QuasiMapper
+    from rapmap_tpu.models.quasi import QuasiMapper, map_batch_se
     from rapmap_tpu.parallel import dp
     from tests.util import random_transcriptome, sample_reads, write_fasta
 
@@ -70,39 +85,111 @@ def main():
     mapper = QuasiMapper(idx, cfg)
     didx, st = mapper.didx, mapper.st
 
-    rows = []
-    t1 = None
+    def nopsum_step(mesh):
+        """Same per-device program, counters local (no collective at all);
+        scalar counters ride as (1,) rows so they concatenate over the mesh."""
+
+        def body(didx, reads, lens, nv):
+            out, ctr = map_batch_se(didx, st, reads, lens, nv[0], cfg)
+            return out, jax.tree.map(lambda x: x[None], ctr)
+
+        return jax.jit(
+            jax.shard_map(
+                body,
+                mesh=mesh,
+                in_specs=(P(), P("data"), P("data"), P("data")),
+                out_specs=(P("data"), P("data")),
+                check_vma=False,
+            )
+        )
+
+    REP = 12
+
+    def timed(fn, *args):
+        out = fn(*args)
+        jax.block_until_ready(out)  # compile + warm
+        ts = []
+        for _ in range(REP):
+            t0 = time.time()
+            out = fn(*args)
+            jax.block_until_ready(out)
+            ts.append(time.time() - t0)
+        return statistics.mean(ts), statistics.stdev(ts)
+
+    # ---- 1. per-device compiled-cost invariance -----------------------------
+    costs = {}
+    walls = {}
+    psum_delta = {}
     for n in (1, 2, 4, 8):
         mesh = dp.make_mesh(n)
         B = PER_DEV * n
         c = jnp.asarray(codes[:B])
         ln = jnp.asarray(lens[:B])
         nv = jnp.full((n,), PER_DEV, jnp.int32)
-        out, ctr = dp.map_batch_se_dp(didx, st, c, ln, nv, cfg, mesh)
-        jax.block_until_ready(out)
-        t0 = time.time()
-        REP = 4
-        for _ in range(REP):
-            out, ctr = dp.map_batch_se_dp(didx, st, c, ln, nv, cfg, mesh)
-            jax.block_until_ready(out)
-        dt = (time.time() - t0) / REP
-        if n == 1:
-            t1 = dt
-        eff = t1 * n / dt
-        rows.append((n, dt, eff, int(ctr.reads_mapped)))
-        print(f"n_data={n}: {dt*1e3:7.1f} ms/step  weak-scaling proxy eff "
-              f"{100*eff:5.1f}%  mapped={int(ctr.reads_mapped)}")
 
-    # collective footprint of the compiled step at n=8
+        lowered = jax.jit(
+            dp.map_batch_se_dp, static_argnames=("st", "cfg", "mesh")
+        ).lower(didx, st, c, ln, nv, cfg, mesh)
+        compiled = lowered.compile()
+        ca = compiled.cost_analysis() or {}
+        costs[n] = (float(ca.get("flops", 0.0)), float(ca.get("bytes accessed", 0.0)))
+
+        m_with, s_with = timed(
+            lambda c=c, ln=ln, nv=nv, mesh=mesh: dp.map_batch_se_dp(
+                didx, st, c, ln, nv, cfg, mesh
+            )
+        )
+        walls[n] = (m_with, s_with)
+        step_np = nopsum_step(mesh)
+        m_wo, s_wo = timed(lambda c=c, ln=ln, nv=nv: step_np(didx, c, ln, nv))
+        psum_delta[n] = (m_with - m_wo, (s_with**2 + s_wo**2) ** 0.5)
+        print(
+            f"n_data={n}: step {m_with*1e3:7.1f} +/- {s_with*1e3:5.1f} ms | "
+            f"no-psum {m_wo*1e3:7.1f} +/- {s_wo*1e3:5.1f} ms | "
+            f"per-dev flops {costs[n][0]:.3e} bytes {costs[n][1]:.3e}"
+        )
+
+    f1, b1 = costs[1]
+    ok = True
+    for n in (2, 4, 8):
+        fn_, bn = costs[n]
+        if f1 > 0:
+            ratio_f = fn_ / f1
+            eff = 100.0 * f1 / max(fn_, 1e-9)
+            print(f"# n={n}: per-device flops ratio {ratio_f:.4f} "
+                  f"(invariance_eff {eff:.1f}%)")
+            assert ratio_f <= 1.02, (
+                f"per-device compiled flops grew {ratio_f:.3f}x at n={n}: "
+                "work is replicating across the mesh"
+            )
+        if b1 > 0:
+            ratio_b = bn / b1
+            assert ratio_b <= 1.05, (
+                f"per-device bytes grew {ratio_b:.3f}x at n={n}"
+            )
+    if f1 == 0:
+        print("# cost_analysis unavailable on this backend; invariance check skipped")
+        ok = False
+
+    # ---- 2. psum ablation bound ---------------------------------------------
+    for n in (2, 4, 8):
+        d, sd = psum_delta[n]
+        m, _ = walls[n]
+        rel = d / m
+        print(f"# n={n}: counters-psum cost {d*1e3:+.2f} +/- {2*sd*1e3:.2f} ms "
+              f"({100*rel:+.1f}% of step)")
+        assert rel < 0.05 or d < 2 * sd, (
+            f"counters psum costs {100*rel:.1f}% of the step at n={n} "
+            f"(delta {d*1e3:.2f} ms > 2 sigma {2*sd*1e3:.2f} ms)"
+        )
+
+    # ---- 3. collective footprint of the compiled step at n=8 ----------------
     mesh = dp.make_mesh(8)
     lowered = jax.jit(
         dp.map_batch_se_dp, static_argnames=("st", "cfg", "mesh")
     ).lower(didx, st, jnp.asarray(codes), jnp.asarray(lens),
             jnp.full((8,), PER_DEV, jnp.int32), cfg, mesh)
     hlo = lowered.compile().as_text()
-    colls = [ln.strip() for ln in hlo.splitlines()
-             if re.search(r"all-reduce|all-gather|collective-permute|all-to-all", ln)
-             and "f32[" not in ln or re.search(r"all-reduce", ln) and "s32" in ln]
     colls = [ln.strip() for ln in hlo.splitlines()
              if re.search(r"(all-reduce|all-gather|collective-permute|all-to-all)\(", ln)]
     print(f"# collectives in compiled step: {len(colls)}")
@@ -112,7 +199,11 @@ def main():
         print(f"#   {m.group(1) if m else '?'} {shape.group(0) if shape else ''}")
     big = [ln for ln in colls if re.search(r"\[[0-9]{4,}", ln)]
     assert not big, f"large collective operands found: {big[:2]}"
-    print("# PASS: only scalar-counter collectives cross the mesh")
+    print("# PASS: per-device cost invariant, psum within bound, only "
+          "scalar-counter collectives cross the mesh"
+          + ("" if ok else " (cost invariance skipped)"))
+    print("# hardware gate (N>=2 hosts): reads/s(N) / reads/s(N/2) >= 1.6 "
+          "at matched per-host config, median-of-5, canary-healthy day")
 
 
 if __name__ == "__main__":
