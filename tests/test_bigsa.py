@@ -66,3 +66,69 @@ def test_bigsa_header_roundtrip(tmp_path, rng):
     assert np.array_equal(np.asarray(idx.sa), np.asarray(idx2.sa))
     didx, _ = upload_index(idx2)
     assert didx.sa is None
+
+
+def test_bigsa_packed_extension_equals_charwise(tmp_path, rng):
+    """Direct charwise-vs-packed cross-check ON the int64 layout (VERDICT r3
+    weak item 8): the genome-scale device path is packed-only (bigSA upload
+    drops the flat sa/text the charwise oracle needs), so graft the flat
+    arrays back onto the bigSA didx and drive ops.mmp._extend (per-depth
+    char binary search) against extend_packed (fused sa_cmp word compares)
+    over the int64-derived columns at random anchors. Until now bigSA-packed
+    correctness rested on the transitive chain (bigSA-packed == int32-packed
+    == charwise); this pins the direct edge."""
+    import jax
+    import jax.numpy as jnp
+
+    from rapmap_tpu.ops import encode as denc
+    from rapmap_tpu.ops.extend_packed import extend_packed, pack_reads
+    from rapmap_tpu.ops.mmp import _extend
+
+    idx, txps = _bigsa_index(
+        tmp_path, rng, n_txps=8, min_len=150, max_len=320, shared_prefix=40
+    )
+    didx, st = upload_index(idx)
+    assert didx.sa is None and didx.text is None  # the layout under test
+    # graft the charwise arrays back (text positions fit int32 on this toy)
+    didx_cw = didx._replace(
+        sa=jnp.asarray(np.asarray(idx.sa, dtype=np.int32)),
+        text=jnp.asarray(np.asarray(idx.text), dtype=jnp.int8),
+    )
+
+    reads = sample_reads(rng, txps, 48, read_len=64, error_rate=0.03, n_frac=0.02)
+    L = 64
+    codes, lens = batch_of([r[1] for r in reads], L)
+    rj = jnp.asarray(codes)
+    lens_j = jnp.asarray(lens)
+    preads = pack_reads(rj)
+    nb = denc.next_bad_batch(rj, L)
+    R = len(reads)
+    k = idx.k
+    # both extenders' precondition: [b0, e0) is the probed k-mer's interval
+    # (every suffix in it shares the window's first k chars), so seed from
+    # real table lookups at random window positions
+    from rapmap_tpu.ops.lookup import kmer_lookup
+
+    pos = jnp.asarray(rng.integers(0, L - k, R).astype(np.int32))
+    key_hi, key_lo, kvalid = denc.kmer_keys_from_packed(preads, nb, k, L - k + 1)
+    cols = np.asarray(pos)[:, None]
+    rows = np.arange(R)[:, None]
+    f, b0, e0 = kmer_lookup(
+        didx, st,
+        jnp.asarray(np.asarray(key_hi)[rows, cols][:, 0]),
+        jnp.asarray(np.asarray(key_lo)[rows, cols][:, 0]),
+    )
+    ok = np.asarray(f) & np.asarray(kvalid)[rows, cols][:, 0]
+    act = jnp.asarray(ok & (rng.random(R) < 0.9))
+
+    b_p, e_p, m_p = jax.tree.map(
+        np.asarray,
+        extend_packed(didx, preads, nb, lens_j, b0, e0, pos, act, k, 24, L),
+    )
+    b_c, e_c, d_c = jax.tree.map(
+        np.asarray, _extend(didx_cw, rj, lens_j, b0, e0, pos, act, k, 24)
+    )
+    on = np.asarray(act)
+    assert np.array_equal(b_p[on], b_c[on])
+    assert np.array_equal(e_p[on], e_c[on])
+    assert np.array_equal(m_p[on], d_c[on])
