@@ -45,7 +45,11 @@ TXP_LEN = (500, 3500)
 READ_LEN = 76
 N_READS = 786_432
 BATCH = 65536  # dispatch batch; the compiled program is a lax.scan over CHUNK
-CHUNK = 8192   # -read chunks, so compile cost tracks CHUNK (B-independent)
+# -read chunks, so compile cost tracks CHUNK (B-independent). A large share of
+# engine time is per-op fixed overhead (the runtime charges ~tens of µs per
+# device op regardless of shape), which amortizes with chunk size — TQM_CHUNK
+# exists for A/B'ing that tradeoff against compile time.
+CHUNK = int(os.environ.get("TQM_CHUNK", "8192"))
 
 
 def build_world():

@@ -513,6 +513,14 @@ class StagedMapper:
                 a["e"][m] = e1[m].astype(np.int64) + s0
                 t_host += _time.time() - td
             del didx
+            # host-side transfer staging (the tunnel client's per-device_put
+            # buffers) showed up as ~0.6-0.8 GB/shard of anon RSS growth on
+            # the 48-shard genome sweep (round 4: OOM kill at shard ~40 with
+            # the index still in RAM); collect eagerly so deferred frees
+            # can't compound across a long sweep
+            import gc
+
+            gc.collect()
             _log.info(
                 "shard %d: slice %.1fs upload %.1fs device %.1fs union %.1fs",
                 p, t1 - t0, t2 - t1, t_dev, t_host,

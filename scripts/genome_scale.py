@@ -16,10 +16,16 @@ Usage: python scripts/genome_scale.py [--gbase 2.2] [--shards 12]
 """
 
 import argparse
+import logging
 import os
 import resource
 import sys
 import time
+
+# surface the staged mapper's per-shard INFO lines (slice/upload/device/union
+# seconds) — without this a 48-shard sweep is a silent half hour
+logging.basicConfig(level=logging.INFO, stream=sys.stderr,
+                    format="%(asctime)s %(name)s: %(message)s")
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
@@ -163,6 +169,17 @@ def main():
             with_chd=False,
         )
         t_build = time.time() - t0
+        if args.save_index:
+            # drop the ~90 GB in-RAM build and remap it file-backed: the
+            # 48-shard sweep adds ~0.6-0.8 GB/shard of host-staging anon RSS
+            # (round 4: OOM kill at shard ~40 when mapping straight off the
+            # in-RAM copy), and mmap pages are reclaimable under pressure
+            import gc
+
+            del idx
+            gc.collect()
+            idx = load_index(idx_dir, mmap=True)
+            log("build dropped from RAM; remapped file-backed for the sweep")
     n_text = idx.n_text
     sa_dtype = np.asarray(idx.sa).dtype
     log(f"index built: n_text={n_text:,} ({n_text/2**31:.2f} x 2^31), "
