@@ -485,46 +485,61 @@ class StagedMapper:
         overflow = 0
         import logging
         import time as _time
+        from concurrent.futures import ThreadPoolExecutor
 
         _log = logging.getLogger("tqm.staged")
-        for p in range(self.n_shards):
-            t0 = _time.time()
-            didx_np, st, s0 = shard_device_arrays(self.idx, self.geo, p)
-            t1 = _time.time()
-            didx = jax.tree.map(_chunked_upload, didx_np)
-            jax.block_until_ready(didx)
-            del didx_np
-            t2 = _time.time()
-            t_dev = t_host = 0.0
-            for bi, lanes in enumerate(lanes_all):
-                td = _time.time()
-                out = self.stage_a(didx, jnp.asarray(lanes), lens2_all[bi])
-                jax.block_until_ready(out)
-                anch, mlen, b1, e1, n_anch = jax.tree.map(np.asarray, out)
-                t_dev += _time.time() - td
-                td = _time.time()
-                if int(n_anch) > self.A_max:
-                    overflow += 1
-                a = acc[bi]
-                m = anch
-                a["anch"] |= m
-                a["mlen"][m] = mlen[m]
-                a["b"][m] = b1[m].astype(np.int64) + s0
-                a["e"][m] = e1[m].astype(np.int64) + s0
-                t_host += _time.time() - td
-            del didx
-            # host-side transfer staging (the tunnel client's per-device_put
-            # buffers) showed up as ~0.6-0.8 GB/shard of anon RSS growth on
-            # the 48-shard genome sweep (round 4: OOM kill at shard ~40 with
-            # the index still in RAM); collect eagerly so deferred frees
-            # can't compound across a long sweep
-            import gc
+        # one-deep shard prefetch: slicing shard p+1 (host numpy over the
+        # mmap'd index, ~40 s/shard at genome scale) overlaps shard p's
+        # upload + device pass (~45 s of tunnel I/O) — measured 90 -> ~50
+        # s/shard on the 2.2 Gbase 48-shard sweep. Costs one extra shard's
+        # host arrays (~2 GB at genome scale) in flight.
+        ex = ThreadPoolExecutor(max_workers=1)
+        try:
+            fut = ex.submit(shard_device_arrays, self.idx, self.geo, 0)
+            for p in range(self.n_shards):
+                t0 = _time.time()
+                didx_np, st, s0 = fut.result()
+                if p + 1 < self.n_shards:
+                    fut = ex.submit(
+                        shard_device_arrays, self.idx, self.geo, p + 1
+                    )
+                t1 = _time.time()
+                didx = jax.tree.map(_chunked_upload, didx_np)
+                jax.block_until_ready(didx)
+                del didx_np
+                t2 = _time.time()
+                t_dev = t_host = 0.0
+                for bi, lanes in enumerate(lanes_all):
+                    td = _time.time()
+                    out = self.stage_a(didx, jnp.asarray(lanes), lens2_all[bi])
+                    jax.block_until_ready(out)
+                    anch, mlen, b1, e1, n_anch = jax.tree.map(np.asarray, out)
+                    t_dev += _time.time() - td
+                    td = _time.time()
+                    if int(n_anch) > self.A_max:
+                        overflow += 1
+                    a = acc[bi]
+                    m = anch
+                    a["anch"] |= m
+                    a["mlen"][m] = mlen[m]
+                    a["b"][m] = b1[m].astype(np.int64) + s0
+                    a["e"][m] = e1[m].astype(np.int64) + s0
+                    t_host += _time.time() - td
+                del didx
+                # host-side transfer staging (the tunnel client's per-
+                # device_put buffers) showed up as ~0.6-0.8 GB/shard of anon
+                # RSS growth on the 48-shard genome sweep (round 4: OOM kill
+                # at shard ~40 with the index still in RAM); collect eagerly
+                # so deferred frees can't compound across a long sweep
+                import gc
 
-            gc.collect()
-            _log.info(
-                "shard %d: slice %.1fs upload %.1fs device %.1fs union %.1fs",
-                p, t1 - t0, t2 - t1, t_dev, t_host,
-            )
+                gc.collect()
+                _log.info(
+                    "shard %d: slice %.1fs upload %.1fs device %.1fs union %.1fs",
+                    p, t1 - t0, t2 - t1, t_dev, t_host,
+                )
+        finally:
+            ex.shutdown(wait=True)
         return acc, overflow
 
     def _collate_one(self, a: dict, lens: np.ndarray):
