@@ -154,12 +154,24 @@ def suffix_cmp(
 def _bound_stacked(didx, qwords, qlen, b, e, upper, W: int, steps: int):
     """Batched binary search; `upper` is a per-lane bool vector (False: first
     S_p >= Q; True: first S_p > Q). Works for any lane count (used stacked).
+    Returns (lo, lcp_less, lcp_geq) — see "fused neighbour lcps" below.
 
     Runs as a while_loop that exits once EVERY lane has converged (lo == hi):
     trip count tracks the widest interval realized in this batch, not the
     static worst case `steps` (which only bounds it) — on indexes where most
     k-mers are near-unique the loop ends after 1-2 trips instead of
     log2(max_interval).
+
+    Fused neighbour lcps: suffix_cmp computes the lcp of every compare
+    anyway, and the search's own structure pins the neighbours of the
+    insertion point: lo only ever moves via lo = mid+1 on a "less" compare,
+    so the chronologically-LAST less-compare has mid == lo_final - 1 (a later
+    one would push lo past its final value); symmetrically the last not-less
+    compare has mid == lo_final. Tracking the lcp of the most recent compare
+    per branch therefore yields lcp(Q, S[lo-1]) (valid iff lo moved, i.e.
+    lo > b) and lcp(Q, S[lo]) (valid iff hi moved, i.e. lo < e) for FREE —
+    eliminating the separate 2-gather neighbour probe the MMP-length step
+    used to pay per extension (two pure-ALU selects per trip instead).
 
     Repetitive-regime staging: the lockstep loop pays batch-MAX trips at FULL
     gather width, but on an isoform-class index most lanes converge in ~3
@@ -172,58 +184,61 @@ def _bound_stacked(didx, qwords, qlen, b, e, upper, W: int, steps: int):
     n_sa = (didx.sa_cmp if didx.sa_cmp is not None else didx.sa_ext).shape[0]
 
     def mk_step(qw, ql, up):
-        def step2(lo, hi):
+        def step2(lo, hi, ll, lg):
             mid = (lo + hi) >> 1
-            cmp, _ = suffix_cmp(didx, qw, ql, jnp.clip(mid, 0, n_sa - 1), W)
+            cmp, lcp = suffix_cmp(didx, qw, ql, jnp.clip(mid, 0, n_sa - 1), W)
             less = (cmp < 0) | (up & (cmp == 0))
             cont = lo < hi
             lo2 = jnp.where(less, mid + 1, lo)
             hi2 = jnp.where(less, hi, mid)
-            return (jnp.where(cont, lo2, lo), jnp.where(cont, hi2, hi))
+            return (
+                jnp.where(cont, lo2, lo),
+                jnp.where(cont, hi2, hi),
+                jnp.where(cont & less, lcp, ll),
+                jnp.where(cont & ~less, lcp, lg),
+            )
 
         return step2
 
     step_full = mk_step(qwords, qlen, upper)
     Rw = int(b.shape[0])
+    lcp0 = qlen * 0
+
+    def cond4(iv):
+        return jnp.any(iv[0] < iv[1])
 
     if Rw < _STAGE_MIN_WIDTH:
         # small widths (tests, host staging): plain early-exit loop — the
         # compaction bookkeeping would cost more than the tail trips save
-        def cond(iv):
-            return jnp.any(iv[0] < iv[1])
-
         def body(iv):
             return step_full(*iv)
 
-        lo_f, _ = lax.while_loop(cond, body, (b, e))
-        return lo_f
+        lo_f, _, ll_f, lg_f = lax.while_loop(cond4, body, (b, e, lcp0, lcp0))
+        return lo_f, ll_f, lg_f
 
     PRE = 3                      # resolves interval widths <= 4 (p50 regime)
     WC = max(1, Rw // 4)
     z = qlen[0] * 0              # traced int32 zero (no device constants)
 
     def condA(iv):
-        lo, hi, t = iv
+        lo, hi, ll, lg, t = iv
         return jnp.any(lo < hi) & (t < PRE)
 
     def bodyA(iv):
-        lo, hi, t = iv
-        lo2, hi2 = step_full(lo, hi)
-        return lo2, hi2, t + 1
+        lo, hi, ll, lg, t = iv
+        lo2, hi2, ll2, lg2 = step_full(lo, hi, ll, lg)
+        return lo2, hi2, ll2, lg2, t + 1
 
-    lo1, hi1, _ = lax.while_loop(condA, bodyA, (b, e, z))
+    lo1, hi1, ll1, lg1, _ = lax.while_loop(condA, bodyA, (b, e, lcp0, lcp0, z))
     un = lo1 < hi1
     nu = jnp.sum(un.astype(jnp.int32))
 
     def full_tail():
-        def cond(iv):
-            return jnp.any(iv[0] < iv[1])
-
         def body(iv):
             return step_full(*iv)
 
-        lo_f, _ = lax.while_loop(cond, body, (lo1, hi1))
-        return lo_f
+        lo_f, _, ll_f, lg_f = lax.while_loop(cond4, body, (lo1, hi1, ll1, lg1))
+        return lo_f, ll_f, lg_f
 
     def narrow_tail():
         ia = jnp.cumsum(un.astype(jnp.int32)) - 1
@@ -239,26 +254,31 @@ def _bound_stacked(didx, qwords, qlen, b, e, upper, W: int, steps: int):
         up_c = flat_gather(upper.astype(jnp.int32), selc) > 0
         lo_c = jnp.where(live, flat_gather(lo1, selc), 0)
         hi_c = jnp.where(live, flat_gather(hi1, selc), 0)
+        ll_c = flat_gather(ll1, selc)
+        lg_c = flat_gather(lg1, selc)
         stepC = mk_step(qw_c, ql_c, up_c)
-
-        def cond(iv):
-            return jnp.any(iv[0] < iv[1])
 
         def body(iv):
             return stepC(*iv)
 
-        lo_cf, _ = lax.while_loop(cond, body, (lo_c, hi_c))
-        selw = jnp.where(live, selc, np.int32(Rw))
-        return (
-            jnp.concatenate([lo1, z[None]])
-            .at[selw].set(jnp.where(live, lo_cf, 0), mode="drop")[:Rw]
+        lo_cf, _, ll_cf, lg_cf = lax.while_loop(
+            cond4, body, (lo_c, hi_c, ll_c, lg_c)
         )
+        selw = jnp.where(live, selc, np.int32(Rw))
+
+        def back(full, tail_vals):
+            return (
+                jnp.concatenate([full, z[None]])
+                .at[selw].set(jnp.where(live, tail_vals, 0), mode="drop")[:Rw]
+            )
+
+        return back(lo1, lo_cf), back(ll1, ll_cf), back(lg1, lg_cf)
 
     # near-unique regimes converge entirely within PRE trips — skip the
     # compaction bookkeeping outright there
     return lax.cond(
         nu == 0,
-        lambda: lo1,
+        lambda: (lo1, ll1, lg1),
         lambda: lax.cond(nu <= np.int32(WC), narrow_tail, full_tail),
     )
 
@@ -300,36 +320,40 @@ def extend_packed(
         for j in range(W)
     ]
 
-    n_sa = (didx.sa_cmp if didx.sa_cmp is not None else didx.sa_ext).shape[0]
     no_up = qlen < 0  # all-False
     # inactive lanes get empty search ranges so they never hold the
     # early-exit while_loops open
     b0a = jnp.where(active, b0, 0)
     e0a = jnp.where(active, e0, 0)
-    lb = _bound_stacked(didx, qwords, qlen, b0a, e0a, no_up, W, ext_steps)
+    lb, ll, lg = _bound_stacked(didx, qwords, qlen, b0a, e0a, no_up, W, ext_steps)
 
-    # neighbour lcp probes, one stacked call
+    # neighbour lcps fall out of the search itself (see _bound_stacked):
+    # lcp(Q, S[lb-1]) = ll iff lo moved (lb > b0), lcp(Q, S[lb]) = lg iff hi
+    # moved (lb < e0) — the 2-gather stacked neighbour probe is gone.
     R = lb.shape[0]
-    p2 = jnp.concatenate([lb - 1, lb])
-    valid2 = jnp.concatenate([lb - 1 >= b0a, lb < e0a])
-    q2 = [jnp.concatenate([q, q]) for q in qwords]
-    qlen2 = jnp.concatenate([qlen, qlen])
-    _, l2 = suffix_cmp(didx, q2, qlen2, jnp.clip(p2, 0, n_sa - 1), W)
-    l2 = jnp.where(valid2, l2, 0)
-    ext = jnp.minimum(jnp.maximum(l2[:R], l2[R:]), qlen)
+    l_left = jnp.where(lb > b0a, ll, 0)
+    l_right = jnp.where(lb < e0a, lg, 0)
+    ext = jnp.minimum(jnp.maximum(l_left, l_right), qlen)
     mlen = k + ext
 
     # equal_range of Q truncated to ext chars, both bounds in one stacked call
     # over NARROWED spans: lower_bound(Q[:ext]) <= lb (prefix sorts <= full Q)
     # so it lies in [b0, lb]; upper_bound(Q[:ext]) >= lb (suffixes below lb are
     # < Q and any sharing Q[:ext] still sort before its run's end) so it lies
-    # in [lb, e0). Halves the searched width and lets the early-exit loop
-    # close as soon as this batch's widest remaining span converges.
+    # in [lb, e0). The tracked lcps close one side outright in the common
+    # case: if lcp(S[lb-1]) < ext, S[lb-1]'s diff vs Q occurs within ext
+    # chars, so every suffix below lb is < Q[:ext] and lower_bound == lb;
+    # if lcp(S[lb]) < ext, S[lb] > Q with the diff within ext chars, so
+    # S[lb][:ext] > Q[:ext] and upper_bound == lb. (ext is always achieved
+    # by at least one neighbour, so at most one search has real width unless
+    # both neighbours tie at ext.) Zero-width lanes exit the early-exit loop
+    # immediately and compact away in the staged path.
     ext2 = jnp.concatenate([ext, ext])
-    b_st = jnp.concatenate([b0a, lb])
-    e_st = jnp.concatenate([lb, e0a])
+    b_st = jnp.concatenate([jnp.where(l_left < ext, lb, b0a), lb])
+    e_st = jnp.concatenate([lb, jnp.where(l_right < ext, lb, e0a)])
     upper = jnp.concatenate([ext < 0, ext >= 0])  # [False..., True...]
-    bounds = _bound_stacked(didx, q2, ext2, b_st, e_st, upper, W, ext_steps)
+    q2 = [jnp.concatenate([q, q]) for q in qwords]
+    bounds, _, _ = _bound_stacked(didx, q2, ext2, b_st, e_st, upper, W, ext_steps)
     lb2, ub2 = bounds[:R], bounds[R:]
     ok = active & (ub2 > lb2)
     b = jnp.where(ok, lb2, b0)
