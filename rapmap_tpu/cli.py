@@ -198,6 +198,31 @@ def _choose_quasi_engine(args, idx) -> str:
     return "replicated"
 
 
+def _choose_pseudo_engine(args, idx) -> str:
+    """Size-driven pseudomap engine dispatch, mirroring _choose_quasi_engine:
+    the CSR occurrence rows dominate device bytes (big-occ pairs layout is
+    8 B/occurrence either way); past the HBM budget (or the 2^32-occ device
+    layout ceiling) the host-staged engine streams k-mer-table shards over
+    the chip while the occ lists stay host-resident (SEMANTICS.md §7/§10)."""
+    if args.engine != "auto":
+        return args.engine
+    n_occ = int(np.asarray(idx.kmer_off)[-1])
+    K = len(idx.kmer_hi)
+    est = K * 16 + n_occ * 8
+    if getattr(idx, "chd_dir", None) is not None:
+        est += len(idx.chd_dir) * 4 + K * 24
+    budget = float(os.environ.get("TQM_HBM_GB", "16")) * 2**30 * 0.85
+    if n_occ >= 2**32 or est > budget:
+        log.info(
+            "pseudo index needs ~%.2f GB on device (budget %.2f GB%s) -> "
+            "host-staged engine",
+            est / 2**30, budget / 2**30,
+            "" if n_occ < 2**32 else "; >= 2^32 occurrences",
+        )
+        return "staged"
+    return "replicated"
+
+
 def run_map(args, pseudo: bool) -> int:
     import contextlib
     import json
@@ -230,13 +255,17 @@ def run_map(args, pseudo: bool) -> int:
     idx = load_index(args.index)
     cfg = _cfg_from_args(args, idx.k)
     if pseudo:
-        if args.engine == "staged":
-            log.error("--engine staged is quasimap-only (pseudo indexes fit "
-                      "HBM or need the sharded mesh engine)")
-            return 1
-        from rapmap_tpu.models.pseudo import PseudoMapper
+        engine = _choose_pseudo_engine(args, idx)
+        if engine == "staged":
+            from rapmap_tpu.parallel.staged import StagedPseudoMapper
 
-        mapper = PseudoMapper(idx, cfg)
+            mapper = StagedPseudoMapper(
+                idx, cfg, batch=args.batchSize, read_len=args.maxReadLen
+            )
+        else:
+            from rapmap_tpu.models.pseudo import PseudoMapper
+
+            mapper = PseudoMapper(idx, cfg)
     else:
         engine = _choose_quasi_engine(args, idx)
         if engine == "staged":

@@ -458,9 +458,36 @@ class StagedMapper:
 
     # ---- stage A sweep: every shard visits the chip once per group ---------
 
+    def _acc_init(self, R: int, S: int) -> dict:
+        return dict(
+            anch=np.zeros((R, S), bool),
+            mlen=np.zeros((R, S), np.int32),
+            b=np.zeros((R, S), np.int64),
+            e=np.zeros((R, S), np.int64),
+        )
+
+    def _shard_arrays(self, p: int):
+        didx_np, _st, s0 = shard_device_arrays(self.idx, self.geo, p)
+        return didx_np, s0
+
+    def _stage_a_union(self, didx, lanes_j, lens2, a: dict, s0: int) -> int:
+        """Run stage A on the resident shard, union into acc entry `a`.
+        Returns 1 if the anchor budget overflowed (degrades the group)."""
+        import jax
+
+        out = self.stage_a(didx, lanes_j, lens2)
+        jax.block_until_ready(out)
+        anch, mlen, b1, e1, n_anch = jax.tree.map(np.asarray, out)
+        m = anch
+        a["anch"] |= m
+        a["mlen"][m] = mlen[m]
+        a["b"][m] = b1[m].astype(np.int64) + s0
+        a["e"][m] = e1[m].astype(np.int64) + s0
+        return int(int(n_anch) > self.A_max)
+
     def _sweep(self, lane_batches: list[tuple[np.ndarray, np.ndarray]]):
         """lane_batches: [(codes (C, L), lens (C,)), ...]. Returns per entry
-        the host-unioned dense maps dict(anch, mlen, b, e) plus the
+        the host-unioned dense maps (dict from _acc_init) plus the
         anchor-overflow count."""
         import jax
         import jax.numpy as jnp
@@ -473,15 +500,7 @@ class StagedMapper:
         for codes, lens in lane_batches:
             lanes_all.append(np.concatenate([codes, _rc_lanes(codes, lens)], axis=0))
             lens2_all.append(jnp.asarray(np.concatenate([lens, lens]).astype(np.int32)))
-        acc = [
-            dict(
-                anch=np.zeros((R, S), bool),
-                mlen=np.zeros((R, S), np.int32),
-                b=np.zeros((R, S), np.int64),
-                e=np.zeros((R, S), np.int64),
-            )
-            for _ in lane_batches
-        ]
+        acc = [self._acc_init(R, S) for _ in lane_batches]
         overflow = 0
         import logging
         import time as _time
@@ -495,36 +514,24 @@ class StagedMapper:
         # host arrays (~2 GB at genome scale) in flight.
         ex = ThreadPoolExecutor(max_workers=1)
         try:
-            fut = ex.submit(shard_device_arrays, self.idx, self.geo, 0)
+            fut = ex.submit(self._shard_arrays, 0)
             for p in range(self.n_shards):
                 t0 = _time.time()
-                didx_np, st, s0 = fut.result()
+                didx_np, s0 = fut.result()
                 if p + 1 < self.n_shards:
-                    fut = ex.submit(
-                        shard_device_arrays, self.idx, self.geo, p + 1
-                    )
+                    fut = ex.submit(self._shard_arrays, p + 1)
                 t1 = _time.time()
                 didx = jax.tree.map(_chunked_upload, didx_np)
                 jax.block_until_ready(didx)
                 del didx_np
                 t2 = _time.time()
-                t_dev = t_host = 0.0
+                t_dev = 0.0
                 for bi, lanes in enumerate(lanes_all):
                     td = _time.time()
-                    out = self.stage_a(didx, jnp.asarray(lanes), lens2_all[bi])
-                    jax.block_until_ready(out)
-                    anch, mlen, b1, e1, n_anch = jax.tree.map(np.asarray, out)
+                    overflow += self._stage_a_union(
+                        didx, jnp.asarray(lanes), lens2_all[bi], acc[bi], s0
+                    )
                     t_dev += _time.time() - td
-                    td = _time.time()
-                    if int(n_anch) > self.A_max:
-                        overflow += 1
-                    a = acc[bi]
-                    m = anch
-                    a["anch"] |= m
-                    a["mlen"][m] = mlen[m]
-                    a["b"][m] = b1[m].astype(np.int64) + s0
-                    a["e"][m] = e1[m].astype(np.int64) + s0
-                    t_host += _time.time() - td
                 del didx
                 # host-side transfer staging (the tunnel client's per-
                 # device_put buffers) showed up as ~0.6-0.8 GB/shard of anon
@@ -535,8 +542,8 @@ class StagedMapper:
 
                 gc.collect()
                 _log.info(
-                    "shard %d: slice %.1fs upload %.1fs device %.1fs union %.1fs",
-                    p, t1 - t0, t2 - t1, t_dev, t_host,
+                    "shard %d: slice %.1fs upload %.1fs device+union %.1fs",
+                    p, t1 - t0, t2 - t1, t_dev,
                 )
         finally:
             ex.shutdown(wait=True)
@@ -800,3 +807,196 @@ class StagedQuasiMapper:
         if handle not in self._done:
             self._flush()
         return self._done.pop(handle)
+
+
+# ---- host-staged PSEUDO mapping (genome-scale CSR, SEMANTICS.md §7) ---------
+# The pseudo walk's NIP rule is "jump k on hit" — it never reads an extension
+# result — so stage A is the dense k-mer lookup ALONE (no suffix compares, no
+# sa_cmp rows: shards are just k-mer table slices, 16 B/k-mer), the walk is
+# walk_hits_np driven by a synthetic mlen map (mlen = 2k-1 makes its advance
+# rule pos + max(1, mlen-k+1) = pos + k), and collation is collate_np over
+# the host CSR occ arrays (occ_txp/occ_pos play sa_txp/sa_tpos; every visited
+# hit contributes length k to the -z coverage sum). This lifts the big-occ
+# HBM scope gate (SEMANTICS.md §10): a CSR past one chip's HBM streams over
+# the chip in k-mer-table shards while the occurrence lists stay host-mmap'd.
+# (upstream:src/RapMapMapper.cpp, SURVEY.md §3.5.)
+
+
+def staged_geometry_pseudo(idx, n_shards: int) -> StagedGeometry:
+    """Prefix-boundary row cuts over the pseudo k-mer table, balanced by ROW
+    count (upload cost is the k-mer rows; occurrences never upload). Local
+    occ offsets must fit int32: asserted per shard — raise n_shards if hit."""
+    khi = np.asarray(idx.kmer_hi, dtype=np.uint32)
+    klo = np.asarray(idx.kmer_lo, dtype=np.uint32)
+    off = np.asarray(idx.kmer_off, dtype=np.int64)
+    K = len(khi)
+    from rapmap_tpu.index.kmer_table import build_prefix_lut
+
+    p = max(4, min(idx.k, 12, math.ceil(math.log(max(K, 2), 4)) + 1))
+    lut = build_prefix_lut(khi, klo, idx.k, p).astype(np.int64)
+    targets = [round(i * K / n_shards) for i in range(n_shards + 1)]
+    pv = [int(np.searchsorted(lut, t, side="left")) for t in targets]
+    pv[0], pv[-1] = 0, len(lut) - 1
+    row_cuts = [int(lut[v]) for v in pv]
+    slot_cuts = [int(off[r]) for r in row_cuts]
+    slot_cuts[0], slot_cuts[-1] = 0, int(off[-1])
+    K_pad = max(row_cuts[i + 1] - row_cuts[i] for i in range(n_shards)) or 1
+    S_pad = max(slot_cuts[i + 1] - slot_cuts[i] for i in range(n_shards)) or 1
+    assert S_pad < 2**31, (
+        f"a pseudo shard holds {S_pad:,} occurrences (>= 2^31): local int32 "
+        "occ offsets overflow — raise n_shards"
+    )
+    lut_d = np.diff(lut)
+    steps = max(1, int(math.ceil(math.log2(int(lut_d.max()) + 1))) + 1) if len(lut_d) else 1
+    widths = off[1:] - off[:-1]
+    max_w = int(widths.max()) if len(widths) else 1
+    return StagedGeometry(row_cuts, slot_cuts, K_pad, S_pad, steps, p, max_w)
+
+
+def pseudo_shard_device_arrays(idx, geo: StagedGeometry, p: int):
+    """Shard p's device arrays for the pseudo lookup: the k-mer table slice
+    with LOCAL int32 occ offsets + its local prefix LUT. No occ rows, no
+    suffix-compare rows — expansion happens on the host CSR."""
+    r0, r1 = geo.row_cuts[p], geo.row_cuts[p + 1]
+    s0, s1 = geo.slot_cuts[p], geo.slot_cuts[p + 1]
+    khi = np.asarray(idx.kmer_hi[r0:r1], dtype=np.uint32)
+    klo = np.asarray(idx.kmer_lo[r0:r1], dtype=np.uint32)
+    off = np.asarray(idx.kmer_off[r0 : r1 + 1], dtype=np.int64) - s0
+    kmer_rows = np.zeros((geo.K_pad, 4), np.int32)
+    kmer_rows[: r1 - r0, 0] = khi.view(np.int32)
+    kmer_rows[: r1 - r0, 1] = klo.view(np.int32)
+    kmer_rows[: r1 - r0, 2] = off[:-1].astype(np.int32)
+    kmer_rows[: r1 - r0, 3] = off[1:].astype(np.int32)
+    if r1 > r0:  # pad rows: all-ones keys (> any real key), empty intervals
+        kmer_rows[r1 - r0 :, 0] = -1
+        kmer_rows[r1 - r0 :, 1] = -1
+    from rapmap_tpu.index.kmer_table import build_prefix_lut
+
+    lut = build_prefix_lut(khi, klo, idx.k, geo.prefix_bases).astype(np.int64)
+    lut_rows = np.stack([lut[:-1], lut[1:]], axis=1).astype(np.int32)
+    didx = DeviceQuasiIndex(
+        text2q=np.zeros((1, 4), np.int32),
+        sa_meta=np.zeros((1, 2), np.int32),
+        kmer_rows=kmer_rows,
+        lut_rows=lut_rows,
+    )
+    return didx, s0
+
+
+def make_stage_a_pseudo(st: EngineStatic, cfg: MapConfig, C: int, L: int):
+    """Compiled pseudo stage-A fn: (didx, lanes (2C, L) int8, lens (2C,)) ->
+    (anch (2C, S) bool, b, e (2C, S) int32 local occ offsets)."""
+    import jax
+    import jax.numpy as jnp
+
+    from rapmap_tpu.ops import encode as denc
+    from rapmap_tpu.ops.extend_packed import pack_reads
+    from rapmap_tpu.ops.lookup import kmer_lookup
+
+    k = st.k
+    S = L - k + 1
+
+    def fn(didx, lanes, lens2):
+        next_bad = denc.next_bad_batch(lanes, L)
+        preads = pack_reads(lanes)
+        key_hi, key_lo, kvalid = denc.kmer_keys_from_packed(preads, next_bad, k, S)
+        found, db, de = kmer_lookup(didx, st, key_hi, key_lo)
+        in_len = (np.arange(S, dtype=np.int32)[None, :] + k) <= lens2[:, None]
+        anch = found & kvalid & in_len & ((de - db) <= cfg.max_interval)
+        return anch, jnp.where(anch, db, 0), jnp.where(anch, de, 0)
+
+    return jax.jit(fn)
+
+
+class StagedPseudoEngine(StagedMapper):
+    """Sequential-shard genome-scale PSEUDO mapper on one chip (the staged
+    analog of models/pseudo.PseudoMapper; oracle.pseudomap parity is pinned
+    in tests/test_staged_pseudo.py)."""
+
+    def __init__(self, idx, cfg: MapConfig, n_shards: int,
+                 read_len: int, batch: int):
+        assert not cfg.mapping_score, "--mappingScore is quasimap-only"
+        self.idx = idx
+        self.cfg = cfg
+        self.geo = staged_geometry_pseudo(idx, n_shards)
+        self.n_shards = n_shards
+        self.L = read_len
+        self.C = batch
+        self.A_max = 0  # unused: pseudo stage A has no anchor compaction
+        self.occ_txp = np.asarray(idx.occ_txp)
+        self.occ_pos = np.asarray(idx.occ_pos)
+        st = EngineStatic(
+            k=idx.k, prefix_bases=self.geo.prefix_bases,
+            lookup_steps=self.geo.lookup_steps, pad_tail=1,
+            max_interval_idx=self.geo.max_interval_idx,
+            n_txps=int(len(idx.txp_lens)), use_chd=False,
+        )
+        self.stage_a = make_stage_a_pseudo(st, cfg, batch, read_len)
+
+    def _acc_init(self, R: int, S: int) -> dict:
+        return dict(
+            anch=np.zeros((R, S), bool),
+            b=np.zeros((R, S), np.int64),
+            e=np.zeros((R, S), np.int64),
+        )
+
+    def _shard_arrays(self, p: int):
+        return pseudo_shard_device_arrays(self.idx, self.geo, p)
+
+    def _stage_a_union(self, didx, lanes_j, lens2, a: dict, s0: int) -> int:
+        import jax
+
+        out = self.stage_a(didx, lanes_j, lens2)
+        jax.block_until_ready(out)
+        anch, b1, e1 = jax.tree.map(np.asarray, out)
+        m = anch
+        a["anch"] |= m
+        a["b"][m] = b1[m].astype(np.int64) + s0
+        a["e"][m] = e1[m].astype(np.int64) + s0
+        return 0
+
+    def _collate_one(self, a: dict, lens: np.ndarray):
+        k = self.idx.k
+        S = self.L - k + 1
+        R = 2 * self.C
+        H = self.cfg.max_hits_per_strand
+        # synthetic mlen = 2k-1 turns walk_hits_np's advance rule
+        # pos + max(1, mlen - k + 1) into the pseudo jump-ahead pos + k
+        mlen_syn = np.where(a["anch"], np.int32(2 * k - 1), np.int32(0))
+        q, n, trunc = walk_hits_np(a["anch"], mlen_syn, k, S, H)
+        lanesix = np.arange(R)[:, None]
+        qc = np.clip(q, 0, S - 1)
+        hb = a["b"][lanesix, qc]
+        he = a["e"][lanesix, qc]
+        hm = np.full((R, H), k, np.int32)  # every pseudo hit covers k chars
+        out, too_amb = collate_np(
+            q, n, hb, he, hm, lens, self.occ_txp, self.occ_pos, self.cfg
+        )
+        trunc_read = trunc[: self.C] | trunc[self.C :]
+        return out, too_amb, trunc_read
+
+
+class StagedPseudoMapper(StagedQuasiMapper):
+    """CLI-facing adapter: `tqm pseudomap` over the host-staged pseudo engine
+    when the CSR exceeds one chip's HBM (SEMANTICS.md §10 scope gate lifted;
+    upstream:src/RapMapMapper.cpp has no scale branch — the reference simply
+    holds the CSR in RAM — so header-driven dispatch mirrors quasimap's)."""
+
+    def __init__(self, idx, cfg: MapConfig, batch: int, read_len: int,
+                 n_shards: int | None = None):
+        if n_shards is None:
+            per = float(_os.environ.get("TQM_STAGED_SHARD_GB", "2")) * 2**30
+            dev_bytes = len(idx.kmer_hi) * 16 + 4**8 * 8
+            n_shards = max(1, math.ceil(dev_bytes / per))
+            # local occ offsets must fit int32 (staged_geometry_pseudo asserts)
+            n_occ = int(np.asarray(idx.kmer_off)[-1])
+            n_shards = max(n_shards, math.ceil(n_occ / (2**30)))
+        self.sm = StagedPseudoEngine(idx, cfg, n_shards=n_shards,
+                                     read_len=read_len, batch=batch)
+        self.cfg = cfg
+        self.host_index = idx
+        self.txp_names = idx.txp_names
+        self.txp_lens = np.asarray(idx.txp_lens)
+        self._pending = {}
+        self._done = {}
+        self._next = 0

@@ -181,6 +181,27 @@ def test_pseudoindex_pseudomap(world):
     assert len(names) == len(reads)
 
 
+def test_engine_dispatch_staged_pseudomap(world):
+    """The SAME `tqm pseudomap` command, forced through the host-staged
+    pseudo engine by a tiny HBM budget (size-driven dispatch mirroring
+    quasimap's): SAM records byte-identical to the replicated engine's."""
+    tmp, txps, reads, fq = world
+    pidx = str(tmp / "pidx")
+    if not (tmp / "pidx" / "header.json").exists():
+        r0 = tqm("pseudoindex", "-t", str(tmp / "txome.fa"), "-i", pidx, "-k", "11")
+        assert r0.returncode == 0, r0.stderr
+    out_r, out_s = str(tmp / "pmr.sam"), str(tmp / "pms.sam")
+    r = tqm("pseudomap", "-i", pidx, "-r", fq, "-o", out_r)
+    assert r.returncode == 0, r.stderr
+    r2 = tqm("pseudomap", "-i", pidx, "-r", fq, "-o", out_s,
+             env_extra={"TQM_HBM_GB": "0.000001"})
+    assert r2.returncode == 0, r2.stderr
+    assert "host-staged engine" in r2.stderr
+    _, rec_r = parse_sam(open(out_r).read())
+    _, rec_s = parse_sam(open(out_s).read())
+    assert rec_s == rec_r and len(rec_s) > 0
+
+
 def test_index_type_mismatch(world):
     tmp, *_ = world
     r = tqm("quasimap", "-i", str(tmp / "pidx"), "-r", str(tmp / "reads.fq"))
