@@ -445,7 +445,17 @@ class StagedMapper:
         self.L = read_len
         self.C = batch
         S = read_len - idx.k + 1
-        self.A_max = anchor_budget or (2 * batch * S)  # worst case: all anchors
+        # anchor-parallel extension runs at a static lane width, but each
+        # window's k-mer lives in exactly ONE shard, so a shard sees ~1/n of
+        # a batch's anchors: budget 4x that average (floor 4096) instead of
+        # the worst case — ~n_shards/4 x less extension work per shard. The
+        # stage-A program counts anchors exactly; on overflow the shard
+        # reruns through a lazily-compiled full-width program, bit-identically
+        # (per-anchor extensions are independent; the union is positional).
+        self.A_full = 2 * batch * S
+        self.A_max = anchor_budget or min(
+            self.A_full, max(4096, (4 * self.A_full) // max(1, n_shards))
+        )
         self.sa_txp = np.asarray(idx.sa_txp)
         self.sa_tpos = np.asarray(idx.sa_tpos)
         st_probe = EngineStatic(
@@ -454,7 +464,9 @@ class StagedMapper:
             pad_tail=len(idx.text) - idx.n_text,
             max_interval_idx=self.geo.max_interval_idx, n_txps=int(idx.n_txps),
         )
+        self._st_probe = st_probe
         self.stage_a = make_stage_a(st_probe, cfg, batch, read_len, self.A_max)
+        self._stage_a_full = None  # compiled on first budget overflow
 
     # ---- stage A sweep: every shard visits the chip once per group ---------
 
@@ -472,18 +484,32 @@ class StagedMapper:
 
     def _stage_a_union(self, didx, lanes_j, lens2, a: dict, s0: int) -> int:
         """Run stage A on the resident shard, union into acc entry `a`.
-        Returns 1 if the anchor budget overflowed (degrades the group)."""
+        Returns the number of full-width reruns (budget escalations) — the
+        results are complete either way."""
         import jax
 
         out = self.stage_a(didx, lanes_j, lens2)
         jax.block_until_ready(out)
         anch, mlen, b1, e1, n_anch = jax.tree.map(np.asarray, out)
+        reruns = 0
+        if int(n_anch) > self.A_max:
+            # the budgeted program clamped the compacted anchor list; rerun
+            # this (shard, batch) at the true worst-case width
+            if self._stage_a_full is None:
+                self._stage_a_full = make_stage_a(
+                    self._st_probe, self.cfg, self.C, self.L, self.A_full
+                )
+            out = self._stage_a_full(didx, lanes_j, lens2)
+            jax.block_until_ready(out)
+            anch, mlen, b1, e1, n_anch = jax.tree.map(np.asarray, out)
+            assert int(n_anch) <= self.A_full
+            reruns = 1
         m = anch
         a["anch"] |= m
         a["mlen"][m] = mlen[m]
         a["b"][m] = b1[m].astype(np.int64) + s0
         a["e"][m] = e1[m].astype(np.int64) + s0
-        return int(int(n_anch) > self.A_max)
+        return reruns
 
     def _sweep(self, lane_batches: list[tuple[np.ndarray, np.ndarray]]):
         """lane_batches: [(codes (C, L), lens (C,)), ...]. Returns per entry
@@ -780,10 +806,10 @@ class StagedQuasiMapper:
             flat = [row for lst in lists for row in lst]
             recs = np.array(flat, np.int32).reshape(-1, width)
             too_amb = res["too_amb"][:B]
-            # anchor overflow (custom anchor_budget only; the default budget
-            # covers the worst case) degrades every read of the group — flag
-            # them all so the host-oracle fallback re-resolves
-            trunc = res["trunc"][:B] | bool(res["anchor_overflow"])
+            # anchor_overflow counts full-width stage-A reruns (results are
+            # complete either way); only the walk's H-budget truncation
+            # degrades a read into the host-oracle fallback
+            trunc = res["trunc"][:B]
             flags = (
                 trunc.astype(np.int32) * FLAG_OVER_BUDGET
                 | too_amb.astype(np.int32) * FLAG_TOO_AMBIGUOUS

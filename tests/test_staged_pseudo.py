@@ -142,6 +142,34 @@ def test_staged_pseudo_adapter_wire(tmp_path):
     assert got == exp_recs
 
 
+def test_staged_quasi_budget_rerun_exact(tmp_path):
+    """A too-small anchor budget escalates to the full-width stage-A rerun
+    (counted in stats) with results still oracle-exact — the budgeted fast
+    path can never silently drop anchors."""
+    from rapmap_tpu.index.builder import build_quasi_index
+    from rapmap_tpu.oracle import quasimap as qm
+    from rapmap_tpu.parallel.staged import StagedMapper
+
+    rng = np.random.default_rng(57)
+    base = random_transcriptome(rng, n_txps=6, min_len=150, max_len=260)
+    shared = base[0][1][30:120]
+    txps = [(f"t{i}", s[:30] + shared + s[30:]) for i, (_, s) in enumerate(base)]
+    fa = write_fasta(str(tmp_path / "g.fa"), txps)
+    idx = build_quasi_index(fa, k=11)
+    L = 40
+    reads = [r[1] for r in sample_reads(rng, txps, 24, read_len=L, error_rate=0.02)]
+    codes, lens = batch_of(reads, L)
+    cfg = MapConfig(k=idx.k, max_hits_per_strand=16)
+    sm = StagedMapper(idx, cfg, n_shards=3, read_len=L, batch=len(reads),
+                      anchor_budget=8)
+    results, stats = sm.map_batches([codes])
+    assert stats["anchor_overflow"] > 0  # reruns happened...
+    for i in range(len(reads)):
+        want = qm.map_read(idx, codes[i][: lens[i]], cfg)
+        exp = [(m.txp, m.pos, 0 if m.fwd else 1, m.score) for m in want]
+        assert results[0][i] == exp, f"read {i}"  # ...and cost no exactness
+
+
 def test_staged_pseudo_strict_matches_replicated(tmp_path):
     """-s has no pseudo-oracle pin (the reference's pseudomap lacks the curb
     [REF-VERIFY]); staged and replicated engines must still agree on it."""
