@@ -11,6 +11,21 @@ from rapmap_tpu.oracle.quasimap import Mapping, SAHit, merge_pairs
 
 
 def _lookup(idx: PseudoIndex, key: int) -> tuple[int, int] | None:
+    from rapmap_tpu.oracle.quasimap import _KEY64_CACHE_MAX
+
+    if len(idx.kmer_hi) > _KEY64_CACHE_MAX:
+        # genome-scale CSR: probe the sorted (hi, lo) columns directly —
+        # the combined-key cache costs 8 B/key (see quasimap._lookup)
+        hi = np.uint32(key >> 32)
+        lo = np.uint32(key & 0xFFFFFFFF)
+        i0 = int(np.searchsorted(idx.kmer_hi, hi, side="left"))
+        i1 = int(np.searchsorted(idx.kmer_hi, hi, side="right"))
+        if i0 == i1:
+            return None
+        j = i0 + int(np.searchsorted(idx.kmer_lo[i0:i1], lo))
+        if j < i1 and idx.kmer_lo[j] == lo:
+            return int(idx.kmer_off[j]), int(idx.kmer_off[j + 1])
+        return None
     keys = getattr(idx, "_key64_cache", None)
     if keys is None or len(keys) != len(idx.kmer_hi):
         keys = (idx.kmer_hi.astype(np.uint64) << np.uint64(32)) | idx.kmer_lo.astype(

@@ -45,7 +45,27 @@ def _key64(idx: QuasiIndex) -> np.ndarray:
     return keys
 
 
+_KEY64_CACHE_MAX = 1 << 28  # past this, the 8 B/key cache is a memory bomb
+
+
 def _lookup(idx: QuasiIndex, key: int) -> tuple[int, int] | None:
+    if len(idx.kmer_hi) > _KEY64_CACHE_MAX:
+        # genome-scale tables (2e9+ keys, usually mmap'd): materializing the
+        # combined key array costs ~18 GB (+ a ~3x evaluation peak — it
+        # OOM-killed the 2.2 Gbase oracle-parity pass at 130 GB anon RSS).
+        # The table is sorted by (hi, lo), so probe the columns directly:
+        # hi-run by two searchsorteds, then lo within the run — ~60 touched
+        # pages per probe, zero allocation.
+        hi = np.uint32(key >> 32)
+        lo = np.uint32(key & 0xFFFFFFFF)
+        i0 = int(np.searchsorted(idx.kmer_hi, hi, side="left"))
+        i1 = int(np.searchsorted(idx.kmer_hi, hi, side="right"))
+        if i0 == i1:
+            return None
+        j = i0 + int(np.searchsorted(idx.kmer_lo[i0:i1], lo))
+        if j < i1 and idx.kmer_lo[j] == lo:
+            return int(idx.kmer_b[j]), int(idx.kmer_e[j])
+        return None
     keys = _key64(idx)
     i = int(np.searchsorted(keys, np.uint64(key)))
     if i < len(keys) and keys[i] == np.uint64(key):

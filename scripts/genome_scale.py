@@ -225,7 +225,14 @@ def main():
         f"= {n_reads/t_map:,.0f} reads/s (incl. {args.shards} shard "
         f"uploads); stats={stats}; peak RSS {rss_gb():.1f} GB")
 
-    # oracle parity on a sample
+    # oracle parity on a sample. Free the staged mapper (and its tunnel-client
+    # staging residue) first: the sweep ends near the host's memory ceiling
+    # and the round-4 first attempt was OOM-killed right here (the oracle's
+    # key64 cache is also gated off at this scale now — oracle/quasimap).
+    import gc
+
+    del sm
+    gc.collect()
     t0 = time.time()
     ns = min(args.oracle_sample, n_reads)
     sel = rng.choice(n_reads, ns, replace=False)

@@ -132,3 +132,34 @@ def test_bigsa_packed_extension_equals_charwise(tmp_path, rng):
     assert np.array_equal(b_p[on], b_c[on])
     assert np.array_equal(e_p[on], e_c[on])
     assert np.array_equal(m_p[on], d_c[on])
+
+
+def test_oracle_two_step_lookup_matches_cached(tmp_path, monkeypatch):
+    """The genome-scale oracle probe (two searchsorteds over the sorted
+    (hi, lo) columns, no key64 cache) returns identical mappings to the
+    cached-key path — forced on a toy index by zeroing the cache threshold."""
+    import numpy as np
+
+    import rapmap_tpu.oracle.quasimap as qmod
+    from rapmap_tpu.config import MapConfig
+    from rapmap_tpu.index.builder import build_pseudo_index, build_quasi_index
+    from rapmap_tpu.oracle import pseudomap as pm
+    from rapmap_tpu.oracle import quasimap as qm
+    from tests.test_device_parity import batch_of
+    from tests.util import random_transcriptome, sample_reads, write_fasta
+
+    rng = np.random.default_rng(61)
+    txps = random_transcriptome(rng, n_txps=5, min_len=150, max_len=300)
+    fa = write_fasta(str(tmp_path / "t.fa"), txps)
+    qidx = build_quasi_index(fa, k=11)
+    pidx = build_pseudo_index(fa, k=11)
+    L = 44
+    reads = [r[1] for r in sample_reads(rng, txps, 24, read_len=L, error_rate=0.03)]
+    codes, lens = batch_of(reads, L)
+    cfg = MapConfig(k=11)
+    want_q = [qm.map_read(qidx, codes[i][: lens[i]], cfg) for i in range(len(reads))]
+    want_p = [pm.map_read(pidx, codes[i][: lens[i]], cfg) for i in range(len(reads))]
+    monkeypatch.setattr(qmod, "_KEY64_CACHE_MAX", 0)
+    for i in range(len(reads)):
+        assert qm.map_read(qidx, codes[i][: lens[i]], cfg) == want_q[i], i
+        assert pm.map_read(pidx, codes[i][: lens[i]], cfg) == want_p[i], i
