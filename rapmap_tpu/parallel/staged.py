@@ -161,8 +161,12 @@ def shard_device_arrays(idx: QuasiIndex, geo: StagedGeometry, p: int):
 
 def make_stage_a(st: EngineStatic, cfg: MapConfig, C: int, L: int, A_max: int):
     """Compiled stage-A fn: (didx, lanes (2C, L) int8, lens (2C,)) ->
-    (anch (2C,S) bool, mine (2C,S) bool, mlen, b1, e1 (2C,S) int32,
-     n_anch int32) — all shard-local partials, unioned on host."""
+    (src, mlen, b1, e1 (A_max,) int32, n_anch int32) — the shard's anchors
+    COMPACTED: src holds flat (lane*S + pos) indices (2C*S for dead slots),
+    the value rows ride beside it. The sparse wire downloads ~A_max*16 B per
+    batch instead of four dense (2C, S) maps (~30 MB at genome batches —
+    which dominated per-shard device+union time through the tunnel); the
+    host scatters into its dense union maps."""
     import jax
     import jax.numpy as jnp
 
@@ -202,17 +206,15 @@ def make_stage_a(st: EngineStatic, cfg: MapConfig, C: int, L: int, A_max: int):
             jnp.where(live, b0, 0), jnp.where(live, e0, 0), pos, live, k,
             ext_steps, L, lane=lane_c,
         )
-        # scatter back dense
-        didx_flat = jnp.where(live, lane_c * S + pos, R * S)
-
-        def dense(vals):
-            return (
-                jnp.zeros((R * S + 1,), jnp.int32)
-                .at[didx_flat].set(jnp.where(live, vals, 0), mode="drop")[: R * S]
-                .reshape(R, S)
-            )
-
-        return anch, dense(mlen), dense(b1), dense(e1), n_anch
+        src = jnp.where(live, lane_c * S + pos, R * S)
+        z = jnp.int32(0) * n_anch
+        return (
+            src,
+            jnp.where(live, mlen, z),
+            jnp.where(live, b1, z),
+            jnp.where(live, e1, z),
+            n_anch,
+        )
 
     import jax
 
@@ -490,7 +492,7 @@ class StagedMapper:
 
         out = self.stage_a(didx, lanes_j, lens2)
         jax.block_until_ready(out)
-        anch, mlen, b1, e1, n_anch = jax.tree.map(np.asarray, out)
+        src, mlen, b1, e1, n_anch = jax.tree.map(np.asarray, out)
         reruns = 0
         if int(n_anch) > self.A_max:
             # the budgeted program clamped the compacted anchor list; rerun
@@ -501,14 +503,16 @@ class StagedMapper:
                 )
             out = self._stage_a_full(didx, lanes_j, lens2)
             jax.block_until_ready(out)
-            anch, mlen, b1, e1, n_anch = jax.tree.map(np.asarray, out)
+            src, mlen, b1, e1, n_anch = jax.tree.map(np.asarray, out)
             assert int(n_anch) <= self.A_full
             reruns = 1
-        m = anch
-        a["anch"] |= m
-        a["mlen"][m] = mlen[m]
-        a["b"][m] = b1[m].astype(np.int64) + s0
-        a["e"][m] = e1[m].astype(np.int64) + s0
+        RS = a["anch"].size
+        valid = src < RS
+        sel = src[valid]
+        a["anch"].reshape(-1)[sel] = True
+        a["mlen"].reshape(-1)[sel] = mlen[valid]
+        a["b"].reshape(-1)[sel] = b1[valid].astype(np.int64) + s0
+        a["e"].reshape(-1)[sel] = e1[valid].astype(np.int64) + s0
         return reruns
 
     def _sweep(self, lane_batches: list[tuple[np.ndarray, np.ndarray]]):
@@ -909,9 +913,12 @@ def pseudo_shard_device_arrays(idx, geo: StagedGeometry, p: int):
     return didx, s0
 
 
-def make_stage_a_pseudo(st: EngineStatic, cfg: MapConfig, C: int, L: int):
+def make_stage_a_pseudo(st: EngineStatic, cfg: MapConfig, C: int, L: int,
+                        A_max: int):
     """Compiled pseudo stage-A fn: (didx, lanes (2C, L) int8, lens (2C,)) ->
-    (anch (2C, S) bool, b, e (2C, S) int32 local occ offsets)."""
+    (src, b, e (A_max,) int32, n_anch) — the shard's found windows compacted
+    to the same sparse wire as the quasi stage A (src = flat lane*S + pos,
+    2C*S for dead slots; b/e are LOCAL occ offsets)."""
     import jax
     import jax.numpy as jnp
 
@@ -921,6 +928,7 @@ def make_stage_a_pseudo(st: EngineStatic, cfg: MapConfig, C: int, L: int):
 
     k = st.k
     S = L - k + 1
+    R = 2 * C
 
     def fn(didx, lanes, lens2):
         next_bad = denc.next_bad_batch(lanes, L)
@@ -929,7 +937,26 @@ def make_stage_a_pseudo(st: EngineStatic, cfg: MapConfig, C: int, L: int):
         found, db, de = kmer_lookup(didx, st, key_hi, key_lo)
         in_len = (np.arange(S, dtype=np.int32)[None, :] + k) <= lens2[:, None]
         anch = found & kvalid & in_len & ((de - db) <= cfg.max_interval)
-        return anch, jnp.where(anch, db, 0), jnp.where(anch, de, 0)
+        flat = anch.reshape(-1)
+        ia = jnp.cumsum(flat.astype(jnp.int32)) - 1
+        n_anch = ia[-1] + 1
+        dest = jnp.where(flat, jnp.minimum(ia, A_max - 1), A_max)
+        src = (
+            jnp.zeros((A_max + 1,), jnp.int32)
+            .at[dest].set(np.arange(R * S, dtype=np.int32) + n_anch * 0,
+                          mode="drop")[:A_max]
+        )
+        live = (np.arange(A_max, dtype=np.int32) + n_anch * 0) < jnp.minimum(
+            n_anch, A_max
+        )
+        srcc = jnp.clip(src, 0, R * S - 1)
+        z = jnp.int32(0) * n_anch
+        return (
+            jnp.where(live, src, R * S),
+            jnp.where(live, db.reshape(-1)[srcc], z),
+            jnp.where(live, de.reshape(-1)[srcc], z),
+            n_anch,
+        )
 
     return jax.jit(fn)
 
@@ -940,7 +967,7 @@ class StagedPseudoEngine(StagedMapper):
     in tests/test_staged_pseudo.py)."""
 
     def __init__(self, idx, cfg: MapConfig, n_shards: int,
-                 read_len: int, batch: int):
+                 read_len: int, batch: int, anchor_budget: int | None = None):
         assert not cfg.mapping_score, "--mappingScore is quasimap-only"
         self.idx = idx
         self.cfg = cfg
@@ -948,16 +975,23 @@ class StagedPseudoEngine(StagedMapper):
         self.n_shards = n_shards
         self.L = read_len
         self.C = batch
-        self.A_max = 0  # unused: pseudo stage A has no anchor compaction
+        S = read_len - idx.k + 1
+        self.A_full = 2 * batch * S
+        self.A_max = anchor_budget or min(
+            self.A_full, max(4096, (4 * self.A_full) // max(1, n_shards))
+        )
         self.occ_txp = np.asarray(idx.occ_txp)
         self.occ_pos = np.asarray(idx.occ_pos)
-        st = EngineStatic(
+        self._st_probe = EngineStatic(
             k=idx.k, prefix_bases=self.geo.prefix_bases,
             lookup_steps=self.geo.lookup_steps, pad_tail=1,
             max_interval_idx=self.geo.max_interval_idx,
             n_txps=int(len(idx.txp_lens)), use_chd=False,
         )
-        self.stage_a = make_stage_a_pseudo(st, cfg, batch, read_len)
+        self.stage_a = make_stage_a_pseudo(
+            self._st_probe, cfg, batch, read_len, self.A_max
+        )
+        self._stage_a_full = None
 
     def _acc_init(self, R: int, S: int) -> dict:
         return dict(
@@ -974,12 +1008,25 @@ class StagedPseudoEngine(StagedMapper):
 
         out = self.stage_a(didx, lanes_j, lens2)
         jax.block_until_ready(out)
-        anch, b1, e1 = jax.tree.map(np.asarray, out)
-        m = anch
-        a["anch"] |= m
-        a["b"][m] = b1[m].astype(np.int64) + s0
-        a["e"][m] = e1[m].astype(np.int64) + s0
-        return 0
+        src, b1, e1, n_anch = jax.tree.map(np.asarray, out)
+        reruns = 0
+        if int(n_anch) > self.A_max:
+            if self._stage_a_full is None:
+                self._stage_a_full = make_stage_a_pseudo(
+                    self._st_probe, self.cfg, self.C, self.L, self.A_full
+                )
+            out = self._stage_a_full(didx, lanes_j, lens2)
+            jax.block_until_ready(out)
+            src, b1, e1, n_anch = jax.tree.map(np.asarray, out)
+            assert int(n_anch) <= self.A_full
+            reruns = 1
+        RS = a["anch"].size
+        valid = src < RS
+        sel = src[valid]
+        a["anch"].reshape(-1)[sel] = True
+        a["b"].reshape(-1)[sel] = b1[valid].astype(np.int64) + s0
+        a["e"].reshape(-1)[sel] = e1[valid].astype(np.int64) + s0
+        return reruns
 
     def _collate_one(self, a: dict, lens: np.ndarray):
         k = self.idx.k
