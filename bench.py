@@ -277,41 +277,12 @@ def run_bench(batch: int, pe: bool = False, isoform: bool = False,
         mapper = PseudoMapper(pidx, cfg)
         lens = np.full(BATCH, READ_LEN, dtype=np.int32)
         submit = lambda lo: mapper.map_se_async(codes[lo : lo + BATCH], lens)
-        print(f"# setup {time.time()-t_setup:.1f}s", file=sys.stderr)
-        t0 = time.time()
-        wr = mapper.fetch(submit(0))
-        compile_s = time.time() - t0
-        print(f"# compile+first batch {compile_s:.1f}s; "
-              f"mapped {wr.counters['reads_mapped']}/{BATCH}", file=sys.stderr)
-        from collections import deque
-
-        q: deque = deque()
-        t0 = time.time()
-        total = mapped = 0
-        for i in range(max(1, N_READS // BATCH)):
-            if (i + 1) * BATCH > len(codes):
-                break
-            q.append(submit(i * BATCH))
-            if len(q) >= 6:
-                wr = mapper.fetch(q.popleft())
-                mapped += wr.counters["reads_mapped"]
-                total += BATCH
-        while q:
-            wr = mapper.fetch(q.popleft())
-            mapped += wr.counters["reads_mapped"]
-            total += BATCH
-        dt = time.time() - t0
-        print(f"# {total} reads in {dt:.2f}s, map rate {100.0*mapped/total:.1f}%",
-              file=sys.stderr)
-        return {
-            "metric": "pseudomap_reads_per_s_per_chip",
-            "value": round(total / dt, 1),
-            "unit": "reads/s",
-            "vs_baseline": round(total / dt / PROVISIONAL_BASELINE_READS_PER_S, 3),
-            "map_rate_pct": round(100.0 * mapped / total, 2),
-            "compile_s": round(compile_s, 1),
-        }
-    if isoform:
+        n_src = len(codes)
+        # falls through to the shared warmup + N_REP median pipeline below —
+        # the pseudo row used to be a single timed pass (r4 full-matrix run
+        # read 302k where the same engine medianed 449k in r2: single-run
+        # pseudo reporting was pure tunnel noise)
+    elif isoform:
         idx, codes = build_isoform_world()
         # repetitive regime: auto-size the expansion pool (+ pair expansion)
         # from index stats; measured hits/lane maxes at 2 even here (NIP
@@ -323,18 +294,19 @@ def run_bench(batch: int, pe: bool = False, isoform: bool = False,
     else:
         idx, codes = build_world()
         cfg = bench_cfg(idx, chunk=CHUNK if batch > CHUNK else 0)
-    mapper = QuasiMapper(idx, cfg)
-    BATCH = batch
-    lens = np.full(BATCH, READ_LEN, dtype=np.int32)
-    if pe:
-        c1, c2 = build_pe_reads(idx, tag="pe_iso_v1" if isoform else "pe_v1")
-        submit = lambda lo: mapper.map_pe_async(
-            c1[lo : lo + BATCH], lens, c2[lo : lo + BATCH], lens
-        )
-        n_src = len(c1)
-    else:
-        submit = lambda lo: mapper.map_se_async(codes[lo : lo + BATCH], lens)
-        n_src = len(codes)
+    if not pseudo:
+        mapper = QuasiMapper(idx, cfg)
+        BATCH = batch
+        lens = np.full(BATCH, READ_LEN, dtype=np.int32)
+        if pe:
+            c1, c2 = build_pe_reads(idx, tag="pe_iso_v1" if isoform else "pe_v1")
+            submit = lambda lo: mapper.map_pe_async(
+                c1[lo : lo + BATCH], lens, c2[lo : lo + BATCH], lens
+            )
+            n_src = len(c1)
+        else:
+            submit = lambda lo: mapper.map_se_async(codes[lo : lo + BATCH], lens)
+            n_src = len(codes)
     print(f"# setup {time.time()-t_setup:.1f}s", file=sys.stderr)
 
     # warmup / compile
@@ -387,9 +359,13 @@ def run_bench(batch: int, pe: bool = False, isoform: bool = False,
     rates.sort()
     rps = rates[len(rates) // 2]
     unit_name = "pairs" if pe else "reads"
-    metric = "quasimap_pairs_per_s_per_chip" if pe else "quasimap_reads_per_s_per_chip"
-    if isoform:
-        metric += "_isoform"
+    if pseudo:
+        metric = "pseudomap_reads_per_s_per_chip"
+    else:
+        metric = ("quasimap_pairs_per_s_per_chip" if pe
+                  else "quasimap_reads_per_s_per_chip")
+        if isoform:
+            metric += "_isoform"
     return {
         "metric": metric,
         "value": round(rps, 1),
@@ -451,7 +427,10 @@ def main() -> None:
 
     # ---- full matrix (the driver's default invocation) ----------------------
     # Canary first: a sick tunnel/compile-server day becomes a recorded field.
-    canary = _run_child(["--canary"], ((0, 600),)) or {"error": "canary failed"}
+    # Two attempts: the r4 full-matrix run lost its canary to one >600 s
+    # compile-server episode while every engine row ran fine.
+    canary = (_run_child(["--canary"], ((0, 600), (0, 600)))
+              or {"error": "canary failed"})
     print(f"# canary: {json.dumps(canary)}", file=sys.stderr)
     # measured sweep (BASELINE.md): B=32768 456.8k > B=65536 391-396k >
     # B=16384 325.6k — lead with the sweet spot; fallbacks shrink compile risk
