@@ -1,22 +1,47 @@
-"""Benchmark: quasi-mapping reads/s on one chip.
+"""Benchmark: quasi-mapping reads/s on one chip — single-process, budget-aware.
 
-Prints ONE JSON line. Headline fields {"metric", "value", "unit",
-"vs_baseline"} stay the uniform-SE quasimap median for cross-round
-continuity; the same line now carries (VERDICT r3 item 4, machine-honest
-benching):
-  "rows":    per-regime medians — uniform_se, isoform_se (PRIMARY: the
-             realistic multimapping regime), pe, pseudo — each median-of-5
-             with min/max/spread and the compile+first-batch cost
-  "canary":  a PINNED tiny program (HBM random-gather probe, the engine's
-             bottleneck op) with its recorded healthy range, so a sick
-             tunnel/compile-server day is a field, not a prose caveat
-  "primary_row": "isoform_se"
+Prints ONE JSON line (stdout; all progress on stderr). Headline fields
+{"metric", "value", "unit", "vs_baseline"} stay the uniform-SE quasimap median
+for cross-round continuity; the same line carries (VERDICT r4 item 1):
 
-Baseline note (BASELINE.md): the reference binary could not be built this round
-(/root/reference has been an empty mount), so vs_baseline is computed against a
-provisional single-core C++ figure of 150k reads/s — the RapMap-paper order of
-magnitude for one thread — to be replaced by an empirical measurement the
-moment the mount carries source. The north-star target is 10x that.
+  "rows":       per-regime results — uniform_se, isoform_se (PRIMARY:
+                the realistic multimapping regime), pe, pseudo — each
+                median-of-up-to-5 pipelined passes with min/max/spread,
+                an ITEMIZED first-batch cost (t_world / t_upload /
+                t_program / t_warm — VERDICT r4 item 2), and a bracketing
+                canary re-read AFTER the row (item 3)
+  "canary":     PINNED tiny program (HBM random-gather probe, the engine's
+                bottleneck op) with healthy range tightened to the measured
+                13-15 ns/ix gather economics ±20% (r4 Weak #9)
+  "host":       load average + 32 MB h2d/d2h tunnel bandwidth probes, so a
+                contended host/tunnel day is a recorded field
+  "mfu_analog": achieved gather-indices/s (uniform row x ~92 gather-ix/read,
+                BASELINE.md stage profile) ÷ the day's measured random-gather
+                ceiling from the canary — the single-chip "MFU" this
+                transaction-bound engine should be judged on
+  "accuracy":   SE + PE + indel precision/recall vs simulated truth through
+                the SAME resident mapper programs (r4 item 8) — zero extra
+                compile cost
+  "partial":    true if the budget expired before the full matrix; whatever
+                rows completed are still printed (a partial matrix that
+                PARSES beats a full matrix that times out — r4 BENCH was
+                rc=124/parsed:null by construction)
+
+Why single-process (r4 Weak #1): the r1-r4 design ran each regime in a child
+process to sandbox compile-server hangs; every child re-paid 250-950 s of
+tunnel staging + compile, and 4 children + a 243.9 s canary compile could not
+fit the driver's budget. Now: one process, regimes sequential, PE reuses the
+resident uniform index and mapper, a watchdog THREAD guarantees a parsed JSON
+line before the budget (env TQM_BENCH_BUDGET_S, default 1500 s) expires, and
+the XLA persistent compile cache lives IN THE REPO (.jax_bench_cache/,
+git-committed) so the driver's fresh-session capture hits programs compiled
+during the build session instead of re-paying the compile server.
+
+Baseline note (BASELINE.md): the reference binary could not be built
+(/root/reference has been an empty mount every session), so vs_baseline is
+computed against a provisional single-core C++ figure of 150k reads/s — the
+RapMap-paper order of magnitude for one thread — to be replaced by an
+empirical measurement the moment the mount carries source. North star: 10x.
 """
 
 from __future__ import annotations
@@ -24,33 +49,140 @@ from __future__ import annotations
 import json
 import os
 import sys
+import threading
 import time
 
-sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, REPO)
 
 import numpy as np
 
 from rapmap_tpu.utils.jaxenv import setup as _jax_setup
 
-_jax_setup()
+# Committed compile cache: the driver's capture runs in a FRESH session
+# (/root/.cache does not survive; r4's capture re-paid a 922.7 s compile the
+# build session had already done). Only committed repo files reach it, so the
+# bench's persistent cache lives in-repo. An earlier explicit setup(cache_dir)
+# (e.g. scripts/bench_coldstart.py measuring cold starts) still wins.
+BENCH_JAX_CACHE = os.environ.get(
+    "TQM_JAX_CACHE", os.path.join(REPO, ".jax_bench_cache")
+)
+try:
+    import jax  # config only; backend init happens at first device use
+
+    _preset = jax.config.jax_compilation_cache_dir is not None
+except Exception:
+    _preset = False
+_jax_setup(cache_dir=None if _preset else BENCH_JAX_CACHE)
 
 PROVISIONAL_BASELINE_READS_PER_S = 150_000.0
 
-CACHE = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".bench_cache")
+CACHE = os.path.join(REPO, ".bench_cache")
 
-# bench scale: ~20 Mbase synthetic transcriptome (human txome is ~200-350 Mbase;
-# this keeps index build under a minute while exercising real HBM working sets)
+# bench scale: ~20 Mbase synthetic transcriptome (human txome is ~200-350
+# Mbase; keeps index build under a minute while exercising real HBM working
+# sets). B=32768 is the measured dispatch sweet spot (BASELINE.md r3 sweep:
+# 32768 > 65536 > 16384); the compiled program is a lax.scan over CHUNK-read
+# chunks so compile cost tracks CHUNK, not B.
 N_TXPS = 10_000
 TXP_LEN = (500, 3500)
 READ_LEN = 76
 N_READS = 786_432
-BATCH = 65536  # dispatch batch; the compiled program is a lax.scan over CHUNK
-# -read chunks, so compile cost tracks CHUNK (B-independent). A large share of
-# engine time is per-op fixed overhead (the runtime charges ~tens of µs per
-# device op regardless of shape), which amortizes with chunk size — TQM_CHUNK
-# exists for A/B'ing that tradeoff against compile time.
+BATCH = 32_768
 CHUNK = int(os.environ.get("TQM_CHUNK", "8192"))
 
+BUDGET_S = float(os.environ.get("TQM_BENCH_BUDGET_S", "1500"))
+T_START = time.time()
+
+# per-read gather-index count for the uniform regime (BASELINE.md stage
+# profile: lookup is the gather floor at ~92 gather indices/read — 2-gather
+# CHD probe per window + sa_cmp row gathers in the walk/extension)
+GATHER_IX_PER_READ = 92.0
+
+
+def _elapsed() -> float:
+    return time.time() - T_START
+
+
+def _remaining() -> float:
+    return BUDGET_S - _elapsed()
+
+
+# ---- shared partial state: the watchdog prints whatever exists ------------
+STATE: dict = {
+    "rows": {},
+    "canary": None,
+    "host": None,
+    "accuracy": None,
+    "skipped": {},
+}
+_DONE = threading.Event()
+
+
+def _assemble(partial: bool, reason: str) -> dict:
+    rows = STATE["rows"]
+    head = rows.get("uniform_se") or next(
+        (r for r in rows.values() if r and "value" in r), None
+    )
+    out: dict = {}
+    if head:
+        out.update(
+            metric=head["metric"], value=head["value"], unit=head["unit"],
+            vs_baseline=head["vs_baseline"], n_rep=head.get("n_rep"),
+            min=head.get("min"), max=head.get("max"),
+            spread_pct=head.get("spread_pct"),
+        )
+    else:
+        out.update(
+            metric="quasimap_reads_per_s_per_chip", value=0.0, unit="reads/s",
+            vs_baseline=0.0, error="no engine row completed inside the budget",
+        )
+    # MFU analog: day-normalized — achieved gather-ix/s over the canary's
+    # measured per-gather-index ceiling (best bracketing read of the day)
+    can = STATE["canary"] or {}
+    ns_seen = [can.get("gather_ns")] + [
+        r.get("canary_after_ns") for r in rows.values() if isinstance(r, dict)
+    ]
+    ns_seen = [x for x in ns_seen if x]
+    if head and "value" in head and ns_seen:
+        ceiling = 1e9 / min(ns_seen)
+        out["mfu_analog"] = round(head["value"] * GATHER_IX_PER_READ / ceiling, 3)
+        out["gather_ceiling_per_s"] = round(ceiling)
+        out["gather_ix_per_read"] = GATHER_IX_PER_READ
+    out.update(
+        rows=rows, canary=STATE["canary"], host=STATE["host"],
+        accuracy=STATE["accuracy"], primary_row="isoform_se",
+        budget_s=BUDGET_S, elapsed_s=round(_elapsed(), 1),
+        partial=partial, done_reason=reason,
+    )
+    if STATE["skipped"]:
+        out["skipped"] = STATE["skipped"]
+    return out
+
+
+def _emit_and_exit(partial: bool, reason: str, code: int = 0) -> None:
+    sys.stdout.write(json.dumps(_assemble(partial, reason)) + "\n")
+    sys.stdout.flush()
+    os._exit(code)
+
+
+def _arm_watchdog(margin_s: float = 25.0) -> None:
+    """Guarantee a parsed JSON line before the budget expires, even if the
+    main thread is stuck inside a compile-server call or a wedged fetch."""
+
+    def run():
+        while not _DONE.is_set():
+            left = _remaining() - margin_s
+            if left <= 0:
+                print(f"# watchdog: budget {BUDGET_S:.0f}s expiring — emitting "
+                      f"partial matrix", file=sys.stderr, flush=True)
+                _emit_and_exit(True, "budget_expired_watchdog")
+            _DONE.wait(timeout=min(left, 5.0))
+
+    threading.Thread(target=run, daemon=True, name="bench-watchdog").start()
+
+
+# ---- worlds (cached under .bench_cache/, rebuilt fresh by the driver) ------
 
 def build_world():
     from rapmap_tpu.index.builder import build_quasi_index
@@ -108,7 +240,7 @@ def build_world():
 def build_isoform_world():
     """Isoform-style repetitive txome (shared exons + paralogs,
     scripts/txome_sim.py) at ~bench scale: real multimapping pressure."""
-    sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), "scripts"))
+    sys.path.insert(0, os.path.join(REPO, "scripts"))
     from txome_sim import gen_isoform_txome, write_fasta
 
     from rapmap_tpu.index.builder import build_quasi_index
@@ -183,6 +315,18 @@ def build_pe_reads(idx, tag: str = "pe_v1"):
     return d["c1"], d["c2"]
 
 
+def build_pseudo_world():
+    """Pseudo (k-mer CSR) index over the same bench txome + the same reads."""
+    from rapmap_tpu.index.builder import build_pseudo_index
+    from rapmap_tpu.index.format import load_index
+
+    idx, codes = build_world()  # ensures txome.fa + reads exist
+    pidx_dir = os.path.join(CACHE, "pidx_v1")
+    if not os.path.exists(os.path.join(pidx_dir, "header.json")):
+        build_pseudo_index(os.path.join(CACHE, "txome.fa"), outdir=pidx_dir, k=31)
+    return load_index(pidx_dir), codes
+
+
 def bench_cfg(idx, chunk: int):
     """Device buffers sized to the measured bench-read regime (oracle probe:
     ~1.07 expansion slots and <= 2 MMP hits per read; see BASELINE.md):
@@ -199,33 +343,24 @@ def bench_cfg(idx, chunk: int):
     )
 
 
-def build_pseudo_world():
-    """Pseudo (k-mer CSR) index over the same bench txome + the same reads."""
-    from rapmap_tpu.index.builder import build_pseudo_index
-    from rapmap_tpu.index.format import load_index
+# ---- health probes ---------------------------------------------------------
 
-    idx, codes = build_world()  # ensures txome.fa + reads exist
-    pidx_dir = os.path.join(CACHE, "pidx_v1")
-    if not os.path.exists(os.path.join(pidx_dir, "header.json")):
-        build_pseudo_index(os.path.join(CACHE, "txome.fa"), outdir=pidx_dir, k=31)
-    return load_index(pidx_dir), codes
+# Canary healthy range (ns per random gather index, 4M int32x8-row gathers):
+# the engine is transaction-bound at ~13-15 ns/index on a healthy chip+tunnel
+# (BASELINE.md gather economics); tightened from r1-r4's [9, 22] which
+# admitted 1.5x degradation as "healthy" — r4's driver capture read 21.03
+# "healthy" while engine rows ran 2-7x below quiet-host medians (VERDICT r4
+# Weak #2/#9). Outside this range, the day's absolute numbers are
+# tunnel-degraded: compare map rates and the mfu_analog instead.
+CANARY_HEALTHY_NS = (10.4, 18.0)
 
-
-# Canary healthy range (ns per random gather index, 4M int32x8-row gathers
-# incl. one dispatch): the engine is transaction-bound at ~13-15 ns/index on a
-# healthy chip+tunnel (BASELINE.md gather economics); round-3's sick sessions
-# measured the same code ~30% slower. Outside this range, treat the day's
-# absolute numbers as tunnel-degraded and compare map rates / other rows.
-CANARY_HEALTHY_NS = (9.0, 22.0)
+_CANARY_PROG: list = []  # [(jitted_fn, table, indices)] once compiled
 
 
-def run_canary() -> dict:
-    """Frozen micro-program: one jitted 4M-index random gather over a 128 MB
-    HBM table (the probe/walk bottleneck op). Median-of-5, compile excluded."""
+def _canary_setup():
     import jax
     import jax.numpy as jnp
 
-    t0 = time.time()
     rows = 1 << 22
     tab = jnp.asarray(np.arange(rows * 8, dtype=np.int32).reshape(rows, 8))
     ix = jnp.asarray(
@@ -236,95 +371,87 @@ def run_canary() -> dict:
     def g(t, i):
         return jnp.take(t, i, axis=0).sum(dtype=jnp.int32)
 
-    # int(...) fetches the scalar to host: on the axon relay,
-    # block_until_ready alone resolves ~instantly (measured 0.01-0.03 ns/ix
-    # — it does NOT synchronize with remote compute); only a host data fetch
-    # serializes against the device stream, so the canary times through one.
-    int(g(tab, ix))
-    compile_s = time.time() - t0
+    _CANARY_PROG.append((g, tab, ix))
+
+
+def canary_read(n_rep: int = 5) -> dict:
+    """Median-of-n timing of the resident canary program, compile excluded.
+    int(...) fetches the scalar to host: on the axon relay, block_until_ready
+    resolves ~instantly (it does NOT synchronize with remote compute); only a
+    host data fetch serializes against the device stream."""
+    g, tab, ix = _CANARY_PROG[0]
     reps = []
-    for _ in range(5):
+    for _ in range(n_rep):
         t0 = time.time()
         int(g(tab, ix))
         reps.append(time.time() - t0)
     reps.sort()
-    ns = reps[2] / ix.shape[0] * 1e9
+    ns = reps[len(reps) // 2] / ix.shape[0] * 1e9
     return {
         "gather_ns": round(ns, 2),
         "healthy_range": list(CANARY_HEALTHY_NS),
         "healthy": CANARY_HEALTHY_NS[0] <= ns <= CANARY_HEALTHY_NS[1],
         "min_ns": round(reps[0] / ix.shape[0] * 1e9, 2),
         "max_ns": round(reps[-1] / ix.shape[0] * 1e9, 2),
-        "compile_s": round(compile_s, 1),
     }
 
 
-def run_bench(batch: int, pe: bool = False, isoform: bool = False,
-              pseudo: bool = False) -> dict:
-    t_setup = time.time()
-    from rapmap_tpu.config import MapConfig
-    from rapmap_tpu.models.quasi import QuasiMapper
-
-    if pseudo:
-        from rapmap_tpu.models.pseudo import PseudoMapper
-
-        pidx, codes = build_pseudo_world()
-        BATCH = batch
-        cfg = MapConfig(
-            k=pidx.k, chunk=CHUNK if batch > CHUNK else 0,
-            max_hits_per_strand=4, expand_budget=3, rec_slots=2,
-        )
-        mapper = PseudoMapper(pidx, cfg)
-        lens = np.full(BATCH, READ_LEN, dtype=np.int32)
-        submit = lambda lo: mapper.map_se_async(codes[lo : lo + BATCH], lens)
-        n_src = len(codes)
-        # falls through to the shared warmup + N_REP median pipeline below —
-        # the pseudo row used to be a single timed pass (r4 full-matrix run
-        # read 302k where the same engine medianed 449k in r2: single-run
-        # pseudo reporting was pure tunnel noise)
-    elif isoform:
-        idx, codes = build_isoform_world()
-        # repetitive regime: auto-size the expansion pool (+ pair expansion)
-        # from index stats; measured hits/lane maxes at 2 even here (NIP
-        # skipping doesn't care about interval width), so H=4 like uniform
-        cfg = MapConfig(
-            k=idx.k, chunk=CHUNK if batch > CHUNK else 0,
-            max_hits_per_strand=4, expand_budget=0, max_out=32, rec_slots=4,
-        )
-    else:
-        idx, codes = build_world()
-        cfg = bench_cfg(idx, chunk=CHUNK if batch > CHUNK else 0)
-    if not pseudo:
-        mapper = QuasiMapper(idx, cfg)
-        BATCH = batch
-        lens = np.full(BATCH, READ_LEN, dtype=np.int32)
-        if pe:
-            c1, c2 = build_pe_reads(idx, tag="pe_iso_v1" if isoform else "pe_v1")
-            submit = lambda lo: mapper.map_pe_async(
-                c1[lo : lo + BATCH], lens, c2[lo : lo + BATCH], lens
-            )
-            n_src = len(c1)
-        else:
-            submit = lambda lo: mapper.map_se_async(codes[lo : lo + BATCH], lens)
-            n_src = len(codes)
-    print(f"# setup {time.time()-t_setup:.1f}s", file=sys.stderr)
-
-    # warmup / compile
+def run_canary() -> dict:
+    """First canary: pays one compile (persistent-cache hit when the committed
+    .jax_bench_cache reaches the capture session) + table upload, recorded as
+    compile_s so a compile-server day is a field, not a mystery."""
     t0 = time.time()
-    wr = mapper.fetch(submit(0))
+    if not _CANARY_PROG:
+        _canary_setup()
+    g, tab, ix = _CANARY_PROG[0]
+    int(g(tab, ix))
     compile_s = time.time() - t0
-    print(f"# compile+first batch {compile_s:.1f}s; "
-          f"mapped {wr.counters['reads_mapped']}/{BATCH}", file=sys.stderr)
+    out = canary_read()
+    out["compile_s"] = round(compile_s, 1)
+    return out
 
-    # production pipeline: DEPTH batches in flight so device compute and both
-    # transfer directions overlap (mirrors the CLI loop). N_REP timed repeats;
-    # the headline value is the MEDIAN (the axon tunnel swings same-code runs
-    # ~±15%, BASELINE.md variance notes — single-run reporting invites fiction)
+
+def host_probe() -> dict:
+    """Host load + 32 MB tunnel bandwidth each way: the r4 claimed-vs-captured
+    2-7x divergence hypothesis is host/transfer contention the gather canary
+    can't see (VERDICT r4 Weak #2) — record the axes directly."""
+    import jax
+    import jax.numpy as jnp
+
+    la1, la5, _ = os.getloadavg()
+    mb = 32
+    buf = np.random.default_rng(11).integers(
+        0, 255, size=mb << 20, dtype=np.uint8
+    )
+    t0 = time.time()
+    d = jax.device_put(buf)
+    int(jnp.sum(d[:: 1 << 16], dtype=jnp.int32))  # fetch serializes the upload
+    h2d_s = time.time() - t0
+    t0 = time.time()
+    _ = np.asarray(d)
+    d2h_s = time.time() - t0
+    del d
+    return {
+        "load_avg_1m": round(la1, 2),
+        "load_avg_5m": round(la5, 2),
+        "h2d_MBps": round(mb / h2d_s, 1),
+        "d2h_MBps": round(mb / d2h_s, 1),
+    }
+
+
+# ---- one regime row --------------------------------------------------------
+
+def _timed_passes(submit, fetch, n_src: int, batch: int, label: str) -> dict:
+    """Production pipeline: DEPTH batches in flight so device compute and both
+    transfer directions overlap (mirrors the CLI loop). One untimed warmup
+    pass (the tunnel/dispatch path warms over the first ~30 batches), then up
+    to N_REP timed repeats, stopping early if the budget is tight; headline is
+    the MEDIAN (the axon tunnel swings same-code runs ~±15%)."""
     from collections import deque
 
     DEPTH = 6
     N_REP = 5
-    n_batches = max(1, n_src // BATCH)
+    n_batches = n_src // batch
 
     def one_pass():
         t0 = time.time()
@@ -332,127 +459,377 @@ def run_bench(batch: int, pe: bool = False, isoform: bool = False,
         mapped = 0
         q: deque = deque()
         for i in range(n_batches):
-            if (i + 1) * BATCH > n_src:
-                break
-            q.append(submit(i * BATCH))
+            q.append(submit(i * batch))
             if len(q) >= DEPTH:
-                wr = mapper.fetch(q.popleft())
+                wr = fetch(q.popleft())
                 mapped += wr.counters["reads_mapped"]
-                total += BATCH
+                total += batch
         while q:
-            wr = mapper.fetch(q.popleft())
+            wr = fetch(q.popleft())
             mapped += wr.counters["reads_mapped"]
-            total += BATCH
+            total += batch
         return total, mapped, time.time() - t0
 
-    # one untimed full pass first: the tunnel/dispatch path warms over the
-    # first ~30 batches (measured: reps 0-2 of a cold run sit ~25% below
-    # reps 3-4), which would bias the median low
     total, mapped, dt = one_pass()
-    print(f"# warmup: {total} in {dt:.2f}s = {total/dt:,.0f}/s", file=sys.stderr)
+    print(f"# {label} warmup: {total} in {dt:.2f}s = {total/dt:,.0f}/s",
+          file=sys.stderr, flush=True)
     rates = []
     for rep in range(N_REP):
+        if rates and _remaining() < dt * 1.6 + 60:
+            print(f"# {label}: budget tight, stopping at {len(rates)} reps",
+                  file=sys.stderr, flush=True)
+            break
         total, mapped, dt = one_pass()
         rates.append(total / dt)
-        print(f"# rep {rep}: {total} in {dt:.2f}s = {total/dt:,.0f}/s, "
-              f"map rate {100.0*mapped/total:.1f}%", file=sys.stderr)
+        print(f"# {label} rep {rep}: {total} in {dt:.2f}s = {total/dt:,.0f}/s, "
+              f"map rate {100.0*mapped/total:.1f}%", file=sys.stderr, flush=True)
     rates.sort()
     rps = rates[len(rates) // 2]
-    unit_name = "pairs" if pe else "reads"
-    if pseudo:
-        metric = "pseudomap_reads_per_s_per_chip"
-    else:
-        metric = ("quasimap_pairs_per_s_per_chip" if pe
-                  else "quasimap_reads_per_s_per_chip")
-        if isoform:
-            metric += "_isoform"
     return {
-        "metric": metric,
         "value": round(rps, 1),
-        "unit": f"{unit_name}/s",
-        "vs_baseline": round(rps / PROVISIONAL_BASELINE_READS_PER_S, 3),
-        "n_rep": N_REP,
+        "n_rep": len(rates),
         "min": round(rates[0], 1),
         "max": round(rates[-1], 1),
         "spread_pct": round(100.0 * (rates[-1] - rates[0]) / rps, 1),
         "map_rate_pct": round(100.0 * mapped / max(total, 1), 2),
-        "compile_s": round(compile_s, 1),
     }
 
 
-def _run_child(mode_flags: list, ladder) -> dict | None:
-    """One regime in a child process with a compile watchdog (the axon
-    compile server's latency varies 280 s - 20+ min for the same program);
-    falls down the batch ladder on timeout/failure. None = all rungs failed."""
-    import subprocess
+class AotWire:
+    """AOT lower+compile of the exact wire program, itemized (t_trace /
+    t_program), callable as a submit path compatible with mapper.fetch.
 
-    for batch, timeout_s in ladder:
-        try:
-            res = subprocess.run(
-                [sys.executable, os.path.abspath(__file__), *mode_flags, str(batch)],
-                capture_output=True, text=True, timeout=timeout_s,
+    Why AOT and not the jit dispatch path: `f.lower().compile()` does NOT
+    populate the jit function's dispatch cache, and the jit path on a miss
+    day pays the compile server 250-950 s — here the ONE compile (persistent-
+    cache hit when the committed .jax_bench_cache reaches the session) is
+    timed explicitly and its executable drives every subsequent batch."""
+
+    def __init__(self, mapper, kind: str, batch: int, sample_args):
+        import jax.numpy as jnp
+
+        from rapmap_tpu.models.quasi import (
+            map_batch_pe_wire_chunked, map_batch_se_wire_chunked)
+        from rapmap_tpu.ops.wire import (
+            pack_in_pe, pack_in_se, rec_spec_pe, rec_spec_se)
+
+        self.mapper, self.kind, self.batch = mapper, kind, batch
+        self._jnp, self._pack_se, self._pack_pe = jnp, pack_in_se, pack_in_pe
+        self.C = mapper._chunk_of(batch)
+        self.capc = mapper._cap(self.C if self.C else batch)
+        lens = np.full(batch, READ_LEN, dtype=np.int32)
+        self.lens = lens
+        if kind == "se":
+            self.spec = rec_spec_se(mapper.st, mapper.cfg)
+            win = pack_in_se(sample_args[0][:batch], lens, batch)
+            fn = map_batch_se_wire_chunked
+        else:
+            self.spec = rec_spec_pe(mapper.st, mapper.cfg)
+            win = pack_in_pe(sample_args[0][:batch], lens,
+                             sample_args[1][:batch], lens, batch)
+            fn = map_batch_pe_wire_chunked
+        t0 = time.time()
+        lowered = fn.lower(mapper.didx, mapper.st, jnp.asarray(win),
+                           mapper.cfg, self.capc, batch, READ_LEN, self.C)
+        self.t_trace = round(time.time() - t0, 1)
+        t0 = time.time()
+        self.compiled = lowered.compile()
+        self.t_program = round(time.time() - t0, 1)
+
+    def submit_se(self, codes):
+        win = self._pack_se(codes, self.lens, self.batch)
+        fut = self.compiled(self.mapper.didx, self._jnp.asarray(win))
+        return ("se", self.batch, fut, self.C, self.capc, self.spec)
+
+    def submit_pe(self, c1, c2):
+        win = self._pack_pe(c1, self.lens, c2, self.lens, self.batch)
+        fut = self.compiled(self.mapper.didx, self._jnp.asarray(win))
+        return ("pe", self.batch, fut, self.C, self.capc, self.spec)
+
+
+def run_regime(name: str, batch: int = BATCH) -> dict:
+    """Build (or reuse) the regime's world + mapper, itemize the first-batch
+    cost (t_world / t_upload / t_program / t_warm), run timed passes, bracket
+    with a canary re-read."""
+    from rapmap_tpu.config import MapConfig
+    from rapmap_tpu.models.quasi import QuasiMapper
+
+    row: dict = {"load_avg_1m": round(os.getloadavg()[0], 2)}
+    t0 = time.time()
+    pe = name == "pe"
+    if name == "pseudo":
+        from rapmap_tpu.models.pseudo import PseudoMapper
+
+        pidx, codes = build_pseudo_world()
+        cfg = MapConfig(
+            k=pidx.k, chunk=CHUNK if batch > CHUNK else 0,
+            max_hits_per_strand=4, expand_budget=3, rec_slots=2,
+        )
+        row["t_world_s"] = round(time.time() - t0, 1)
+        t0 = time.time()
+        mapper = PseudoMapper(pidx, cfg)  # uploads the device index
+        row["t_upload_s"] = round(time.time() - t0, 1)
+        row["t_program_s"] = None  # PseudoMapper compiles on first dispatch
+        metric = "pseudomap_reads_per_s_per_chip"
+        lens = np.full(batch, READ_LEN, dtype=np.int32)
+        submit = lambda lo: mapper.map_se_async(codes[lo : lo + batch], lens)
+        n_src = (len(codes) // batch) * batch
+    else:
+        if name == "isoform_se":
+            idx, codes = build_isoform_world()
+            # repetitive regime: auto-size the expansion pool (+ pair
+            # expansion) from index stats; measured hits/lane maxes at 2 even
+            # here (NIP skipping doesn't care about interval width) -> H=4
+            cfg = MapConfig(
+                k=idx.k, chunk=CHUNK if batch > CHUNK else 0,
+                max_hits_per_strand=4, expand_budget=0, max_out=32, rec_slots=4,
             )
-            sys.stderr.write(res.stderr[-2000:])
-            line = [l for l in res.stdout.splitlines() if l.startswith("{")]
-            if res.returncode == 0 and line:
-                return json.loads(line[-1])
-            print(f"# batch {batch} failed rc={res.returncode}", file=sys.stderr)
-        except subprocess.TimeoutExpired:
-            print(f"# batch {batch} timed out after {timeout_s}s; falling back",
-                  file=sys.stderr)
-    return None
+        else:  # uniform_se / pe share the uniform world
+            idx, codes = build_world()
+            cfg = bench_cfg(idx, chunk=CHUNK if batch > CHUNK else 0)
+        if pe:
+            c1, c2 = build_pe_reads(idx, tag="pe_v1")
+        row["t_world_s"] = round(time.time() - t0, 1)
+        t0 = time.time()
+        # PE reuses the resident uniform mapper (same index + cfg) when the
+        # uniform row already built one — the index upload is paid ONCE
+        mapper = STATE.get("_uniform_mapper") if name in ("uniform_se", "pe") else None
+        if mapper is None:
+            mapper = QuasiMapper(idx, cfg)
+            if name == "uniform_se":
+                STATE["_uniform_mapper"] = mapper
+        row["t_upload_s"] = round(time.time() - t0, 1)
+        metric = ("quasimap_pairs_per_s_per_chip" if pe
+                  else "quasimap_reads_per_s_per_chip")
+        if name == "isoform_se":
+            metric += "_isoform"
+        if pe:
+            aot = AotWire(mapper, "pe", batch, (c1, c2))
+            submit = lambda lo: aot.submit_pe(c1[lo : lo + batch],
+                                              c2[lo : lo + batch])
+            n_src = (len(c1) // batch) * batch
+        else:
+            aot = AotWire(mapper, "se", batch, (codes,))
+            submit = lambda lo: aot.submit_se(codes[lo : lo + batch])
+            n_src = (len(codes) // batch) * batch
+        row["t_trace_s"] = aot.t_trace
+        row["t_program_s"] = aot.t_program
+        if name == "uniform_se":
+            STATE["_uniform_aot_se"] = aot
+        elif pe:
+            STATE["_uniform_aot_pe"] = aot
+
+    t0 = time.time()
+    wr = mapper.fetch(submit(0))
+    row["t_warm_s"] = round(time.time() - t0, 1)
+    row["first_batch_s"] = round(
+        (row["t_program_s"] or 0.0) + row.get("t_trace_s", 0.0) + row["t_warm_s"], 1
+    )
+    print(f"# {name}: world {row['t_world_s']}s upload {row['t_upload_s']}s "
+          f"program {row['t_program_s']}s warm {row['t_warm_s']}s; mapped "
+          f"{wr.counters['reads_mapped']}/{batch}", file=sys.stderr, flush=True)
+
+    stats = _timed_passes(submit, mapper.fetch, n_src, batch, name)
+    row.update(stats)
+    row["metric"] = metric
+    row["unit"] = "pairs/s" if pe else "reads/s"
+    row["vs_baseline"] = round(row["value"] / PROVISIONAL_BASELINE_READS_PER_S, 3)
+    if _CANARY_PROG:
+        row["canary_after_ns"] = canary_read(3)["gather_ns"]  # bracketing
+    return row
+
+
+# ---- accuracy row (r4 item 8): resident programs, zero extra compiles ------
+
+def run_accuracy(batch: int = BATCH) -> dict | None:
+    """Precision/recall vs simulated truth through the SAME compiled programs
+    the uniform/pe rows just ran (same B/L/cfg -> no new compile). Protocol
+    matches scripts/eval_accuracy.py (the paper-style validation): TP = the
+    reported mapping set contains the true locus (transcript+position+strand,
+    pos_tol window for indel reads); chimeric half-random reads count mapped
+    ones as false positives."""
+    mapper = STATE.get("_uniform_mapper")
+    aot_se = STATE.get("_uniform_aot_se")
+    if mapper is None or aot_se is None:
+        return None
+    sys.path.insert(0, os.path.join(REPO, "scripts"))
+    from eval_accuracy import simulate
+
+    from rapmap_tpu.index.encode import encode_reads
+    from rapmap_tpu.io.fastx import read_fasta
+
+    rng = np.random.default_rng(7)
+    txps = [(n, s) for n, s in read_fasta(os.path.join(CACHE, "txome.fa"))]
+    name_to_id = {n: i for i, n in enumerate(mapper.txp_names)}
+    L = READ_LEN
+    out: dict = {}
+
+    # SE composite: substitutions + Ns + 0.5% indel events + 2% chimeras
+    reads, truth = simulate(txps, batch, L, 0.01, 0.002, rng,
+                            chimera_frac=0.02, indel_rate=0.005)
+    codes = np.full((batch, L), 5, dtype=np.int8)
+    for i, r in enumerate(reads):
+        codes[i] = encode_reads(np.frombuffer(r, dtype=np.uint8))
+    wr = mapper.fetch(aot_se.submit_se(codes))
+    tp = fn = reported = correct = 0
+    itp = ifn = 0  # indel-read subset
+    chim_total = chim_mapped = 0
+    off = 0
+    for i in range(batch):
+        c = int(wr.counts[i])
+        locs = {
+            (int(wr.recs[off + j][0]), int(wr.recs[off + j][1]),
+             int(wr.recs[off + j][2]))
+            for j in range(c)
+        }
+        off += c
+        t, p, rc, tol = truth[i]
+        if t == -1:
+            chim_total += 1
+            chim_mapped += int(bool(locs))
+            continue
+        tid = name_to_id[txps[t][0]]
+        s_true = 1 if rc else 0
+        hit = False
+        for t2, p2, s2 in locs:
+            if t2 == tid and s2 == s_true and abs(p2 - p) <= tol:
+                hit = True
+                correct += 1
+        reported += len(locs)
+        if hit:
+            tp += 1
+            if tol:
+                itp += 1
+        else:
+            fn += 1
+            if tol:
+                ifn += 1
+    out["se"] = {
+        "n": tp + fn,
+        "recall": round(tp / max(tp + fn, 1), 4),
+        "precision": round(correct / max(reported, 1), 4),
+        "chimera_n": chim_total,
+        "chimera_mapped": chim_mapped,
+    }
+    if itp + ifn:
+        out["indel"] = {"n": itp + ifn, "recall": round(itp / max(itp + ifn, 1), 4)}
+
+    # PE: inward-facing 250 bp fragments with (t, p1, p2) truth through the
+    # resident PE program (only if the pe row compiled it)
+    aot_pe = STATE.get("_uniform_aot_pe")
+    if aot_pe is not None:
+        FRAG = 250
+        eligible = [i for i, (n, s) in enumerate(txps) if len(s) >= FRAG + 8]
+        c1 = np.full((batch, L), 5, dtype=np.int8)
+        c2 = np.full((batch, L), 5, dtype=np.int8)
+        ptruth = []
+        BASES = np.frombuffer(b"ACGT", dtype=np.uint8)
+        for i in range(batch):
+            t = int(eligible[rng.integers(0, len(eligible))])
+            seq = txps[t][1]
+            p = int(rng.integers(0, len(seq) - FRAG + 1))
+            frag = np.frombuffer(seq[p : p + FRAG], dtype=np.uint8).copy()
+            for m in range(2):
+                nerr = rng.binomial(L, 0.01)
+                if nerr:
+                    pos = rng.integers(0, L, nerr)
+                    w = frag[:L] if m == 0 else frag[FRAG - L :]
+                    w[pos] = BASES[rng.integers(0, 4, nerr)]
+            e1 = encode_reads(frag[:L])
+            e2 = encode_reads(frag[FRAG - L :])
+            c2[i] = np.where((e2 >= 1) & (e2 <= 4), 5 - e2, 5)[::-1]
+            c1[i] = e1
+            ptruth.append((name_to_id[txps[t][0]], p, p + FRAG - L))
+        wr = mapper.fetch(aot_pe.submit_pe(c1, c2))
+        ptp = pfn = preported = pcorrect = 0
+        off = 0
+        for i in range(batch):
+            c = int(wr.counts[i])
+            pairs = {
+                (int(wr.recs[off + j][0]), int(wr.recs[off + j][1]),
+                 int(wr.recs[off + j][4]))
+                for j in range(c)
+                if int(wr.recs[off + j][3]) and int(wr.recs[off + j][6])
+            }
+            off += c
+            tid, p1, p2 = ptruth[i]
+            hit = (tid, p1, p2) in pairs
+            pcorrect += int(hit and (tid, p1, p2) in pairs)
+            preported += len(pairs)
+            if hit:
+                ptp += 1
+            else:
+                pfn += 1
+        out["pe"] = {
+            "n": ptp + pfn,
+            "recall": round(ptp / max(ptp + pfn, 1), 4),
+            "precision": round(pcorrect / max(preported, 1), 4),
+        }
+    return out
+
+
+# ---- main ------------------------------------------------------------------
+
+# rough per-step cost estimates on a warm-compile-cache day (world build is
+# the driver's fresh .bench_cache; compile is a cache hit); used only to skip
+# steps that cannot fit the remaining budget
+EST_S = {
+    "uniform_se": 260, "isoform_se": 260, "pe": 160, "pseudo": 160,
+    "accuracy": 90,
+}
 
 
 def main() -> None:
-    pe = "--pe" in sys.argv
-    iso = "--isoform" in sys.argv
-    pseudo = "--pseudo" in sys.argv
+    # manual single-regime / canary modes (in-process, for A/B work)
+    only = None
+    for flag, nm in (("--pe", "pe"), ("--isoform", "isoform_se"),
+                     ("--pseudo", "pseudo"), ("--uniform", "uniform_se")):
+        if flag in sys.argv:
+            only = nm
     canary_only = "--canary" in sys.argv
-    argv = [a for a in sys.argv[1:]
-            if a not in ("--pe", "--isoform", "--pseudo", "--canary")]
-    if canary_only:  # child mode: frozen health probe
-        print(json.dumps(run_canary()))
-        return
-    if argv:  # child mode: bench.py [--pe|--isoform|--pseudo] <batch>
-        print(json.dumps(run_bench(int(argv[0]), pe=pe, isoform=iso, pseudo=pseudo)))
-        return
-    if pe or iso or pseudo:  # single-regime parent (manual runs)
-        flags = ((["--pe"] if pe else []) + (["--isoform"] if iso else [])
-                 + (["--pseudo"] if pseudo else []))
-        row = _run_child(flags, ((BATCH // 2, 900), (BATCH // 4, 1200), (BATCH // 8, 1800)))
-        if row is None:
-            raise SystemExit("bench failed at all batch sizes")
-        print(json.dumps(row))
+
+    _arm_watchdog()
+    t0 = time.time()
+    STATE["host"] = host_probe()  # first device use: backend init lands here
+    print(f"# host probe ({time.time()-t0:.1f}s): "
+          f"{json.dumps(STATE['host'])}", file=sys.stderr, flush=True)
+    STATE["canary"] = run_canary()
+    print(f"# canary: {json.dumps(STATE['canary'])}", file=sys.stderr, flush=True)
+    if canary_only:
+        _DONE.set()
+        sys.stdout.write(json.dumps(STATE["canary"]) + "\n")
         return
 
-    # ---- full matrix (the driver's default invocation) ----------------------
-    # Canary first: a sick tunnel/compile-server day becomes a recorded field.
-    # Two attempts: the r4 full-matrix run lost its canary to one >600 s
-    # compile-server episode while every engine row ran fine.
-    canary = (_run_child(["--canary"], ((0, 600), (0, 600)))
-              or {"error": "canary failed"})
-    print(f"# canary: {json.dumps(canary)}", file=sys.stderr)
-    # measured sweep (BASELINE.md): B=32768 456.8k > B=65536 391-396k >
-    # B=16384 325.6k — lead with the sweet spot; fallbacks shrink compile risk
-    ladder_main = ((BATCH // 2, 1500), (BATCH // 4, 1500), (BATCH // 8, 1800))
-    ladder_side = ((BATCH // 2, 1500), (BATCH // 8, 1500))
-    rows = {}
-    rows["uniform_se"] = _run_child([], ladder_main)
-    if rows["uniform_se"] is None:
-        raise SystemExit("bench failed at all batch sizes (uniform SE)")
-    for name, flags in (("isoform_se", ["--isoform"]), ("pe", ["--pe"]),
-                        ("pseudo", ["--pseudo"])):
-        row = _run_child(flags, ladder_side)
-        rows[name] = row if row is not None else {"error": "all rungs failed"}
-    head = rows["uniform_se"]
-    out = {
-        "metric": head["metric"], "value": head["value"], "unit": head["unit"],
-        "vs_baseline": head["vs_baseline"],
-        "n_rep": head.get("n_rep"), "min": head.get("min"),
-        "max": head.get("max"), "spread_pct": head.get("spread_pct"),
-        "rows": rows, "canary": canary, "primary_row": "isoform_se",
-    }
-    print(json.dumps(out))
+    order = [only] if only else ["uniform_se", "isoform_se", "pe", "pseudo"]
+    if only == "pe":  # pe reuses the uniform mapper; build it first
+        order = ["uniform_se", "pe"]
+    for name in order:
+        if _remaining() < EST_S[name] * 0.45 + 40:
+            STATE["skipped"][name] = {
+                "reason": "budget", "remaining_s": round(_remaining(), 1)
+            }
+            print(f"# skip {name}: {_remaining():.0f}s left", file=sys.stderr)
+            continue
+        try:
+            STATE["rows"][name] = run_regime(name)
+        except Exception as e:  # a failed regime is a recorded field
+            import traceback
+
+            traceback.print_exc()
+            STATE["rows"][name] = {"error": f"{type(e).__name__}: {e}"}
+
+    if not only and _remaining() > EST_S["accuracy"] * 0.6:
+        try:
+            STATE["accuracy"] = run_accuracy()
+        except Exception as e:
+            import traceback
+
+            traceback.print_exc()
+            STATE["accuracy"] = {"error": f"{type(e).__name__}: {e}"}
+
+    _DONE.set()
+    sys.stdout.write(json.dumps(_assemble(False, "complete")) + "\n")
+    sys.stdout.flush()
 
 
 if __name__ == "__main__":

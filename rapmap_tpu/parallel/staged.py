@@ -50,6 +50,11 @@ import os as _os
 
 _MAX_XFER = int(_os.environ.get("TQM_STAGED_XFER_MB", "256")) << 20
 
+# Per-shard local occ offsets ride int32 on the device: a pseudo shard's
+# occurrence span must stay below this. Module constant (not a literal) so the
+# occ-skew rebalance path in staged_geometry_pseudo is testable at toy scale.
+_S_PAD_LIMIT = 2**31
+
 
 def _chunked_upload(arr: np.ndarray):
     import jax
@@ -124,9 +129,12 @@ def shard_device_arrays(idx: QuasiIndex, geo: StagedGeometry, p: int):
     kmer_rows[: r1 - r0, 1] = klo.view(np.int32)
     kmer_rows[: r1 - r0, 2] = kb
     kmer_rows[: r1 - r0, 3] = ke
-    if r1 > r0:  # pad rows: all-ones keys (> any real key), empty intervals
-        kmer_rows[r1 - r0 :, 0] = -1
-        kmer_rows[r1 - r0 :, 1] = -1
+    # pad rows: all-ones keys (> any real key), empty intervals — filled
+    # unconditionally so an EMPTY shard (possible with duplicate prefix-
+    # boundary cuts) rejects probes by key mismatch rather than depending on
+    # the all-zero local LUT collapsing every probe to lo == hi
+    kmer_rows[r1 - r0 :, 0] = -1
+    kmer_rows[r1 - r0 :, 1] = -1
     # local prefix LUT over the slice, offset to local rows
     from rapmap_tpu.index.kmer_table import build_prefix_lut
 
@@ -872,9 +880,25 @@ def staged_geometry_pseudo(idx, n_shards: int) -> StagedGeometry:
     slot_cuts[0], slot_cuts[-1] = 0, int(off[-1])
     K_pad = max(row_cuts[i + 1] - row_cuts[i] for i in range(n_shards)) or 1
     S_pad = max(slot_cuts[i + 1] - slot_cuts[i] for i in range(n_shards)) or 1
-    assert S_pad < 2**31, (
-        f"a pseudo shard holds {S_pad:,} occurrences (>= 2^31): local int32 "
-        "occ offsets overflow — raise n_shards"
+    if S_pad >= _S_PAD_LIMIT:
+        # occ-skewed CSR (repeat-heavy rows hold >2x the average): re-cut the
+        # SAME prefix boundaries balanced by OCCURRENCE count instead of row
+        # count, so the int32 local-offset bound depends on total skew at
+        # prefix granularity, not on row balance
+        occ_at = off[lut]
+        total = int(off[-1])
+        otargets = [round(i * total / n_shards) for i in range(n_shards + 1)]
+        pv = [int(np.searchsorted(occ_at, t, side="left")) for t in otargets]
+        pv[0], pv[-1] = 0, len(lut) - 1
+        row_cuts = [int(lut[v]) for v in pv]
+        slot_cuts = [int(off[r]) for r in row_cuts]
+        slot_cuts[0], slot_cuts[-1] = 0, total
+        K_pad = max(row_cuts[i + 1] - row_cuts[i] for i in range(n_shards)) or 1
+        S_pad = max(slot_cuts[i + 1] - slot_cuts[i] for i in range(n_shards)) or 1
+    assert S_pad < _S_PAD_LIMIT, (
+        f"a pseudo shard holds {S_pad:,} occurrences (>= 2^31) even after "
+        "occurrence-balanced prefix cuts: local int32 occ offsets overflow — "
+        "raise n_shards"
     )
     lut_d = np.diff(lut)
     steps = max(1, int(math.ceil(math.log2(int(lut_d.max()) + 1))) + 1) if len(lut_d) else 1
@@ -897,9 +921,11 @@ def pseudo_shard_device_arrays(idx, geo: StagedGeometry, p: int):
     kmer_rows[: r1 - r0, 1] = klo.view(np.int32)
     kmer_rows[: r1 - r0, 2] = off[:-1].astype(np.int32)
     kmer_rows[: r1 - r0, 3] = off[1:].astype(np.int32)
-    if r1 > r0:  # pad rows: all-ones keys (> any real key), empty intervals
-        kmer_rows[r1 - r0 :, 0] = -1
-        kmer_rows[r1 - r0 :, 1] = -1
+    # pad rows: all-ones keys (> any real key), empty intervals — filled
+    # unconditionally (see quasi copy above: empty shards must not rely on
+    # the all-zero LUT gate)
+    kmer_rows[r1 - r0 :, 0] = -1
+    kmer_rows[r1 - r0 :, 1] = -1
     from rapmap_tpu.index.kmer_table import build_prefix_lut
 
     lut = build_prefix_lut(khi, klo, idx.k, geo.prefix_bases).astype(np.int64)
@@ -1059,7 +1085,11 @@ class StagedPseudoMapper(StagedQuasiMapper):
                  n_shards: int | None = None):
         if n_shards is None:
             per = float(_os.environ.get("TQM_STAGED_SHARD_GB", "2")) * 2**30
-            dev_bytes = len(idx.kmer_hi) * 16 + 4**8 * 8
+            # LUT term from the SAME prefix formula staged_geometry_pseudo
+            # uses (lut_rows is (4^p, 2) int32 per shard), not a hardcoded 4^8
+            K = len(idx.kmer_hi)
+            p = max(4, min(idx.k, 12, math.ceil(math.log(max(K, 2), 4)) + 1))
+            dev_bytes = K * 16 + 4**p * 8
             n_shards = max(1, math.ceil(dev_bytes / per))
             # local occ offsets must fit int32 (staged_geometry_pseudo asserts)
             n_occ = int(np.asarray(idx.kmer_off)[-1])
