@@ -29,12 +29,22 @@ _COUNTER_DTYPE = np.int64
 
 
 def init_distributed(coordinator: str, num_processes: int, process_id: int) -> None:
+    import os
+
     import jax
 
+    # shutdown/init barrier timeouts are env-tunable: under heavy host load a
+    # straggler rank can exceed the 300 s default shutdown barrier (observed
+    # once beside a genome-scale sweep, r4) — the default here doubles it,
+    # and a loaded CI can raise it further without code changes
     jax.distributed.initialize(
         coordinator_address=coordinator,
         num_processes=num_processes,
         process_id=process_id,
+        initialization_timeout=int(os.environ.get("TQM_DIST_INIT_TIMEOUT_S", "300")),
+        shutdown_timeout_seconds=int(
+            os.environ.get("TQM_DIST_SHUTDOWN_TIMEOUT_S", "600")
+        ),
     )
     log.info(
         "distributed init: process %d/%d, %d local / %d global devices",

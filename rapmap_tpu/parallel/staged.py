@@ -538,8 +538,15 @@ class StagedMapper:
         for codes, lens in lane_batches:
             lanes_all.append(np.concatenate([codes, _rc_lanes(codes, lens)], axis=0))
             lens2_all.append(jnp.asarray(np.concatenate([lens, lens]).astype(np.int32)))
+        # read lanes are reused by EVERY shard: upload once and keep resident
+        # (76 bp reads are ~152 B/read on device — at 1M-read queue depth the
+        # per-shard re-upload this replaces was ~7 GB of redundant transfers
+        # across a 48-shard sweep)
+        lanes_dev = [jax.device_put(l) for l in lanes_all]
+        jax.block_until_ready(lanes_dev)
         acc = [self._acc_init(R, S) for _ in lane_batches]
         overflow = 0
+        self.shard_timings = []
         import logging
         import time as _time
         from concurrent.futures import ThreadPoolExecutor
@@ -559,18 +566,24 @@ class StagedMapper:
                 if p + 1 < self.n_shards:
                     fut = ex.submit(self._shard_arrays, p + 1)
                 t1 = _time.time()
+                up_bytes = sum(np.asarray(a).nbytes for a in didx_np)
                 didx = jax.tree.map(_chunked_upload, didx_np)
                 jax.block_until_ready(didx)
                 del didx_np
                 t2 = _time.time()
                 t_dev = 0.0
-                for bi, lanes in enumerate(lanes_all):
+                for bi, lanes in enumerate(lanes_dev):
                     td = _time.time()
                     overflow += self._stage_a_union(
-                        didx, jnp.asarray(lanes), lens2_all[bi], acc[bi], s0
+                        didx, lanes, lens2_all[bi], acc[bi], s0
                     )
                     t_dev += _time.time() - td
                 del didx
+                self.shard_timings.append(dict(
+                    shard=p, slice_s=round(t1 - t0, 1),
+                    upload_s=round(t2 - t1, 1), device_union_s=round(t_dev, 1),
+                    upload_mb=round(up_bytes / 2**20, 1),
+                ))
                 # host-side transfer staging (the tunnel client's per-
                 # device_put buffers) showed up as ~0.6-0.8 GB/shard of anon
                 # RSS growth on the 48-shard genome sweep (round 4: OOM kill
