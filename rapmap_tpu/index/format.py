@@ -25,6 +25,16 @@ _PSEUDO_ARRAYS = [
     "kmer_hi", "kmer_lo", "kmer_off", "occ_txp", "occ_pos",
     "txp_offsets", "txp_lens",
 ]
+# mapping-only artifact (VERDICT r4 item 5): the minimal set the host-staged
+# engine needs to MAP — no text (only the oracle fallback and read simulation
+# gather it), sa/kmer_b narrowed to uint32 where values fit, and interval
+# WIDTHS (uint32) instead of the int64 kmer_e column. At 2.2 Gbase this is
+# ~62 GB vs the full index's ~89 GB.
+_QUASI_MAP_ARRAYS = [
+    "text2b", "sa", "sa_txp", "sa_tpos",
+    "kmer_hi", "kmer_lo", "kmer_b", "kmer_w", "prefix_lut",
+    "txp_offsets", "txp_lens",
+]
 
 
 @dataclass
@@ -82,6 +92,139 @@ class PseudoIndex:
     @property
     def n_txps(self) -> int:
         return len(self.txp_lens)
+
+
+class _LenOnly:
+    """Placeholder for the dropped text array: the staged engine reads only
+    len(idx.text) (pad-tail accounting); any element access is a bug."""
+
+    __slots__ = ("n",)
+
+    def __init__(self, n: int):
+        self.n = int(n)
+
+    def __len__(self) -> int:
+        return self.n
+
+
+class _LazyEnd:
+    """kmer_e synthesized as kmer_b + kmer_w on slice access (int64): the
+    mapping artifact stores interval WIDTHS in uint32 instead of the second
+    int64 slot column."""
+
+    __slots__ = ("b", "w")
+
+    def __init__(self, b: np.ndarray, w: np.ndarray):
+        self.b, self.w = b, w
+
+    def __len__(self) -> int:
+        return len(self.b)
+
+    def __getitem__(self, sl):
+        return (np.asarray(self.b[sl], dtype=np.int64)
+                + np.asarray(self.w[sl], dtype=np.int64))
+
+
+@dataclass
+class MappingQuasiIndex:
+    """Mapping-only quasi artifact (header index_type "quasi_map"): feeds the
+    host-staged engine (parallel/staged.py) exactly; has no text column, so
+    the host oracle, mapping-score rescoring, and read simulation need the
+    full index. sa/kmer_b are uint32 when values fit (< 2^32); kmer_e is
+    synthesized from the stored widths."""
+
+    k: int
+    text2b: np.ndarray
+    sa: np.ndarray            # uint32 (or int64 when n_text+pad >= 2^32)
+    sa_txp: np.ndarray        # int32
+    sa_tpos: np.ndarray       # int32
+    kmer_hi: np.ndarray
+    kmer_lo: np.ndarray
+    kmer_b: np.ndarray        # uint32 (or int64)
+    kmer_w: np.ndarray        # uint32 interval widths
+    prefix_lut: np.ndarray
+    txp_offsets: np.ndarray
+    txp_lens: np.ndarray
+    txp_names: list[str]
+    n_text: int = 0
+    text_len: int = 0         # padded length (pad-tail accounting only)
+    prefix_bases: int = 10
+    seed: int = 0
+    meta: dict = field(default_factory=dict)
+
+    @property
+    def n_txps(self) -> int:
+        return len(self.txp_lens)
+
+    @property
+    def kmer_e(self) -> _LazyEnd:
+        return _LazyEnd(self.kmer_b, self.kmer_w)
+
+    @property
+    def text(self) -> _LenOnly:
+        return _LenOnly(self.text_len)
+
+
+def save_mapping_index(idx: QuasiIndex, outdir: str,
+                       chunk_rows: int = 1 << 27) -> dict:
+    """Write the mapping-only artifact for `idx` under outdir. Streams the
+    width/narrowing conversions in chunk_rows pieces through pre-sized output
+    memmaps — peak extra RAM is one chunk, not a full int64 temporary.
+    Returns {"bytes": total, "per_array": {name: bytes}}."""
+    from numpy.lib.format import open_memmap
+
+    os.makedirs(outdir, exist_ok=True)
+    sa = idx.sa
+    n = len(sa)
+    sa_dtype = np.uint32 if len(idx.text) < 2**32 else np.int64
+    b_dtype = np.uint32 if n < 2**32 else np.int64
+
+    def _stream(name, src, dtype, second=None, sub=False):
+        out = open_memmap(os.path.join(outdir, f"{name}.npy"), mode="w+",
+                          dtype=dtype, shape=(len(src),))
+        for i in range(0, len(src), chunk_rows):
+            j = min(i + chunk_rows, len(src))
+            if sub:
+                out[i:j] = (np.asarray(second[i:j], dtype=np.int64)
+                            - np.asarray(src[i:j], dtype=np.int64)).astype(dtype)
+            else:
+                out[i:j] = np.asarray(src[i:j]).astype(dtype, copy=False)
+        out.flush()
+        h = _sha(np.asarray(out))
+        del out
+        return h
+
+    hashes = {}
+    hashes["sa"] = _stream("sa", sa, sa_dtype)
+    hashes["kmer_b"] = _stream("kmer_b", idx.kmer_b, b_dtype)
+    hashes["kmer_w"] = _stream("kmer_w", idx.kmer_b, np.uint32,
+                               second=idx.kmer_e, sub=True)
+    for name in ("text2b", "sa_txp", "sa_tpos", "kmer_hi", "kmer_lo",
+                 "prefix_lut", "txp_offsets", "txp_lens"):
+        arr = np.asarray(getattr(idx, name))
+        np.save(os.path.join(outdir, f"{name}.npy"), arr)
+        hashes[name] = _sha(arr)
+    with open(os.path.join(outdir, "txp_names.txt"), "w") as f:
+        f.write("\n".join(idx.txp_names) + ("\n" if idx.txp_names else ""))
+    header = {
+        "format_version": INDEX_FORMAT_VERSION,
+        "tool_version": __version__,
+        "index_type": "quasi_map",
+        "k": int(idx.k),
+        "n_txps": int(idx.n_txps),
+        "seed": int(idx.seed),
+        "hashes": hashes,
+        "meta": idx.meta,
+        "n_text": int(idx.n_text),
+        "text_len": int(len(idx.text)),
+        "big_sa": bool(np.asarray(idx.sa).dtype == np.int64),
+        "prefix_bases": int(idx.prefix_bases),
+    }
+    with open(os.path.join(outdir, "header.json"), "w") as f:
+        json.dump(header, f, indent=1)
+    per = {nm: os.path.getsize(os.path.join(outdir, f"{nm}.npy"))
+           for nm in _QUASI_MAP_ARRAYS}
+    return {"bytes": sum(per.values()), "per_array": per}
 
 
 def _sha(arr: np.ndarray) -> str:
@@ -156,9 +299,14 @@ def load_index(indir: str, mmap: bool = True, verify: bool = False):
     """Load a quasi or pseudo index; the mapper dispatches on header index_type
     (the reference's IndexHeader load-time check, SURVEY.md §2.1 #12)."""
     header = load_header(indir)
-    is_quasi = header["index_type"] == "quasi"
-    names = list(_QUASI_ARRAYS) if is_quasi else list(_PSEUDO_ARRAYS)
-    opt = _QUASI_OPTIONAL if is_quasi else _PSEUDO_OPTIONAL
+    itype = header["index_type"]
+    is_quasi = itype == "quasi"
+    if itype == "quasi_map":
+        names = list(_QUASI_MAP_ARRAYS)
+        opt = []
+    else:
+        names = list(_QUASI_ARRAYS) if is_quasi else list(_PSEUDO_ARRAYS)
+        opt = _QUASI_OPTIONAL if is_quasi else _PSEUDO_OPTIONAL
     names += [n for n in opt if n in header["hashes"]]
     arrays = {}
     mode = "r" if mmap else None
@@ -170,6 +318,11 @@ def load_index(indir: str, mmap: bool = True, verify: bool = False):
     with open(os.path.join(indir, "txp_names.txt")) as f:
         txp_names = [ln for ln in f.read().splitlines() if ln]
     common = dict(k=header["k"], txp_names=txp_names, seed=header["seed"], meta=header.get("meta", {}))
+    if itype == "quasi_map":
+        return MappingQuasiIndex(
+            n_text=header["n_text"], text_len=header["text_len"],
+            prefix_bases=header["prefix_bases"], **arrays, **common,
+        )
     if is_quasi:
         return QuasiIndex(
             n_text=header["n_text"], prefix_bases=header["prefix_bases"], **arrays, **common

@@ -105,7 +105,12 @@ def staged_geometry(idx: QuasiIndex, n_shards: int) -> StagedGeometry:
     p = idx.prefix_bases
     lut_d = np.diff(lut)
     steps = max(1, int(math.ceil(math.log2(int(lut_d.max()) + 1))) + 1) if len(lut_d) else 1
-    widths = np.asarray(idx.kmer_e) - np.asarray(idx.kmer_b)
+    # mapping-only artifacts store interval widths directly (uint32); the
+    # full index derives them from the two int64 slot columns
+    w = getattr(idx, "kmer_w", None)
+    widths = np.asarray(w) if w is not None else (
+        np.asarray(idx.kmer_e) - np.asarray(idx.kmer_b)
+    )
     max_w = int(widths.max()) if len(widths) else 1
     return StagedGeometry(row_cuts, slot_cuts, K_pad, S_pad, steps, p, max_w)
 
@@ -140,8 +145,9 @@ def shard_device_arrays(idx: QuasiIndex, geo: StagedGeometry, p: int):
 
     lut = build_prefix_lut(khi, klo, idx.k, geo.prefix_bases).astype(np.int64)
     lut_rows = np.stack([lut[:-1], lut[1:]], axis=1).astype(np.int32)
-    # sa_cmp rows for the slot slice
-    sa_sl = np.asarray(idx.sa[s0:s1])
+    # sa_cmp rows for the slot slice (int64: mapping-only artifacts store
+    # sa as uint32 — widen before the text-offset arithmetic)
+    sa_sl = np.asarray(idx.sa[s0:s1], dtype=np.int64)
     sa_txp = np.asarray(idx.sa_txp[s0:s1], dtype=np.int64)
     off = np.asarray(idx.txp_offsets, dtype=np.int64)
     tl = np.asarray(idx.txp_lens, dtype=np.int64)
@@ -450,6 +456,11 @@ class StagedMapper:
             )
         self.idx = idx
         self.cfg = cfg
+        if cfg.mapping_score and not hasattr(idx.text, "__getitem__"):
+            raise ValueError(
+                "--mappingScore needs the transcript text: the mapping-only "
+                "artifact (index_type quasi_map) drops it — use the full index"
+            )
         self.geo = staged_geometry(idx, n_shards)
         self.n_shards = n_shards
         self.L = read_len

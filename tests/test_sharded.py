@@ -309,3 +309,64 @@ def test_slot64_requires_x64(tmp_path):
     assert not jax.config.jax_enable_x64
     with pytest.raises(ValueError, match="slot64"):
         sharded.shard_quasi_index(idx, 2, slot64=True)
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+def test_sharded_slot64_genome_geometry_shift(tmp_path, x64):
+    """Genome-GEOMETRY rehearsal (VERDICT r4 item 4): global slot coordinates
+    ABOVE 2^31 flow through the whole slot64 device path. A uniform +B0 shift
+    of every global carrier (slot_base col 0; canonical class rows' global
+    [bf,ef,br,er]) preserves all differences and ownership tests, so outputs
+    must be bit-identical — any int32 truncation of a global wraps the
+    shifted run and breaks parity. The r2 slot64 demo kept globals < 2^31;
+    this drives the 2.2 Gbase coordinate regime at toy size."""
+    rng = np.random.default_rng(97)
+    idx, txps = toy_index(
+        tmp_path, rng, n_txps=6, min_len=150, max_len=300, k=11, shared_prefix=30
+    )
+    reads = sample_reads(rng, txps, 40, read_len=44, error_rate=0.03, n_frac=0.01)
+    seqs = [r[1] for r in reads]
+    n_data, n_idx = 4, 2
+    per = -(-len(seqs) // n_data) + 1
+    B = n_data * per
+    codes, lens = batch_of(seqs + [b""] * (B - len(seqs)), 44)
+    cfg = MapConfig(k=idx.k, max_hits_per_strand=34, expand_budget=128, max_out=32)
+
+    import jax.numpy as jnp
+
+    mesh = sharded.make_mesh_2d(n_data, n_idx)
+    nv = np.zeros(n_data, np.int32)
+    rem = len(seqs)
+    for i in range(n_data):
+        nv[i] = min(per, max(rem, 0)); rem -= nv[i]
+
+    arr, st = sharded.shard_quasi_index(idx, n_idx, slot64=True)
+    assert arr.slot_base.dtype == np.int64
+
+    B0 = np.int64(2**31 + 12345)
+    slot_base2 = arr.slot_base.copy()
+    slot_base2[:, 0] += B0  # col 1 is the shard's slot COUNT — not shifted
+    chd_rows2 = arr.chd_rows
+    if chd_rows2 is not None and chd_rows2.shape[-1] == 6:
+        chd_rows2 = chd_rows2.copy()
+        real = chd_rows2[..., 0] != -1  # sentinel rows carry no intervals
+        for c in range(2, 6):
+            chd_rows2[..., c] = np.where(real, chd_rows2[..., c] + B0,
+                                         chd_rows2[..., c])
+        assert int(chd_rows2[..., 2:6].max()) > 2**31  # the regime is real
+    arr2 = arr._replace(slot_base=slot_base2, chd_rows=chd_rows2)
+    assert int(slot_base2[:, 0].max()) > 2**31
+
+    outs = []
+    for a in (arr, arr2):
+        sharr = jax.tree.map(jnp.asarray, a)
+        out, ctr = sharded.map_batch_se_sharded(
+            sharr, st, jnp.asarray(codes), jnp.asarray(lens), jnp.asarray(nv),
+            cfg, mesh,
+        )
+        outs.append((jax.tree.map(np.asarray, out),
+                     int(np.asarray(ctr.reads_mapped))))
+    for field in ("t", "pos", "strand", "score", "n_mappings"):
+        assert np.array_equal(getattr(outs[0][0], field),
+                              getattr(outs[1][0], field)), field
+    assert outs[0][1] == outs[1][1] and outs[0][1] > 0
