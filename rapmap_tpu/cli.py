@@ -246,11 +246,21 @@ def run_map(args, pseudo: bool) -> int:
 
     header = load_header(args.index)
     want = "pseudo" if pseudo else "quasi"
-    if header["index_type"] != want:
-        log.error("index at %s is type %s, expected %s", args.index, header["index_type"], want)
+    itype = header["index_type"]
+    mapping_only = (not pseudo) and itype == "quasi_map"
+    if itype != want and not mapping_only:
+        log.error("index at %s is type %s, expected %s", args.index, itype, want)
         return 1
     if pseudo and args.mappingScore:
         log.error("--mappingScore needs the suffix-array text; quasimap only")
+        return 1
+    if mapping_only and args.mappingScore:
+        log.error("--mappingScore needs the transcript text; the mapping-only "
+                  "artifact (quasi_map) drops it — map with the full index")
+        return 1
+    if mapping_only and args.engine == "replicated":
+        log.error("the mapping-only artifact (quasi_map) has no replicated-"
+                  "engine arrays; use --engine auto or staged")
         return 1
     idx = load_index(args.index)
     cfg = _cfg_from_args(args, idx.k)
@@ -267,7 +277,7 @@ def run_map(args, pseudo: bool) -> int:
 
             mapper = PseudoMapper(idx, cfg)
     else:
-        engine = _choose_quasi_engine(args, idx)
+        engine = "staged" if mapping_only else _choose_quasi_engine(args, idx)
         if engine == "staged":
             from rapmap_tpu.ops.device_index import SA_CMP_WORDS
             from rapmap_tpu.parallel.staged import StagedQuasiMapper

@@ -81,3 +81,57 @@ def test_corrupt_artifact_fails_hash(world):
     finally:
         raw[-5] ^= 0xFF
         open(path, "wb").write(bytes(raw))
+
+
+def test_cli_quasimap_on_mapping_artifact(tmp_path):
+    """`tqm quasimap -i <quasi_map dir>` routes to the staged engine and
+    emits the same records as the full index; --mappingScore and
+    --engine replicated are refused with clear errors."""
+    import subprocess
+    import sys
+
+    from tests.util import sample_reads as _sr, write_fastq
+
+    ENV = dict(
+        os.environ, TQM_FORCE_CPU="1",
+        XLA_FLAGS=os.environ.get("XLA_FLAGS", "")
+        + " --xla_cpu_parallel_codegen_split_count=1",
+    )
+
+    def tqm(*args):
+        return subprocess.run(
+            [sys.executable, "-m", "rapmap_tpu.cli", *args],
+            capture_output=True, text=True, env=ENV, cwd="/root/repo",
+            timeout=560,
+        )
+
+    rng = np.random.default_rng(82)
+    txps = random_transcriptome(rng, n_txps=4, min_len=150, max_len=250)
+    fa = write_fasta(str(tmp_path / "t.fa"), txps)
+    reads = _sr(rng, txps, 12, read_len=36)
+    fq = write_fastq(str(tmp_path / "r.fq"), reads)
+    r = tqm("quasiindex", "-t", fa, "-i", str(tmp_path / "idx"), "-k", "11")
+    assert r.returncode == 0, r.stderr
+    idx = load_index(str(tmp_path / "idx"), mmap=False)
+    save_mapping_index(idx, str(tmp_path / "mapidx"))
+
+    full = tqm("quasimap", "-i", str(tmp_path / "idx"), "-r", fq,
+               "-o", str(tmp_path / "full.sam"), "--engine", "staged",
+               "--maxReadLen", "36")
+    assert full.returncode == 0, full.stderr
+    pruned = tqm("quasimap", "-i", str(tmp_path / "mapidx"), "-r", fq,
+                 "-o", str(tmp_path / "map.sam"), "--maxReadLen", "36")
+    assert pruned.returncode == 0, pruned.stderr
+    assert "shard 0:" in pruned.stderr  # staged-engine sweep log signature
+    recs = lambda p: sorted(
+        ln for ln in open(p).read().splitlines() if not ln.startswith("@"))
+    assert recs(str(tmp_path / "map.sam")) == recs(str(tmp_path / "full.sam"))
+
+    r = tqm("quasimap", "-i", str(tmp_path / "mapidx"), "-r", fq, "-o", "-",
+            "--mappingScore")
+    assert r.returncode == 1 and "mapping-only" in r.stderr
+    r = tqm("quasimap", "-i", str(tmp_path / "mapidx"), "-r", fq, "-o", "-",
+            "--engine", "replicated")
+    assert r.returncode == 1 and "replicated" in r.stderr
+    r = tqm("pseudomap", "-i", str(tmp_path / "mapidx"), "-r", fq, "-o", "-")
+    assert r.returncode == 1 and "expected pseudo" in r.stderr
