@@ -127,6 +127,13 @@ def build_parser() -> argparse.ArgumentParser:
         "CHD construction fails errors out instead of falling back to the "
         "binary-search probe",
     )
+    qi.add_argument(
+        "--coreIndex", action="store_true",
+        help="write the compact core artifact instead of the full index: "
+        "only {text, suffix array, txp geometry, CHD} on disk (~8x smaller "
+        "at genome scale); the k-mer table and derived arrays are "
+        "reconstructed at load and verified against the save-time hashes",
+    )
 
     pi = sub.add_parser("pseudoindex", help="build k-mer-only pseudo-mapping index")
     pi.add_argument("-t", "--transcripts", required=True)
@@ -247,8 +254,11 @@ def run_map(args, pseudo: bool) -> int:
     header = load_header(args.index)
     want = "pseudo" if pseudo else "quasi"
     itype = header["index_type"]
+    # quasi_core reloads into a FULL QuasiIndex (k-mer table rederived +
+    # hash-verified), so every engine and flag works on it unchanged
+    ok = {"pseudo"} if pseudo else {"quasi", "quasi_map", "quasi_core"}
     mapping_only = (not pseudo) and itype == "quasi_map"
-    if itype != want and not mapping_only:
+    if itype not in ok:
         log.error("index at %s is type %s, expected %s", args.index, itype, want)
         return 1
     if pseudo and args.mappingScore:
@@ -535,10 +545,21 @@ def main(argv: list[str] | None = None) -> int:
     if args.cmd == "quasiindex":
         from rapmap_tpu.index.builder import build_quasi_index
 
-        build_quasi_index(
-            args.transcripts, args.index, k=args.kmerLen, seed=args.seed,
-            dedup=not args.keepDuplicates, require_chd=args.perfectHash,
-        )
+        if args.coreIndex:
+            from rapmap_tpu.index.format import save_core_index
+
+            idx = build_quasi_index(
+                args.transcripts, None, k=args.kmerLen, seed=args.seed,
+                dedup=not args.keepDuplicates, require_chd=args.perfectHash,
+            )
+            info = save_core_index(idx, args.index)
+            log.info("core index written to %s (%.2f GB on disk)",
+                     args.index, info["bytes"] / 2**30)
+        else:
+            build_quasi_index(
+                args.transcripts, args.index, k=args.kmerLen, seed=args.seed,
+                dedup=not args.keepDuplicates, require_chd=args.perfectHash,
+            )
         return 0
     if args.cmd == "pseudoindex":
         from rapmap_tpu.index.builder import build_pseudo_index

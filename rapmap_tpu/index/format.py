@@ -227,6 +227,139 @@ def save_mapping_index(idx: QuasiIndex, outdir: str,
     return {"bytes": sum(per.values()), "per_array": per}
 
 
+def save_core_index(idx: QuasiIndex, outdir: str,
+                    chunk_rows: int = 1 << 27) -> dict:
+    """Write the CORE quasi artifact (header index_type "quasi_core"): only
+    the arrays that cannot be re-derived cheaply — text, the suffix array
+    (narrowed to uint32 when the padded text length fits), txp geometry, and
+    the CHD arrays when present (placement is thread-order dependent, so they
+    are stored rather than re-derived). ~11 GB at 2.2 Gbase vs 89 GB full /
+    62 GB mapping-only: the k-mer interval table, prefix LUT, text pack and
+    sa_txp/sa_tpos are reconstructed at load (~16 min at genome scale — the
+    SA-IS stage, which dominates the 2478 s full build, is what the artifact
+    buys out) and verified bit-exact against this header's content hashes.
+
+    Reference role: a second point on cereal's serialization trade-off curve
+    (upstream:include/RapMapSAIndex.hpp stores everything; SURVEY.md §5.4).
+    Returns {"bytes": total, "per_array": {name: bytes}}."""
+    from numpy.lib.format import open_memmap
+
+    os.makedirs(outdir, exist_ok=True)
+    sa = np.asarray(idx.sa)
+    sa_stored_dtype = np.uint32 if len(idx.text) < 2**32 else np.int64
+    stored = ["text", "sa", "txp_offsets", "txp_lens"]
+
+    out = open_memmap(os.path.join(outdir, "sa.npy"), mode="w+",
+                      dtype=sa_stored_dtype, shape=(len(sa),))
+    for i in range(0, len(sa), chunk_rows):
+        j = min(i + chunk_rows, len(sa))
+        out[i:j] = sa[i:j].astype(sa_stored_dtype, copy=False)
+    out.flush()
+    hashes = {"sa_stored": _sha(np.asarray(out))}
+    del out
+
+    for name in ("text", "txp_offsets", "txp_lens"):
+        arr = np.asarray(getattr(idx, name))
+        np.save(os.path.join(outdir, f"{name}.npy"), arr)
+        hashes[name] = _sha(arr)
+    for name in _QUASI_OPTIONAL:  # store CHD verbatim when built
+        arr = getattr(idx, name, None)
+        if arr is not None:
+            np.save(os.path.join(outdir, f"{name}.npy"), np.asarray(arr))
+            hashes[name] = _sha(np.asarray(arr))
+            stored.append(name)
+    # hashes of everything the loader will re-derive, for bit-exact
+    # verification of the reconstruction
+    hashes["sa"] = _sha(sa)
+    for name in ("text2b", "sa_txp", "sa_tpos", "kmer_hi", "kmer_lo",
+                 "kmer_b", "kmer_e", "prefix_lut"):
+        hashes[name] = _sha(np.asarray(getattr(idx, name)))
+    with open(os.path.join(outdir, "txp_names.txt"), "w") as f:
+        f.write("\n".join(idx.txp_names) + ("\n" if idx.txp_names else ""))
+    header = {
+        "format_version": INDEX_FORMAT_VERSION,
+        "tool_version": __version__,
+        "index_type": "quasi_core",
+        "k": int(idx.k),
+        "n_txps": int(idx.n_txps),
+        "seed": int(idx.seed),
+        "hashes": hashes,
+        "meta": idx.meta,
+        "n_text": int(idx.n_text),
+        "text_len": int(len(idx.text)),
+        "big_sa": bool(sa.dtype == np.int64),
+        "prefix_bases": int(idx.prefix_bases),
+    }
+    with open(os.path.join(outdir, "header.json"), "w") as f:
+        json.dump(header, f, indent=1)
+    per = {nm: os.path.getsize(os.path.join(outdir, f"{nm}.npy"))
+           for nm in stored}
+    return {"bytes": sum(per.values()), "per_array": per}
+
+
+def _load_core_index(indir: str, header: dict, verify: bool = True):
+    """Reconstruct a full QuasiIndex from a quasi_core artifact: re-derive
+    the k-mer interval table, prefix LUT, 2-bit text pack and sa_txp/sa_tpos
+    from {text, sa} and (with verify=True, the default — reconstruction
+    correctness is the whole point) check every derived array against the
+    header's content hashes from save time."""
+    from rapmap_tpu.index.builder import _sa_txp_of
+    from rapmap_tpu.index.kmer_table import (
+        build_kmer_table, build_prefix_lut, pack_text_2bit,
+    )
+
+    hashes = header["hashes"]
+    text = np.load(os.path.join(indir, "text.npy"), mmap_mode="r")
+    sa_stored = np.load(os.path.join(indir, "sa.npy"), mmap_mode="r")
+    if verify:
+        for name, arr in (("text", text), ("sa_stored", sa_stored)):
+            if _sha(np.asarray(arr)) != hashes[name]:
+                raise ValueError(f"core index array {name} failed content-hash validation")
+    sa_dtype = np.int64 if header["big_sa"] else np.int32
+    sa = np.asarray(sa_stored).astype(sa_dtype, copy=False)
+    offsets = np.load(os.path.join(indir, "txp_offsets.npy"))
+    lens = np.load(os.path.join(indir, "txp_lens.npy"))
+    n_text, k = header["n_text"], header["k"]
+
+    text_arr = np.asarray(text)
+    text2b, smask2b = pack_text_2bit(text_arr)
+    khi, klo, kb, ke = build_kmer_table(
+        text_arr[:n_text], sa, k, packed_smask=(text2b, smask2b)
+    )
+    lut = build_prefix_lut(khi, klo, k, header["prefix_bases"])
+    sa_txp = _sa_txp_of(sa, offsets, lens)
+    if sa.dtype == np.int32:
+        sa_tpos = sa - offsets.astype(np.int32)[sa_txp]
+    else:
+        sa_tpos = (sa - offsets[sa_txp]).astype(np.int32)
+    if verify:
+        derived = {
+            "sa": sa, "text2b": text2b, "sa_txp": sa_txp, "sa_tpos": sa_tpos,
+            "kmer_hi": khi, "kmer_lo": klo, "kmer_b": kb, "kmer_e": ke,
+            "prefix_lut": lut,
+        }
+        for name, arr in derived.items():
+            if _sha(np.ascontiguousarray(arr)) != hashes[name]:
+                raise ValueError(
+                    f"core index reconstruction of {name} does not match the "
+                    f"save-time content hash — refusing to map from it"
+                )
+    chd = {}
+    for name in _QUASI_OPTIONAL:
+        p = os.path.join(indir, f"{name}.npy")
+        if os.path.exists(p):
+            chd[name] = np.load(p, mmap_mode="r")
+    with open(os.path.join(indir, "txp_names.txt")) as f:
+        txp_names = [ln for ln in f.read().splitlines() if ln]
+    return QuasiIndex(
+        k=k, text=text, text2b=text2b, sa=sa, sa_txp=sa_txp, sa_tpos=sa_tpos,
+        kmer_hi=khi, kmer_lo=klo, kmer_b=kb, kmer_e=ke, prefix_lut=lut,
+        txp_offsets=offsets, txp_lens=lens, txp_names=txp_names,
+        n_text=n_text, prefix_bases=header["prefix_bases"],
+        seed=header["seed"], meta=header.get("meta", {}), **chd,
+    )
+
+
 def _sha(arr: np.ndarray) -> str:
     # hash the array buffer in place — tobytes() would copy GBs through this
     # host's slow fresh-allocation path on production-scale indexes
@@ -301,6 +434,11 @@ def load_index(indir: str, mmap: bool = True, verify: bool = False):
     header = load_header(indir)
     itype = header["index_type"]
     is_quasi = itype == "quasi"
+    if itype == "quasi_core":
+        # verify defaults ON for core artifacts (reconstruction correctness
+        # is load-bearing); the caller's mmap choice is moot — derived
+        # arrays are materialized in RAM either way
+        return _load_core_index(indir, header, verify=True)
     if itype == "quasi_map":
         names = list(_QUASI_MAP_ARRAYS)
         opt = []
