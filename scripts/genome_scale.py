@@ -137,6 +137,12 @@ def main():
                     help="save the built index under workdir/idx (~90 GB on "
                          "disk) so a mapping-phase retry — e.g. after a TPU "
                          "tunnel outage — skips the ~45 min rebuild")
+    ap.add_argument("--save-core", action="store_true",
+                    help="additionally write the compact quasi_core artifact "
+                         "(~11 GB: text + uint32 SA + txp geometry) under "
+                         "workdir/core — fits tight disk budgets; reload "
+                         "re-derives + hash-verifies the k-mer table "
+                         "(scripts/core_artifact_genome.py measures it)")
     ap.add_argument("--json-out", default=None,
                     help="write the full machine-readable run artifact "
                          "(per-shard timings, amortized throughput, upload "
@@ -190,6 +196,14 @@ def main():
         f"SA dtype {sa_dtype}, {len(idx.kmer_b):,} k-mers, "
         f"{t_build:.0f}s, peak RSS {rss_gb():.1f} GB")
     assert args.allow_small or (n_text >= 2**31 and sa_dtype == np.int64)
+
+    if args.save_core:
+        from rapmap_tpu.index.format import save_core_index
+
+        t0 = time.time()
+        info = save_core_index(idx, os.path.join(args.workdir, "core"))
+        log(f"core artifact: {info['bytes']/2**30:.2f} GB in "
+            f"{time.time()-t0:.0f}s under {args.workdir}/core")
 
     # reads sampled from the text (1% error), full length
     rng = np.random.default_rng(6)
