@@ -559,10 +559,49 @@ class StagedMapper:
         overflow = 0
         self.shard_timings = []
         import logging
+        import os as _os2
         import time as _time
         from concurrent.futures import ThreadPoolExecutor
 
         _log = logging.getLogger("tqm.staged")
+        # resumable sweep (relay wedges can strand an hour-long genome sweep
+        # mid-shard): with checkpoint_path set, the host accumulators are
+        # snapshotted every checkpoint_every shards; a relaunched sweep with
+        # identical geometry resumes at the last snapshot instead of shard 0
+        ckpt = getattr(self, "checkpoint_path", None)
+        every = max(1, int(getattr(self, "checkpoint_every", 4)))
+        start_shard = 0
+        if ckpt and _os2.path.exists(ckpt):
+            try:
+                z = np.load(ckpt, allow_pickle=False)
+                if (int(z["n_shards"]) == self.n_shards
+                        and int(z["n_batches"]) == len(lane_batches)
+                        and int(z["R"]) == R and int(z["S"]) == S):
+                    start_shard = int(z["next_shard"])
+                    overflow = int(z["overflow"])
+                    for bi, a in enumerate(acc):
+                        for key in a:
+                            a[key][...] = z[f"acc{bi}_{key}"]
+                    _log.info("sweep RESUMED at shard %d/%d from %s",
+                              start_shard, self.n_shards, ckpt)
+                else:
+                    _log.warning("checkpoint %s geometry mismatch; fresh sweep", ckpt)
+            except Exception as exc:
+                _log.warning("checkpoint load failed (%s); fresh sweep", exc)
+
+        def _save_ckpt(next_shard: int):
+            t = _time.time()
+            tmp = ckpt + ".tmp"
+            with open(tmp, "wb") as f:
+                np.savez(
+                    f, next_shard=next_shard, overflow=overflow,
+                    n_shards=self.n_shards, n_batches=len(lane_batches),
+                    R=R, S=S,
+                    **{f"acc{bi}_{key}": a[key]
+                       for bi, a in enumerate(acc) for key in a},
+                )
+            _os2.replace(tmp, ckpt)
+            _log.info("checkpoint @ shard %d (%.1fs)", next_shard, _time.time() - t)
         # one-deep shard prefetch: slicing shard p+1 (host numpy over the
         # mmap'd index, ~40 s/shard at genome scale) overlaps shard p's
         # upload + device pass (~45 s of tunnel I/O) — measured 90 -> ~50
@@ -570,8 +609,8 @@ class StagedMapper:
         # host arrays (~2 GB at genome scale) in flight.
         ex = ThreadPoolExecutor(max_workers=1)
         try:
-            fut = ex.submit(self._shard_arrays, 0)
-            for p in range(self.n_shards):
+            fut = ex.submit(self._shard_arrays, start_shard)
+            for p in range(start_shard, self.n_shards):
                 t0 = _time.time()
                 didx_np, s0 = fut.result()
                 if p + 1 < self.n_shards:
@@ -607,8 +646,13 @@ class StagedMapper:
                     "shard %d: slice %.1fs upload %.1fs device+union %.1fs",
                     p, t1 - t0, t2 - t1, t_dev,
                 )
+                if ckpt and p + 1 < self.n_shards \
+                        and (p + 1 - start_shard) % every == 0:
+                    _save_ckpt(p + 1)
         finally:
             ex.shutdown(wait=True)
+        if ckpt and _os2.path.exists(ckpt):
+            _os2.remove(ckpt)  # completed sweep: snapshot is stale
         return acc, overflow
 
     def _collate_one(self, a: dict, lens: np.ndarray):

@@ -229,6 +229,11 @@ def main():
     cfg = MapConfig(k=31, max_hits_per_strand=8)
     sm = StagedMapper(idx, cfg, n_shards=args.shards,
                       read_len=READ_LEN, batch=args.batch)
+    # resumable sweep: a relay wedge (or OOM/cut session) strands an hour of
+    # shard work otherwise; geometry + the read set are deterministic, so a
+    # relaunch resumes at the last snapshot (removed on sweep completion)
+    sm.checkpoint_path = os.path.join(args.workdir, "sweep_ckpt.npz")
+    sm.checkpoint_every = 4
     geo = sm.geo
     log(f"geometry: {args.shards} shards, S_pad={geo.S_pad:,} slots "
         f"(per-shard sa_cmp ~{geo.S_pad*6*4/1e9:.1f} GB)")

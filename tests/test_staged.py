@@ -34,6 +34,64 @@ def test_staged_vs_oracle(tmp_path, big_sa):
         assert got[i] == exp, f"read {i}: staged {got[i]} != oracle {exp}"
 
 
+def test_staged_sweep_checkpoint_resume(tmp_path):
+    """Resumable sweep: kill the sweep mid-shard (induced fault after the
+    first checkpoint), relaunch with the same geometry — the resumed run
+    starts past shard 0, completes, equals the uninterrupted run bit-for-bit,
+    and removes its snapshot on completion."""
+    import os
+
+    rng = np.random.default_rng(34)
+    base = random_transcriptome(rng, n_txps=6, min_len=150, max_len=260)
+    shared = base[0][1][40:130]
+    txps = [(f"t{i}", s[:25] + shared + s[25:]) for i, (_, s) in enumerate(base)]
+    fa = write_fasta(str(tmp_path / "g.fa"), txps)
+    idx = build_quasi_index(fa, k=11)
+    L = 40
+    reads = [r[1] for r in sample_reads(rng, txps, 48, read_len=L, error_rate=0.02)]
+    codes, _lens = batch_of(reads, L)
+    cfg = MapConfig(k=idx.k, max_hits_per_strand=16, expand_budget=256, max_out=64)
+
+    def mapper():
+        sm = StagedMapper(idx, cfg, n_shards=4, read_len=L, batch=len(reads))
+        sm.checkpoint_path = str(tmp_path / "ckpt.npz")
+        sm.checkpoint_every = 2
+        return sm
+
+    want, _ = StagedMapper(
+        idx, cfg, n_shards=4, read_len=L, batch=len(reads)
+    ).map_batches([codes])
+
+    crash = mapper()
+    orig = crash._stage_a_union
+
+    def faulting(didx, lanes_j, lens2, a, s0, _n=[0]):
+        _n[0] += 1
+        if _n[0] > 3:  # shards 0-2 complete; checkpoint exists at shard 2
+            raise RuntimeError("induced relay wedge")
+        return orig(didx, lanes_j, lens2, a, s0)
+
+    crash._stage_a_union = faulting
+    with pytest.raises(RuntimeError, match="induced"):
+        crash.map_batches([codes])
+    assert os.path.exists(str(tmp_path / "ckpt.npz"))
+
+    resumed = mapper()
+    shards_run = []
+    orig2 = resumed._stage_a_union
+
+    def counting(didx, lanes_j, lens2, a, s0):
+        shards_run.append(s0)
+        return orig2(didx, lanes_j, lens2, a, s0)
+
+    resumed._stage_a_union = counting
+    got, stats = resumed.map_batches([codes])
+    assert stats["anchor_overflow"] == 0
+    assert len(shards_run) == 2  # resumed at shard 2 of 4, not 0
+    assert got == want
+    assert not os.path.exists(str(tmp_path / "ckpt.npz"))  # removed when done
+
+
 def test_staged_read_len_cap(tmp_path):
     rng = np.random.default_rng(32)
     txps = random_transcriptome(rng, n_txps=2, min_len=200, max_len=220)
