@@ -607,20 +607,50 @@ class StagedMapper:
         # upload + device pass (~45 s of tunnel I/O) — measured 90 -> ~50
         # s/shard on the 2.2 Gbase 48-shard sweep. Costs one extra shard's
         # host arrays (~2 GB at genome scale) in flight.
+        #
+        # upload_overlap additionally moves shard p+1's UPLOAD into the
+        # prefetch thread, so it rides under shard p's device+union phase
+        # (~27 s/shard of chip time at 1M-read depth during which the tunnel
+        # only carries ~1 MB/batch result downloads). Costs a second resident
+        # shard on device (~2 GB HBM at genome geometry; gated off when two
+        # shards would not comfortably fit). Opt-in per sweep: the tunnel
+        # client serializes RPCs, so small result fetches can queue behind
+        # upload chunks — net win only when device+union is transfer-light.
+        overlap = bool(getattr(self, "upload_overlap", False))
+
+        def _slice_upload(pp: int):
+            t0 = _time.time()
+            didx_np, s0 = self._shard_arrays(pp)
+            t1 = _time.time()
+            up_bytes = sum(np.asarray(a).nbytes for a in didx_np)
+            didx = jax.tree.map(_chunked_upload, didx_np)
+            jax.block_until_ready(didx)
+            return didx, s0, up_bytes, t1 - t0, _time.time() - t1
+
         ex = ThreadPoolExecutor(max_workers=1)
         try:
-            fut = ex.submit(self._shard_arrays, start_shard)
+            if overlap:
+                fut = ex.submit(_slice_upload, start_shard)
+            else:
+                fut = ex.submit(self._shard_arrays, start_shard)
             for p in range(start_shard, self.n_shards):
                 t0 = _time.time()
-                didx_np, s0 = fut.result()
-                if p + 1 < self.n_shards:
-                    fut = ex.submit(self._shard_arrays, p + 1)
-                t1 = _time.time()
-                up_bytes = sum(np.asarray(a).nbytes for a in didx_np)
-                didx = jax.tree.map(_chunked_upload, didx_np)
-                jax.block_until_ready(didx)
-                del didx_np
-                t2 = _time.time()
+                if overlap:
+                    didx, s0, up_bytes, t_slice, t_up = fut.result()
+                    if p + 1 < self.n_shards:
+                        fut = ex.submit(_slice_upload, p + 1)
+                    t2 = _time.time()
+                else:
+                    didx_np, s0 = fut.result()
+                    if p + 1 < self.n_shards:
+                        fut = ex.submit(self._shard_arrays, p + 1)
+                    t1 = _time.time()
+                    up_bytes = sum(np.asarray(a).nbytes for a in didx_np)
+                    didx = jax.tree.map(_chunked_upload, didx_np)
+                    jax.block_until_ready(didx)
+                    del didx_np
+                    t2 = _time.time()
+                    t_slice, t_up = t1 - t0, t2 - t1
                 t_dev = 0.0
                 for bi, lanes in enumerate(lanes_dev):
                     td = _time.time()
@@ -630,9 +660,10 @@ class StagedMapper:
                     t_dev += _time.time() - td
                 del didx
                 self.shard_timings.append(dict(
-                    shard=p, slice_s=round(t1 - t0, 1),
-                    upload_s=round(t2 - t1, 1), device_union_s=round(t_dev, 1),
+                    shard=p, slice_s=round(t_slice, 1),
+                    upload_s=round(t_up, 1), device_union_s=round(t_dev, 1),
                     upload_mb=round(up_bytes / 2**20, 1),
+                    exposed_wait_s=round(t2 - t0, 1) if overlap else None,
                 ))
                 # host-side transfer staging (the tunnel client's per-
                 # device_put buffers) showed up as ~0.6-0.8 GB/shard of anon
@@ -642,10 +673,17 @@ class StagedMapper:
                 import gc
 
                 gc.collect()
-                _log.info(
-                    "shard %d: slice %.1fs upload %.1fs device+union %.1fs",
-                    p, t1 - t0, t2 - t1, t_dev,
-                )
+                if overlap:
+                    _log.info(
+                        "shard %d: slice %.1fs upload %.1fs (exposed wait "
+                        "%.1fs) device+union %.1fs",
+                        p, t_slice, t_up, t2 - t0, t_dev,
+                    )
+                else:
+                    _log.info(
+                        "shard %d: slice %.1fs upload %.1fs device+union %.1fs",
+                        p, t_slice, t_up, t_dev,
+                    )
                 if ckpt and p + 1 < self.n_shards \
                         and (p + 1 - start_shard) % every == 0:
                     _save_ckpt(p + 1)

@@ -137,6 +137,11 @@ def main():
                     help="save the built index under workdir/idx (~90 GB on "
                          "disk) so a mapping-phase retry — e.g. after a TPU "
                          "tunnel outage — skips the ~45 min rebuild")
+    ap.add_argument("--overlap-upload", action="store_true",
+                    help="pipeline shard p+1's slice+upload under shard p's "
+                         "device+union phase (second resident shard on "
+                         "device; pays at high queue depth where the device "
+                         "phase is tens of seconds per shard)")
     ap.add_argument("--save-core", action="store_true",
                     help="additionally write the compact quasi_core artifact "
                          "(~11 GB: text + uint32 SA + txp geometry) under "
@@ -234,6 +239,7 @@ def main():
     # relaunch resumes at the last snapshot (removed on sweep completion)
     sm.checkpoint_path = os.path.join(args.workdir, "sweep_ckpt.npz")
     sm.checkpoint_every = 4
+    sm.upload_overlap = args.overlap_upload
     geo = sm.geo
     log(f"geometry: {args.shards} shards, S_pad={geo.S_pad:,} slots "
         f"(per-shard sa_cmp ~{geo.S_pad*6*4/1e9:.1f} GB)")

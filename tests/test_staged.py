@@ -92,6 +92,32 @@ def test_staged_sweep_checkpoint_resume(tmp_path):
     assert not os.path.exists(str(tmp_path / "ckpt.npz"))  # removed when done
 
 
+def test_staged_upload_overlap_parity(tmp_path):
+    """upload_overlap pipelines shard p+1's upload under shard p's device
+    phase (two shards resident) — output must equal the serial sweep
+    bit-for-bit, and the timing rows must carry exposed_wait_s."""
+    rng = np.random.default_rng(35)
+    base = random_transcriptome(rng, n_txps=6, min_len=150, max_len=260)
+    shared = base[0][1][30:120]
+    txps = [(f"t{i}", s[:30] + shared + s[30:]) for i, (_, s) in enumerate(base)]
+    fa = write_fasta(str(tmp_path / "g.fa"), txps)
+    idx = build_quasi_index(fa, k=11)
+    L = 40
+    reads = [r[1] for r in sample_reads(rng, txps, 48, read_len=L, error_rate=0.02)]
+    codes, _lens = batch_of(reads, L)
+    cfg = MapConfig(k=idx.k, max_hits_per_strand=16, expand_budget=256, max_out=64)
+
+    serial = StagedMapper(idx, cfg, n_shards=4, read_len=L, batch=len(reads))
+    want, _ = serial.map_batches([codes])
+    over = StagedMapper(idx, cfg, n_shards=4, read_len=L, batch=len(reads))
+    over.upload_overlap = True
+    got, stats = over.map_batches([codes])
+    assert stats["anchor_overflow"] == 0
+    assert got == want
+    assert all(t["exposed_wait_s"] is not None for t in over.shard_timings)
+    assert all(t["exposed_wait_s"] is None for t in serial.shard_timings)
+
+
 def test_staged_read_len_cap(tmp_path):
     rng = np.random.default_rng(32)
     txps = random_transcriptome(rng, n_txps=2, min_len=200, max_len=220)
