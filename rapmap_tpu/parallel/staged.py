@@ -853,6 +853,7 @@ class StagedQuasiMapper:
             n_shards = max(1, math.ceil(dev_bytes / per))
         self.sm = StagedMapper(idx, cfg, n_shards=n_shards,
                                read_len=read_len, batch=batch)
+        self._apply_sweep_env()
         self.cfg = cfg
         self.host_index = idx
         self.txp_names = idx.txp_names
@@ -860,6 +861,20 @@ class StagedQuasiMapper:
         self._pending: dict[int, tuple] = {}
         self._done: dict[int, object] = {}
         self._next = 0
+
+    def _apply_sweep_env(self):
+        """Sweep robustness/pipelining knobs for CLI users at genome scale
+        (script users set the engine attrs directly): TQM_SWEEP_CKPT=<path>
+        makes every sweep resumable (TQM_SWEEP_CKPT_EVERY shards apart);
+        TQM_SWEEP_OVERLAP=1 pipelines the next shard's upload under the
+        current shard's device phase."""
+        ckpt = _os.environ.get("TQM_SWEEP_CKPT")
+        if ckpt:
+            self.sm.checkpoint_path = ckpt
+            self.sm.checkpoint_every = int(
+                _os.environ.get("TQM_SWEEP_CKPT_EVERY", "4"))
+        if _os.environ.get("TQM_SWEEP_OVERLAP", "") not in ("", "0"):
+            self.sm.upload_overlap = True
 
     def _pad(self, codes: np.ndarray, lens: np.ndarray):
         codes = np.asarray(codes, np.int8)
@@ -1202,6 +1217,7 @@ class StagedPseudoMapper(StagedQuasiMapper):
             n_shards = max(n_shards, math.ceil(n_occ / (2**30)))
         self.sm = StagedPseudoEngine(idx, cfg, n_shards=n_shards,
                                      read_len=read_len, batch=batch)
+        self._apply_sweep_env()
         self.cfg = cfg
         self.host_index = idx
         self.txp_names = idx.txp_names
