@@ -608,37 +608,48 @@ class StagedMapper:
         # s/shard on the 2.2 Gbase 48-shard sweep. Costs one extra shard's
         # host arrays (~2 GB at genome scale) in flight.
         #
-        # upload_overlap additionally moves shard p+1's UPLOAD into the
-        # prefetch thread, so it rides under shard p's device+union phase
-        # (~27 s/shard of chip time at 1M-read depth during which the tunnel
-        # only carries ~1 MB/batch result downloads). Costs a second resident
-        # shard on device (~2 GB HBM at genome geometry; gated off when two
-        # shards would not comfortably fit). Opt-in per sweep: the tunnel
-        # client serializes RPCs, so small result fetches can queue behind
-        # upload chunks — net win only when device+union is transfer-light.
+        # upload_overlap additionally pipelines UPLOADS one shard ahead: a
+        # dedicated upload thread consumes the slice thread's output, so
+        # slice(p+2) ∥ upload(p+1) ∥ device+union(p) — per-shard wall tends
+        # to max(slice, upload, device) instead of upload+device, i.e. the
+        # sweep approaches the raw tunnel-upload floor. Costs a second
+        # resident shard on device (~2 GB HBM at genome geometry) + one more
+        # shard's host arrays. Opt-in per sweep: the tunnel client serializes
+        # RPCs, so result fetches share the wire with upload chunks — the
+        # win is bounded by how transfer-light the device phase is.
         overlap = bool(getattr(self, "upload_overlap", False))
 
-        def _slice_upload(pp: int):
-            t0 = _time.time()
-            didx_np, s0 = self._shard_arrays(pp)
+        def _upload_stage(slice_fut):
+            didx_np, s0, t_slice = slice_fut.result()
             t1 = _time.time()
             up_bytes = sum(np.asarray(a).nbytes for a in didx_np)
             didx = jax.tree.map(_chunked_upload, didx_np)
             jax.block_until_ready(didx)
-            return didx, s0, up_bytes, t1 - t0, _time.time() - t1
+            return didx, s0, up_bytes, t_slice, _time.time() - t1
+
+        def _timed_slice(pp: int):
+            t0 = _time.time()
+            didx_np, s0 = self._shard_arrays(pp)
+            return didx_np, s0, _time.time() - t0
 
         ex = ThreadPoolExecutor(max_workers=1)
+        ex_up = ThreadPoolExecutor(max_workers=1) if overlap else None
         try:
             if overlap:
-                fut = ex.submit(_slice_upload, start_shard)
+                sfut = ex.submit(_timed_slice, start_shard)
+                fut = ex_up.submit(_upload_stage, sfut)
+                sfut = (ex.submit(_timed_slice, start_shard + 1)
+                        if start_shard + 1 < self.n_shards else None)
             else:
                 fut = ex.submit(self._shard_arrays, start_shard)
             for p in range(start_shard, self.n_shards):
                 t0 = _time.time()
                 if overlap:
                     didx, s0, up_bytes, t_slice, t_up = fut.result()
-                    if p + 1 < self.n_shards:
-                        fut = ex.submit(_slice_upload, p + 1)
+                    if sfut is not None:
+                        fut = ex_up.submit(_upload_stage, sfut)
+                        sfut = (ex.submit(_timed_slice, p + 2)
+                                if p + 2 < self.n_shards else None)
                     t2 = _time.time()
                 else:
                     didx_np, s0 = fut.result()
@@ -689,6 +700,8 @@ class StagedMapper:
                     _save_ckpt(p + 1)
         finally:
             ex.shutdown(wait=True)
+            if ex_up is not None:
+                ex_up.shutdown(wait=True)
         if ckpt and _os2.path.exists(ckpt):
             _os2.remove(ckpt)  # completed sweep: snapshot is stale
         return acc, overflow

@@ -34,11 +34,13 @@ def test_staged_vs_oracle(tmp_path, big_sa):
         assert got[i] == exp, f"read {i}: staged {got[i]} != oracle {exp}"
 
 
-def test_staged_sweep_checkpoint_resume(tmp_path):
-    """Resumable sweep: kill the sweep mid-shard (induced fault after the
-    first checkpoint), relaunch with the same geometry — the resumed run
-    starts past shard 0, completes, equals the uninterrupted run bit-for-bit,
-    and removes its snapshot on completion."""
+@pytest.mark.parametrize("overlap", [False, True])
+def test_staged_sweep_checkpoint_resume(tmp_path, overlap):
+    """Resumable sweep (both pipeline modes — the genome run uses checkpoint
+    AND upload overlap together): kill the sweep mid-shard (induced fault
+    after the first checkpoint), relaunch with the same geometry — the
+    resumed run starts past shard 0, completes, equals the uninterrupted run
+    bit-for-bit, and removes its snapshot on completion."""
     import os
 
     rng = np.random.default_rng(34)
@@ -56,6 +58,7 @@ def test_staged_sweep_checkpoint_resume(tmp_path):
         sm = StagedMapper(idx, cfg, n_shards=4, read_len=L, batch=len(reads))
         sm.checkpoint_path = str(tmp_path / "ckpt.npz")
         sm.checkpoint_every = 2
+        sm.upload_overlap = overlap
         return sm
 
     want, _ = StagedMapper(
